@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``uw_hadoop_aglorithms_spark/``; this module is
+pure registry wiring.
 """
 
 from __future__ import annotations
@@ -13,26 +15,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from uw_hadoop_aglorithms_spark.operators import relational
+from uw_hadoop_aglorithms_spark.oracles import all_oracles
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the Q6 pricing-summary report."""
+    return relational.q6(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        # Relational suite (SURVEY §2.2-§2.6, reference Spark/SparkSQL/Q1-Q7)
+        "q1": relational.q1,
+        "q2": relational.q2,
+        "q3": relational.q3,
+        "q4": relational.q4,
+        "q5": relational.q5,
+        "q6": relational.q6,
+        "q7": relational.q7,
+        "semi_join": relational.semi_join_orders_with_shipments,
+        "anti_join": relational.anti_join_orders_without_shipments,
+        "rollup_revenue": relational.rollup_revenue,
+        "set_ops": relational.set_ops_customers,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per queries() key (where expressible)."""
+    return all_oracles()

@@ -1,0 +1,265 @@
+"""Relational suite: the reference's seven warehouse queries, Spark-first.
+
+Semantics come from the SQL specs in reference Spark/SparkSQL/README.md; the
+reference implementations are hand-compiled RDD plans (Q1.scala …Q7.scala)
+with manual broadcast joins, cogroups and sort/take — all of which collapse
+here into declarative DataFrame plans that Catalyst optimizes (SURVEY.md §4).
+
+Schema adaptations (FIXTURES.md): testdata `orders` has no `o_clerk` /
+`o_shippriority`; `o_orderpriority` stands in for both (Q2, Q7). Dates are
+real timestamps, compared typed — the reference compared date *strings*
+(reference Q1.scala:34 `contains`, Q7.scala:49,56 lexical `<`/`>`).
+
+Scale design (100 TB target):
+- Filters sit directly on the scan → Parquet row-group pruning on the typed
+  date column carries the selectivity, not a post-scan pass.
+- nation/region joins are hinted broadcast (fixed 25/5 rows at any SF);
+  customer/supplier/part joins are left to AQE, which broadcasts them at
+  small SF and shuffle-joins them at cluster scale.
+- Top-k queries use orderBy().limit(k) → TakeOrderedAndProject: per-partition
+  bounded heaps + driver merge of k rows, never a global sort. This is the
+  planner-native form of the reference's hand-built bounded priority queue
+  (reference ExtractTopPersonalizedPageRankNodes.java:58-147).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+#: Canonical parameter values — chosen from the generated data's actual date
+#: range (1995..2001) so every SF returns rows; oracle SQL uses the same.
+SHIP_DATE = "1998-06-01"
+Q7_DATE = "1998-01-01"
+Q5_NATIONS = ("NATION_3", "NATION_4")
+
+# Float aggregates are rounded to fixed decimals in BOTH the Spark query and
+# the DuckDB oracle SQL: double summation order differs between engines, and
+# rounding makes the value-hash comparison deterministic.
+_MONEY_SCALE = 2
+
+def _revenue_expr():
+    # built lazily: classic PySpark Column construction needs a live
+    # SparkContext, so no module-level Column objects.
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q1(spark: SparkSession, sf_dir: str, date: str = SHIP_DATE) -> DataFrame:
+    """How many items shipped on `date`? (reference Q1.scala:30-41)
+
+    select count(*) from lineitem where l_shipdate = date
+    """
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.where(F.col("l_shipdate") == F.lit(date).cast("timestamp"))
+        .agg(F.count("*").alias("count_items"))
+    )
+
+
+def q2(spark: SparkSession, sf_dir: str, date: str = SHIP_DATE) -> DataFrame:
+    """Clerks (→ o_orderpriority) for items shipped on `date`, first 20 by
+    order key. (reference Q2.scala:31-45; cogroup join + semi filter + take)
+
+    The reference cogroups lineitem with orders then filters empty groups —
+    an inner join spelled by hand. Here: filter → join → top-20.
+    """
+    cat = Catalog(spark, sf_dir)
+    items = cat.lineitem.where(
+        F.col("l_shipdate") == F.lit(date).cast("timestamp")
+    ).select("l_orderkey")
+    return (
+        items.join(cat.orders, items.l_orderkey == cat.orders.o_orderkey)
+        .select(F.col("o_orderpriority"), F.col("o_orderkey"))
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+
+
+def q3(spark: SparkSession, sf_dir: str, date: str = SHIP_DATE) -> DataFrame:
+    """Part + supplier names for items shipped on `date`, first 20 by order
+    key. (reference Q3.scala:40-60: manual collectAsMap → sc.broadcast)
+
+    The reference pulls both dimension tables into the DRIVER and broadcasts
+    dicts — an OOM grenade at scale. Here the join is declared and AQE picks
+    broadcast only while the dims actually fit (SURVEY.md §3.2).
+    """
+    cat = Catalog(spark, sf_dir)
+    line = cat.lineitem.where(F.col("l_shipdate") == F.lit(date).cast("timestamp"))
+    return (
+        line.join(cat.part, line.l_partkey == cat.part.p_partkey)
+        .join(cat.supplier, line.l_suppkey == cat.supplier.s_suppkey)
+        .select("l_orderkey", "p_name", "s_name")
+        .orderBy("l_orderkey", "p_name", "s_name")
+        .limit(20)
+    )
+
+
+def q4(spark: SparkSession, sf_dir: str, date: str = SHIP_DATE) -> DataFrame:
+    """Items shipped per nation on `date`. (reference Q4.scala:39-70)
+
+    lineitem ⋈ orders ⋈ customer ⋈ nation, count by nation — the star-join
+    whose dimension legs the reference split into one broadcast and one
+    cogroup by hand.
+    """
+    cat = Catalog(spark, sf_dir)
+    line = cat.lineitem.where(
+        F.col("l_shipdate") == F.lit(date).cast("timestamp")
+    ).select("l_orderkey")
+    return (
+        line.join(cat.orders.select("o_orderkey", "o_custkey"), line.l_orderkey == F.col("o_orderkey"))
+        .join(cat.customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("*").alias("count_items"))
+        .orderBy("n_nationkey")
+    )
+
+
+def q5(spark: SparkSession, sf_dir: str, nations: tuple[str, str] = Q5_NATIONS) -> DataFrame:
+    """Monthly shipment volume for two nations across all data.
+    (reference Q5.scala:38-61: substring(0,7) month key on date strings)
+
+    Months come from date_format on the typed timestamp, not substring.
+    """
+    cat = Catalog(spark, sf_dir)
+    nation = F.broadcast(cat.nation.where(F.col("n_name").isin(*nations)))
+    return (
+        cat.lineitem.select("l_orderkey", "l_shipdate")
+        .join(cat.orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        )
+        .agg(F.count("*").alias("count_items"))
+        .orderBy("n_name", "ship_month")
+    )
+
+
+def q6(spark: SparkSession, sf_dir: str, date: str = SHIP_DATE) -> DataFrame:
+    """Pricing summary report (modified TPC-H Q1). (reference Q6.scala:42-67)
+
+    The reference hand-splits this into partial 6-tuple sums + a final
+    divide; Spark's HashAggregate does the partial/final split automatically
+    (map-side combine → one shuffle of ~|groups| rows).
+    """
+    cat = Catalog(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cat.lineitem.where(F.col("l_shipdate") == F.lit(date).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), _MONEY_SCALE).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), _MONEY_SCALE).alias("sum_base_price"),
+            F.round(F.sum(disc_price), _MONEY_SCALE).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), _MONEY_SCALE).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q7(spark: SparkSession, sf_dir: str, date: str = Q7_DATE) -> DataFrame:
+    """Top-10 unshipped orders by revenue (modified TPC-H Q3).
+    (reference Q7.scala:43-66; o_orderpriority stands in for o_shippriority)
+
+    Both date filters sit on the scans (pushed to Parquet); the per-order
+    revenue rollup happens BEFORE the customer join, so the join input is
+    |qualifying orders|, not |qualifying lineitems|.
+    """
+    cat = Catalog(spark, sf_dir)
+    d = F.lit(date).cast("timestamp")
+    orders = cat.orders.where(F.col("o_orderdate") < d).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    line = cat.lineitem.where(F.col("l_shipdate") > d).select(
+        "l_orderkey", _revenue_expr().alias("item_revenue")
+    )
+    per_order = line.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+        "l_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    ).agg(F.round(F.sum("item_revenue"), _MONEY_SCALE).alias("revenue"))
+    return (
+        per_order.join(cat.customer.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Free generalizations (SURVEY.md §2.3/§2.6): the DataFrame API gives these
+# in one line each; the reference either hand-rolled them (semi join as a
+# post-cogroup emptiness filter, Q2.scala:39) or lacked them entirely.
+# ---------------------------------------------------------------------------
+
+
+def semi_join_orders_with_shipments(
+    spark: SparkSession, sf_dir: str, date: str = Q7_DATE
+) -> DataFrame:
+    """Orders having ≥1 lineitem shipped after `date` — LEFT SEMI join.
+
+    The reference spelled this as cogroup + `filter(_._2._1.size > 0)`
+    (reference Q2.scala:39, Q5.scala:54). A semi join shuffles only the keys
+    of the probe side and never duplicates matching rows.
+    """
+    cat = Catalog(spark, sf_dir)
+    shipped = cat.lineitem.where(
+        F.col("l_shipdate") > F.lit(date).cast("timestamp")
+    ).select("l_orderkey")
+    return (
+        cat.orders.join(shipped, cat.orders.o_orderkey == shipped.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def anti_join_orders_without_shipments(
+    spark: SparkSession, sf_dir: str, date: str = Q7_DATE
+) -> DataFrame:
+    """Orders with NO lineitem shipped after `date` — LEFT ANTI join
+    (absent from the reference; exposed because it falls out of the API).
+    """
+    cat = Catalog(spark, sf_dir)
+    shipped = cat.lineitem.where(
+        F.col("l_shipdate") > F.lit(date).cast("timestamp")
+    ).select("l_orderkey")
+    return (
+        cat.orders.join(shipped, cat.orders.o_orderkey == shipped.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (returnflag, linestatus) with ROLLUP subtotals — the
+    multi-level aggregate family the reference lacked (SURVEY.md §2.4 note).
+    """
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(_revenue_expr()), _MONEY_SCALE).alias("revenue"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations on key sets (SURVEY.md §2.6): customers with orders
+    INTERSECT customers with a positive balance, UNION'd with an EXCEPT leg.
+
+    Returns one labeled relation so the result is a single DataFrame:
+    (op, c_custkey) for op in {'intersect', 'except'}.
+    """
+    cat = Catalog(spark, sf_dir)
+    with_orders = cat.orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    positive = cat.customer.where(F.col("c_acctbal") > 0).select("c_custkey")
+    inter = with_orders.intersect(positive).select(
+        F.lit("intersect").alias("op"), "c_custkey"
+    )
+    diff = positive.subtract(with_orders).select(F.lit("except").alias("op"), "c_custkey")
+    return inter.unionAll(diff).orderBy("op", "c_custkey")
