@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from uw_hadoop_aglorithms_spark.operators import relational
+from uw_hadoop_aglorithms_spark.operators import relational, text
 from uw_hadoop_aglorithms_spark.oracles import all_oracles
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -41,6 +41,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": relational.anti_join_orders_without_shipments,
         "rollup_revenue": relational.rollup_revenue,
         "set_ops": relational.set_ops_customers,
+        # Text analytics (SURVEY §2.2/§2.4, reference MapReduce+Spark text jobs)
+        "word_count": text.word_count,
+        "word_count_having": text.word_count_having,
+        "perfect_follower": text.perfect_follower,
+        "bigram_relfreq": text.bigram_relative_frequency,
+        "pmi_pairs": text.pmi_pairs,
+        "pmi_stripes": text.pmi_stripes,
     }
 
 

@@ -131,8 +131,90 @@ RELATIONAL_ORACLES: dict[str, str] = {
 }
 
 
+# --- text analytics (operators/text.py) ------------------------------------
+
+#: DuckDB token-array fragment — MUST stay in lockstep with
+#: functions/text.py TOKENS_SQL (same regex, same empty-filter).
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> t <> '')"
+
+#: Shared CTE prologues.
+_TOKS_CTE = f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)"
+_BIGRAMS_CTE = f"""{_TOKS_CTE},
+    bg AS (
+        SELECT z[1] AS w1, z[2] AS w2
+        FROM (
+            SELECT unnest(list_zip(t[1:greatest(len(t)-1, 0)], t[2:len(t)])) AS z
+            FROM toks
+        )
+    )"""
+_PMI_CTE = f"""{_TOKS_CTE},
+    hoods AS (SELECT doc_id, list_distinct(t[1:40]) AS ts FROM toks),
+    ex AS (SELECT doc_id, unnest(ts) AS w FROM hoods),
+    uni AS (SELECT w, count(*) AS docs FROM ex GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM hoods),
+    pairs AS (
+        SELECT a.w AS w1, b.w AS w2, count(*) AS pair_docs
+        FROM ex a JOIN ex b USING (doc_id)
+        WHERE a.w <> b.w
+        GROUP BY a.w, b.w
+        HAVING count(*) >= 10
+    ),
+    pmi_flat AS (
+        SELECT w1, w2,
+               round(log10(n_docs * pair_docs / (d1.docs * d2.docs)), 6) AS pmi,
+               pair_docs
+        FROM pairs
+        CROSS JOIN n
+        JOIN uni d1 ON w1 = d1.w
+        JOIN uni d2 ON w2 = d2.w
+    )"""
+
+TEXT_ORACLES: dict[str, str] = {
+    "word_count": f"""
+        {_TOKS_CTE}
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(t) AS word FROM toks)
+        GROUP BY word
+        ORDER BY word
+    """,
+    "word_count_having": f"""
+        {_TOKS_CTE}
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(t) AS word FROM toks)
+        GROUP BY word
+        HAVING count(*) > 100
+        ORDER BY word
+    """,
+    "perfect_follower": f"""
+        {_BIGRAMS_CTE}
+        SELECT w2 AS follower, count(*) AS cnt
+        FROM bg
+        WHERE w1 = 'spark'
+        GROUP BY w2
+        HAVING count(*) > 1
+        ORDER BY follower
+    """,
+    "bigram_relfreq": f"""
+        {_BIGRAMS_CTE}
+        SELECT w1, w2, cnt,
+               round(cnt / sum(cnt) OVER (PARTITION BY w1), 6) AS rel_freq
+        FROM (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2)
+        ORDER BY w1, w2
+    """,
+    "pmi_pairs": f"""
+        {_PMI_CTE}
+        SELECT * FROM pmi_flat ORDER BY w1, w2
+    """,
+    "pmi_stripes": f"""
+        {_PMI_CTE}
+        SELECT * FROM pmi_flat ORDER BY w1, w2
+    """,
+}
+
+
 def all_oracles() -> dict[str, str]:
     """Merged oracle map across operator families (driver contract)."""
     merged: dict[str, str] = {}
     merged.update(RELATIONAL_ORACLES)
+    merged.update(TEXT_ORACLES)
     return merged
