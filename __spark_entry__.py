@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from uw_hadoop_aglorithms_spark.operators import relational, text
+from uw_hadoop_aglorithms_spark.operators import graph, index, relational, text
 from uw_hadoop_aglorithms_spark.oracles import all_oracles
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -48,6 +48,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_relfreq": text.bigram_relative_frequency,
         "pmi_pairs": text.pmi_pairs,
         "pmi_stripes": text.pmi_stripes,
+        # Inverted index + boolean retrieval (SURVEY §2.7/§2.6)
+        "inverted_index": index.inverted_index,
+        "boolean_retrieval": index.boolean_retrieval,
+        # Personalized PageRank (SURVEY §2.8; iterative → no SQL oracle,
+        # validated against a sequential Python oracle in tests/test_graph.py)
+        "ppr_top20": graph.ppr_top20,
     }
 
 

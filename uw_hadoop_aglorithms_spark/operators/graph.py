@@ -1,0 +1,163 @@
+"""Multi-source personalized PageRank (SURVEY.md §2.8, G1-G7).
+
+Reference semantics (reference MapReduce/PageRank/
+RunPersonalizedPageRankBasic.java): α = 0.15 jump probability (:377);
+per-iteration scatter of rank/outdeg to out-neighbors (:120-161); dangling
+("missing") mass computed by the driver from per-task side files (:309-326,
+:466-470); ALL jump + missing mass goes to the personalization source
+(:353-362); multi-source = one rank slot per source. The reference works in
+log space (sumProbs log-add, :79-91) for float underflow; we use
+linear-space doubles — a documented deviation (SURVEY.md §4): at our graph
+sizes double precision cannot underflow, and it is what published Spark
+PageRank implementations do. Validated against a pure-Python sequential
+oracle (the reference's own pattern, SequentialPersonalizedPageRank.java).
+
+Graph fixture (FIXTURES.md): edges = distinct (o_custkey → l_suppkey) via
+orders ⋈ lineitem; vertex ids remap customers to [0, n_cust) and suppliers
+to [n_cust, n_cust + n_supp) — both key spaces are contiguous 0-based in
+the testdata, so the remap is arithmetic (no global sort, unlike a
+row_number remap which would single-partition at scale). All suppliers are
+dangling (no out-edges) and customers without orders are isolated, so the
+dangling-mass path is exercised hard every iteration.
+
+Scale design (100 TB / 1000-executor target):
+- State is an exploded (id, source, rank) DataFrame: shuffles partition by
+  vertex id, aggregation is a plain groupBy — no array-slot bookkeeping.
+- missing mass per source is a |sources|-row aggregate, broadcast back into
+  the plan — NO driver collect inside the loop (the reference round-tripped
+  HDFS side files + job conf every iteration, :537-544,:577).
+- Lineage is cut every CHECKPOINT_EVERY iterations via localCheckpoint();
+  on a real cluster swap for parquet checkpointing — the driver loop and
+  plan shape are unchanged.
+- Edges are re-used every iteration: cached once, partitioned by src so the
+  scatter join co-locates with the rank state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+ALPHA = 0.15  # reference RunPersonalizedPageRankBasic.java:377
+DEFAULT_SOURCES = (0, 1, 2)  # FIXTURES.md graph fixture
+DEFAULT_ITERATIONS = 10
+CHECKPOINT_EVERY = 5  # SURVEY.md §7 Phase 4
+TOP_K = 20  # reference ExtractTopPersonalizedPageRankNodes.java default
+
+
+def build_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Derive (vertices, edges) from the star schema — G1.
+
+    vertices: id (long) for every customer and supplier, link-less included
+    (reference SequentialPageRank.java:46-49 requires isolated nodes).
+    edges: src=customer-id, dst=supplier-id, distinct.
+    """
+    cat = Catalog(spark, sf_dir)
+    n_cust = cat.customer.select(F.max("c_custkey")).first()[0] + 1
+    customers = cat.customer.select(F.col("c_custkey").cast("long").alias("id"))
+    suppliers = cat.supplier.select((F.col("s_suppkey") + F.lit(n_cust)).cast("long").alias("id"))
+    vertices = customers.unionAll(suppliers)
+    edges = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(cat.lineitem.select("l_orderkey", "l_suppkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(n_cust)).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return vertices, edges
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: tuple[int, ...] = DEFAULT_SOURCES,
+    iterations: int = DEFAULT_ITERATIONS,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """Run multi-source PPR; returns (source, id, rank) — G3-G6.
+
+    Per-iteration update, linear space (reference formula at :353-362):
+        p'(v) = α·[v=s] + (1-α)·( Σ_{u→v} p(u)/deg(u) + missing_s·[v=s] )
+    where missing_s = 1 − Σ_v gathered mass for source s (dangling loss).
+    Mass is conserved exactly: Σ_v p'(v) = 1 per source.
+    """
+    vertices, edges = build_graph(spark, sf_dir)
+
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(outdeg, "src").select("src", "dst", "deg")
+    edges_deg = edges_deg.repartition(F.col("src")).cache()
+
+    src_df = spark.createDataFrame(
+        [(int(s),) for s in sources], "source long"
+    )
+    # state: one row per (vertex, source); initial mass 1 at the source
+    ranks = (
+        vertices.crossJoin(F.broadcast(src_df))
+        .select(
+            "id",
+            "source",
+            F.when(F.col("id") == F.col("source"), 1.0).otherwise(0.0).alias("rank"),
+        )
+    )
+
+    for i in range(iterations):
+        # scatter (G3): each vertex ships rank/deg along its out-edges
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.id)
+            .select(
+                F.col("dst").alias("id"),
+                "source",
+                (F.col("rank") / F.col("deg")).alias("mass"),
+            )
+        )
+        # gather (G4): sum incoming mass per (vertex, source)
+        gathered = contribs.groupBy("id", "source").agg(F.sum("mass").alias("mass"))
+        # per-source surviving mass — tiny aggregate, broadcast, no collect
+        totals = gathered.groupBy("source").agg(F.sum("mass").alias("m"))
+        # reinstate zero-in-mass vertices, add teleport + dangling mass (G5)
+        ranks = (
+            vertices.crossJoin(F.broadcast(src_df))
+            .join(gathered, ["id", "source"], "left")
+            .join(F.broadcast(totals), "source", "left")
+            .select(
+                "id",
+                "source",
+                (
+                    F.lit(1 - alpha)
+                    * (
+                        F.coalesce(F.col("mass"), F.lit(0.0))
+                        + F.when(
+                            F.col("id") == F.col("source"),
+                            F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0)),
+                        ).otherwise(0.0)
+                    )
+                    + F.when(F.col("id") == F.col("source"), F.lit(alpha)).otherwise(0.0)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iterations:
+            # cut lineage so plan analysis doesn't grow quadratically (G6);
+            # cluster-scale: replace with parquet write/read checkpoint
+            ranks = ranks.localCheckpoint(eager=True)
+
+    return ranks
+
+
+def ppr_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vertices per source by rank — G7 as a window rank, replacing
+    the reference's mapper-side bounded priority queues + single reducer
+    (reference ExtractTopPersonalizedPageRankNodes.java:58-147)."""
+    from pyspark.sql import Window
+
+    ranks = personalized_pagerank(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.col("rank").desc(), F.col("id"))
+    return (
+        ranks.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= TOP_K)
+        .select("source", "id", F.round("rank", 6).alias("rank"), "pos")
+        .orderBy("source", "pos")
+    )

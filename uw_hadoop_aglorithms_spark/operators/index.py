@@ -1,0 +1,121 @@
+"""Inverted index + boolean retrieval (SURVEY.md §2.7, §2.6).
+
+The reference builds a positional MapFile index with hand-rolled gap + VInt
+compression (reference MapReduce/Inverted Index/
+BuildInvertedIndexCompressed.java:100-143) and evaluates postfix boolean
+queries by seeking MapFile partitions (BooleanRetrievalCompressed.java:
+68-158). Here:
+
+- the index is a Parquet postings table `term → array<struct<docno,tf>>`
+  (Parquet's dictionary/RLE encodings replace VInt, SURVEY.md §4);
+- point lookup is a pushed-down `term = x` filter (optionally bucketBy);
+- the postfix stack evaluator survives as ~20 lines of *client-side control
+  flow* driving DataFrame set ops — the stack never touches data-plane code;
+- document fetch joins on doc_id instead of seeking byte offsets
+  (reference BooleanRetrievalCompressed.java:160-166 used the line's byte
+  offset AS the docno; our docno is the stable `doc_id`).
+
+Scale notes: the index build is explode → two-level groupBy — partial
+aggregation keeps the shuffle at |distinct (doc,term)|; per-term set ops in
+retrieval are semi-joins over postings, never driver-side materialization
+of full posting lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.functions.text import tokens
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+#: Default demo query, postfix notation (reference BooleanRetrievalCompressed
+#: .java:68-87 pops 2 / pushes 1 per operator): (spark AND join) OR filter.
+DEFAULT_QUERY = "spark join AND filter OR"
+
+#: Preview truncation width (reference BooleanRetrievalCompressed.java:
+#: 160-166 prints the first 80 chars of the fetched line).
+PREVIEW_CHARS = 80
+
+
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term frequency — I1 (reference
+    BuildInvertedIndexCompressed.java:64-81 builds the same histogram with a
+    per-mapper HMapStIW)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat postings relation (term, doc_id, tf) — the oracle-checked form
+    of the index. Sorted by (term, doc_id), mirroring the reference's
+    secondary sort (BuildInvertedIndexCompressed.java:58-82)."""
+    return term_frequencies(spark, sf_dir).orderBy("term", "doc_id")
+
+
+def postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized index: term → sorted array<struct<docno,tf>> — I2.
+
+    array_sort(collect_list(...)) replaces the composite-key secondary sort;
+    Parquet encodings replace the gap+VInt bytes (reference
+    BuildInvertedIndexCompressed.java:106-137). Written with
+    `.write.parquet(...)` this IS the on-disk index; `filter(term = x)`
+    reaches it via predicate pushdown (I3).
+    """
+    return (
+        term_frequencies(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id").alias("docno"), F.col("tf")))
+            ).alias("postings"),
+            F.count("*").alias("df"),
+        )
+    )
+
+
+def _term_docs(tf: DataFrame, term: str) -> DataFrame:
+    """Doc-id set for one term — the engine's point lookup (I3). On a
+    materialized postings table this is a pushed-down term filter."""
+    return tf.where(F.col("term") == term).select("doc_id")
+
+
+def eval_postfix(tf: DataFrame, query: str = DEFAULT_QUERY) -> DataFrame:
+    """Postfix boolean query → doc_id DataFrame — SO1–SO3.
+
+    The stack is client-side control flow over lazy DataFrames (the plan
+    composes; nothing executes until an action). AND = INTERSECT, OR =
+    UNION DISTINCT, exactly the set semantics of reference
+    BooleanRetrievalCompressed.java:93-123.
+    """
+    stack: list[DataFrame] = []
+    for tok in query.split():
+        if tok == "AND":
+            b, a = stack.pop(), stack.pop()
+            stack.append(a.intersect(b))
+        elif tok == "OR":
+            b, a = stack.pop(), stack.pop()
+            stack.append(a.union(b).distinct())
+        else:
+            stack.append(_term_docs(tf, tok))
+    if len(stack) != 1:
+        raise ValueError(f"malformed postfix query {query!r}")
+    return stack[0]
+
+
+def boolean_retrieval(
+    spark: SparkSession, sf_dir: str, query: str = DEFAULT_QUERY
+) -> DataFrame:
+    """Evaluate a postfix boolean query and fetch matching documents with an
+    80-char preview (I4 — join on doc_id, not byte-offset seek)."""
+    cat = Catalog(spark, sf_dir)
+    docs = eval_postfix(term_frequencies(spark, sf_dir), query)
+    return (
+        docs.join(cat.documents, "doc_id")
+        .select("doc_id", F.substring("text", 1, PREVIEW_CHARS).alias("preview"))
+        .orderBy("doc_id")
+    )

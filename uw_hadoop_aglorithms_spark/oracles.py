@@ -212,9 +212,38 @@ TEXT_ORACLES: dict[str, str] = {
 }
 
 
+# --- inverted index + boolean retrieval (operators/index.py) ----------------
+
+INDEX_ORACLES: dict[str, str] = {
+    "inverted_index": f"""
+        {_TOKS_CTE}
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        GROUP BY term, doc_id
+        ORDER BY term, doc_id
+    """,
+    # (spark AND join) OR filter — postfix 'spark join AND filter OR'
+    "boolean_retrieval": f"""
+        {_TOKS_CTE},
+        ex AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+        SELECT d.doc_id, substring(d.text, 1, 80) AS preview
+        FROM documents d
+        WHERE d.doc_id IN (
+            SELECT doc_id FROM ex WHERE term = 'spark'
+            INTERSECT
+            SELECT doc_id FROM ex WHERE term = 'join'
+            UNION
+            SELECT doc_id FROM ex WHERE term = 'filter'
+        )
+        ORDER BY d.doc_id
+    """,
+}
+
+
 def all_oracles() -> dict[str, str]:
     """Merged oracle map across operator families (driver contract)."""
     merged: dict[str, str] = {}
     merged.update(RELATIONAL_ORACLES)
     merged.update(TEXT_ORACLES)
+    merged.update(INDEX_ORACLES)
     return merged
