@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from uw_hadoop_aglorithms_spark.operators import graph, index, relational, text
+from uw_hadoop_aglorithms_spark.operators import graph, index, ml, relational, text
 from uw_hadoop_aglorithms_spark.oracles import all_oracles
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -54,6 +54,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Personalized PageRank (SURVEY §2.8; iterative → no SQL oracle,
         # validated against a sequential Python oracle in tests/test_graph.py)
         "ppr_top20": graph.ppr_top20,
+        # Spam classifier (SURVEY §2.9; order-sensitive serial SGD fold →
+        # no SQL oracle, validated against a Python oracle in tests/test_ml.py)
+        "spam_train": ml.spam_train,
+        "spam_apply": ml.spam_apply,
+        "spam_ensemble": ml.spam_ensemble,
     }
 
 

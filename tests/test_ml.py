@@ -1,0 +1,81 @@
+"""Spam classifier vs a pure-Python sequential oracle (SURVEY.md §5.2).
+
+The oracle reimplements: instance derivation (crc32 features, label%2),
+the deterministic shuffle order (crc32 of doc_id), and the SGD fold with
+delta=0.002 — byte-for-byte the semantics of operators/ml.py, independently
+in plain Python over the raw parquet.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import zlib
+
+import duckdb
+import pytest
+
+from uw_hadoop_aglorithms_spark.operators import ml
+from tests.conftest import SF_TEST
+
+
+def _python_instances():
+    con = duckdb.connect()
+    docs = con.execute(
+        f"""
+        SELECT d.doc_id, d.text, e.label % 2 AS label
+        FROM read_parquet('{SF_TEST}/documents.parquet') d
+        JOIN read_parquet('{SF_TEST}/embeddings.parquet') e ON e.vec_id = d.doc_id
+        """
+    ).fetchall()
+    out = []
+    for doc_id, text, label in docs:
+        toks = [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+        feats = sorted({zlib.crc32(t.encode()) % ml.FEATURE_SPACE for t in toks})
+        out.append((doc_id, int(label), feats))
+    return out
+
+
+def _python_train(insts):
+    train = [(d, l, f) for d, l, f in insts if d % 5 != 0]
+    train.sort(key=lambda r: (zlib.crc32(str(r[0]).encode()), r[0]))
+    w: dict[int, float] = {}
+    for _, label, feats in train:
+        score = sum(w.get(f, 0.0) for f in feats)
+        p = 1.0 / (1.0 + math.exp(-max(min(score, 709.0), -709.0)))
+        g = (label - p) * ml.DELTA
+        for f in feats:
+            w[f] = w.get(f, 0.0) + g
+    return w
+
+
+@pytest.fixture(scope="module")
+def py_model():
+    return _python_train(_python_instances())
+
+
+def test_train_matches_python_oracle(spark, py_model):
+    engine = {r.feature: r.weight for r in ml.spam_train(spark, SF_TEST).collect()}
+    assert set(engine) == set(py_model)
+    worst = max(abs(engine[f] - py_model[f]) for f in py_model)
+    assert worst < 1e-9, f"max weight delta {worst}"
+
+
+def test_apply_matches_python_oracle(spark, py_model):
+    insts = _python_instances()
+    expected = {}
+    for d, label, feats in insts:
+        if d % 5 == 0:
+            score = sum(py_model.get(f, 0.0) for f in feats)
+            expected[d] = (label, "spam" if score > 0 else "ham")
+    rows = ml.spam_apply(spark, SF_TEST).collect()
+    got = {r.doc_id: (r.label, r.prediction) for r in rows}
+    assert got == expected
+
+
+def test_ensemble_vote_range(spark):
+    rows = ml.spam_ensemble(spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        assert r.vote in (-3, -1, 1, 3)
+        assert r.prediction_vote == ("spam" if r.vote > 0 else "ham")
