@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from uw_hadoop_aglorithms_spark.operators import graph, index, ml, relational, text
 from uw_hadoop_aglorithms_spark.oracles import all_oracles
+from uw_hadoop_aglorithms_spark.streaming import windows as stream_windows
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -59,6 +60,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_train": ml.spam_train,
         "spam_apply": ml.spam_apply,
         "spam_ensemble": ml.spam_ensemble,
+        # Streaming analytics, batch event-time form (SURVEY §2.10 T1-T3;
+        # true Structured Streaming runners live in streaming/runner.py and
+        # streaming/trending.py, equivalence-tested in tests/test_streaming.py)
+        "event_count": stream_windows.event_count,
+        "region_event_count": stream_windows.region_event_count,
+        "trending_arrivals": stream_windows.trending_arrivals,
     }
 
 

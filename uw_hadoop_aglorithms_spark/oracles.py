@@ -240,10 +240,55 @@ INDEX_ORACLES: dict[str, str] = {
 }
 
 
+# --- streaming batch forms (streaming/windows.py) ---------------------------
+
+#: Epoch-floor window start — identical to Spark's F.window() alignment for
+#: timezone-naive timestamps in a UTC session.
+def _win(seconds: int) -> str:
+    return (
+        "TIMESTAMP '1970-01-01 00:00:00' + "
+        f"(floor(epoch(ts)/{seconds})*{seconds})::BIGINT * INTERVAL 1 SECOND"
+    )
+
+
+STREAMING_ORACLES: dict[str, str] = {
+    "event_count": f"""
+        SELECT {_win(3600)} AS window_start, count(*) AS cnt
+        FROM events
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+    "region_event_count": f"""
+        SELECT {_win(3600)} AS window_start, event_type, count(*) AS cnt
+        FROM events
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    "trending_arrivals": f"""
+        WITH w AS (
+            SELECT event_type, {_win(600)} AS window_start, count(*) AS cnt
+            FROM events
+            GROUP BY event_type, window_start
+        ),
+        lagged AS (
+            SELECT event_type, window_start, cnt,
+                   coalesce(lag(cnt) OVER (
+                       PARTITION BY event_type ORDER BY window_start), 0) AS prev
+            FROM w
+        )
+        SELECT event_type, window_start, cnt, prev,
+               (cnt >= 10 AND cnt >= 2 * prev) AS alert
+        FROM lagged
+        ORDER BY event_type, window_start
+    """,
+}
+
+
 def all_oracles() -> dict[str, str]:
     """Merged oracle map across operator families (driver contract)."""
     merged: dict[str, str] = {}
     merged.update(RELATIONAL_ORACLES)
     merged.update(TEXT_ORACLES)
     merged.update(INDEX_ORACLES)
+    merged.update(STREAMING_ORACLES)
     return merged

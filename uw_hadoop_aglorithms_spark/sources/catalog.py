@@ -45,8 +45,26 @@ class Catalog:
         if name not in TABLE_SCHEMAS:
             raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLE_SCHEMAS)}")
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            if name == "events":
+                self._cache[name] = self._load_events()
+            else:
+                self._cache[name] = self.spark.read.parquet(
+                    f"{self.sf_dir}/{name}.parquet"
+                )
         return self._cache[name]
+
+    def _load_events(self) -> DataFrame:
+        """`events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+        rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and truncate to
+        microseconds — integer `div`, not float division, because ~1.7e18 ns
+        exceeds double's 2^53 integer range. Truncation (not rounding)
+        matches DuckDB's TIMESTAMP_NS → TIMESTAMP conversion, keeping
+        oracle comparisons exact."""
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = self.spark.read.parquet(f"{self.sf_dir}/events.parquet")
+        from pyspark.sql import functions as F
+
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLE_SCHEMAS:

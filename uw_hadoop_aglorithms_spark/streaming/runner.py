@@ -1,0 +1,119 @@
+"""Structured Streaming runner: file-replay of `events` (SURVEY.md T5).
+
+The reference replays sorted part-files through a queueStream, one file per
+simulated minute, driven by a ManualClock (reference EventCount.scala:
+58-64, 80-83, 108-118). The Structured Streaming equivalent needs no clock
+at all: a file source with maxFilesPerTrigger=1 replays the same way,
+`Trigger.AvailableNow` makes the run finite, and event-time windows +
+watermark replace wall-clock batch identity. The checkpoint dir subsumes
+T4 (ssc.checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.sources.schemas import EVENTS
+
+#: Replay granularity: events table split into this many time-range files,
+#: each micro-batch consuming one (the reference's 1-file-per-batch).
+REPLAY_FILES = 12
+
+WATERMARK = "60 minutes"
+
+
+def prepare_replay_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Split `events` into time-ranged files so the file source replays them
+    in (approximately) event-time order — the reference's sorted part-file
+    directory (EventCount.scala:108-118). Reading through the Catalog also
+    normalizes the nanos `ts` to a micros TimestampType, so the replay dir
+    is plain streaming-readable parquet."""
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    (
+        Catalog(spark, sf_dir)
+        .events.repartitionByRange(REPLAY_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    # The file source replays in modification-time order, but the range
+    # partitions are written by parallel tasks in arbitrary mtime order.
+    # Re-stamp mtimes to follow the part index (= ts range order) so the
+    # replay is event-time ordered like the reference's sorted part files.
+    import os
+    import time
+
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith("part-") and not f.endswith(".crc")
+    )
+    base = time.time() - len(parts)
+    for i, name in enumerate(parts):
+        os.utime(os.path.join(out_dir, name), (base + i, base + i))
+    return out_dir
+
+
+def _event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+
+def stream_event_count(
+    spark: SparkSession,
+    replay_dir: str,
+    checkpoint_dir: str,
+    minutes: int = 60,
+    query_name: str = "stream_event_count",
+) -> DataFrame:
+    """T1 as a real stream: watermarked tumbling-window counts, run to
+    completion with AvailableNow; returns the final result table."""
+    agg = (
+        _event_stream(spark, replay_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("window_start")
+
+
+def stream_region_event_count(
+    spark: SparkSession,
+    replay_dir: str,
+    checkpoint_dir: str,
+    minutes: int = 60,
+    query_name: str = "stream_region_event_count",
+) -> DataFrame:
+    """T2 as a real stream: windowed counts per event_type."""
+    agg = (
+        _event_stream(spark, replay_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("window_start", "event_type")
