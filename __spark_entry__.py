@@ -15,7 +15,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from uw_hadoop_aglorithms_spark.operators import graph, index, ml, relational, text
+from uw_hadoop_aglorithms_spark.operators import (
+    dedup,
+    graph,
+    index,
+    ml,
+    relational,
+    text,
+)
 from uw_hadoop_aglorithms_spark.oracles import all_oracles
 from uw_hadoop_aglorithms_spark.streaming import windows as stream_windows
 
@@ -66,6 +73,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_count": stream_windows.event_count,
         "region_event_count": stream_windows.region_event_count,
         "trending_arrivals": stream_windows.trending_arrivals,
+        # Training-data pipeline: dedup family (beyond-reference; full
+        # DuckDB oracles via the engine-neutral polyhash)
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+        "simhash_dedup": dedup.simhash_dedup,
+        "embedding_cosine_dups": dedup.embedding_cosine_dups,
     }
 
 

@@ -1,0 +1,97 @@
+"""Dedup family invariants at sf0.001 (oracle hash parity is the driver's
+job; these are the structural properties — SURVEY.md §5.4 pattern)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.functions import hashing
+from uw_hadoop_aglorithms_spark.operators import dedup
+from tests.conftest import SF_TEST
+
+
+def test_polyhash_matches_duckdb(spark):
+    """The engine-neutral hash must be bit-identical across engines —
+    it is the foundation of every hash-based dedup oracle."""
+    words = ["hello", "spark table", "a", "key agg row", "x'y", ""]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = [r.h for r in df.select(hashing.polyhash(F.col("s")).alias("h")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {hashing.polyhash_sql('?')}", [w]).fetchone()[0]
+        for w in words
+    ]
+    assert got == want
+
+
+def test_exact_dedup_partitions_corpus(spark):
+    out = dedup.exact_dedup(spark, SF_TEST).collect()
+    n_docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").count()
+    assert sum(r.n_copies for r in out) == n_docs
+    assert len({r.doc_id for r in out}) == len(out)
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    return {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, SF_TEST).collect()
+    }
+
+
+def test_ngram_jaccard_bounds(exact_pairs):
+    assert exact_pairs, "fixture corpus plants near-dup pairs"
+    for (a, b), j in exact_pairs.items():
+        assert a < b
+        assert dedup.JACCARD_THRESHOLD <= j <= 1.0
+
+
+def test_minhash_lsh_is_verified_subset(spark, exact_pairs):
+    """LSH candidates are exact-verified, so output ⊆ exact pairs with
+    identical jaccard values; at τ=0.8 with 8×2 bands the expected miss
+    rate is ~3e-4/pair — on the planted fixture it finds every pair."""
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_dedup(spark, SF_TEST).collect()
+    }
+    assert set(lsh) <= set(exact_pairs)
+    for k, j in lsh.items():
+        assert j == exact_pairs[k]
+    assert len(lsh) >= 0.9 * len(exact_pairs)
+
+
+def test_simhash_banding_recall_is_total(spark):
+    """4-band pigeonhole guarantee: banded join finds EXACTLY the pairs
+    at hamming <= 3 — verify against a brute-force quadratic scan."""
+    out = {(r.doc_a, r.doc_b, r.hamming) for r in dedup.simhash_dedup(spark, SF_TEST).collect()}
+    assert all(0 <= h <= dedup.HAMMING_MAX for _, _, h in out)
+    assert all(a < b for a, b, _ in out)
+    # brute force over the signatures themselves
+    from uw_hadoop_aglorithms_spark.functions.hashing import uhash
+    hashed = dedup._exploded_gram_hashes(spark, SF_TEST).select(
+        "doc_id", uhash(F.col("ph"), dedup.SIMHASH_MEMBER).alias("g")
+    )
+    votes = hashed.groupBy("doc_id").agg(*dedup._simhash_col())
+    sig_rows = votes.collect()
+    sigs = {}
+    for r in sig_rows:
+        sigs[r.doc_id] = sum(1 << j for j in range(dedup.SIMHASH_BITS) if r[f"b{j}"] > 0)
+    ids = sorted(sigs)
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= dedup.HAMMING_MAX
+    }
+    assert out == brute
+
+
+def test_embedding_cosine_dups_bounds(spark):
+    rows = dedup.embedding_cosine_dups(spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert dedup.COSINE_THRESHOLD <= r.cosine <= 1.0 + 1e-12

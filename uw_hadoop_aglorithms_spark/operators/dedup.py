@@ -1,0 +1,295 @@
+"""Deduplication suite over `documents` (beyond-reference capability).
+
+The reference has no dedup; this family is the training-data-pipeline
+extension mandated by the build brief. Five operators, all shuffle-light
+and designed for the 100 TB path:
+
+- exact_dedup       — hash-groupBy on normalized text (shuffles a 32-byte
+                      digest, never the document body).
+- ngram_jaccard     — exact all-pairs word-bigram Jaccard via inverted-
+                      index self-join (the small-scale ground truth; at
+                      100 TB its hot-shingle join explodes — that's what
+                      minhash_lsh_dedup is for).
+- minhash_lsh_dedup — MinHash signatures (16 perms) → LSH bands (8×2) →
+                      candidate pairs → exact-Jaccard verification. The
+                      scale path: shuffle volume is O(docs × bands), and
+                      candidate verification touches only colliding pairs.
+- simhash_dedup     — 30-bit SimHash; banded self-join with PROVABLY
+                      total recall for hamming ≤ 3 (4 bands, pigeonhole).
+- embedding_cosine_dups — near-dup pairs by exact cosine over the
+                      `embeddings` table (brute-force baseline; the ANN
+                      operators in similarity.py are the scale path).
+
+Every operator here has a full DuckDB oracle: the engine-neutral
+polyhash (functions/hashing.py) lets the oracle replicate the EXACT
+MinHash/SimHash pipeline, so even the randomized-looking ops are
+hash-checked, not just row-counted.
+
+Shingle choice: word bigrams. Profiling the synthetic corpus showed
+unigram Jaccard is saturated (median 0.63 — tiny vocab) while bigram
+Jaccard cleanly separates planted near-dups (25 pairs ≥ 0.8, background
+median 0.024).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.functions.hashing import polyhash, uhash
+from uw_hadoop_aglorithms_spark.functions.text import tokens
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+#: Near-dup Jaccard threshold (word-bigram shingles).
+JACCARD_THRESHOLD = 0.8
+#: MinHash family: NUM_PERMS signatures, BANDS bands of ROWS_PER_BAND.
+NUM_PERMS = 16
+BANDS = 8
+ROWS_PER_BAND = 2
+#: SimHash: 30-bit signatures (polyhash range), 4 bands → total recall
+#: for hamming <= HAMMING_MAX by pigeonhole (3 flips can't hit 4 bands).
+SIMHASH_BITS = 30
+SIMHASH_BANDS = ((0, 8), (8, 8), (16, 8), (24, 6))  # (offset, width)
+HAMMING_MAX = 3
+#: Universal-hash member reserved for SimHash bit source (MinHash uses
+#: members 0..NUM_PERMS-1).
+SIMHASH_MEMBER = 101
+#: Cosine near-dup threshold over `embeddings`.
+COSINE_THRESHOLD = 0.4
+
+
+def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gs: array<string>) — distinct word-bigram shingles."""
+    docs = Catalog(spark, sf_dir).documents
+    ts = tokens("text")
+    n = F.greatest(F.size(ts) - F.lit(1), F.lit(0))
+    grams = F.zip_with(
+        F.slice(ts, 1, n),
+        F.slice(ts, 2, n),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return docs.select("doc_id", F.array_distinct(grams).alias("gs"))
+
+
+def _exploded_gram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ph) — polyhash per distinct shingle occurrence."""
+    return (
+        _grams(spark, sf_dir)
+        .select("doc_id", F.explode("gs").alias("g"))
+        .select("doc_id", polyhash(F.col("g")).alias("ph"))
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: survivor (min doc_id) + copy count per normalized text.
+
+    Groups on sha2-256 of the whitespace-normalized lowercased body, so
+    the shuffle carries a fixed 64-hex digest instead of document bodies
+    — at 100 TB that's the difference between shuffling 100 TB and
+    shuffling ~6 GB per billion docs. 256-bit digests make collisions
+    ignorable (the DuckDB oracle groups on the text itself; a hash
+    mismatch would surface any collision).
+    """
+    docs = Catalog(spark, sf_dir).documents
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(F.sha2(norm, 256).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-bigram Jaccard >= 0.8 via index join.
+
+    Inverted-index self-join (shingle → docs) computes |A∩B| with one
+    shuffle on the shingle key; set sizes join in afterwards. Exact but
+    quadratic in hot shingles — the LSH variant below is the scale path.
+    Jaccard is an int/int double division: bit-identical in DuckDB, so
+    no rounding is needed for oracle parity.
+    """
+    grams = _grams(spark, sf_dir).cache()
+    sizes = grams.select("doc_id", F.size("gs").alias("n"))
+    sh = grams.select("doc_id", F.explode("gs").alias("g"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified at >= 0.8 Jaccard.
+
+    shingle → polyhash → 16-perm MinHash signature (one groupBy over the
+    exploded shingles; 16 `min` aggregates ride the same shuffle) → 8
+    bands of 2 rows → self-join on band key → exact Jaccard on the
+    candidates only. At the chosen τ=0.8 the band family's miss
+    probability is (1-0.8²)⁸ ≈ 3·10⁻⁴ per pair; the DuckDB oracle
+    replicates the identical pipeline (same hash constants), so parity
+    is exact regardless of recall.
+
+    Scale: signatures are 16 int64s/doc; the band join shuffles
+    |docs|×8 small rows; verification joins shingle arrays for only the
+    colliding pairs. No step is quadratic in corpus size.
+    """
+    grams = _grams(spark, sf_dir).cache()
+    hashed = (
+        grams.select("doc_id", F.explode("gs").alias("g"))
+        .select("doc_id", polyhash(F.col("g")).alias("ph"))
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(uhash(F.col("ph"), i)).alias(f"s{i}") for i in range(NUM_PERMS)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.col(f"s{b * ROWS_PER_BAND}").alias("h1"),
+                F.col(f"s{b * ROWS_PER_BAND + 1}").alias("h2"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id", "bd.band_no", "bd.h1", "bd.h2"
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = grams.withColumnsRenamed({"doc_id": "doc_a", "gs": "ga"})
+    gb = grams.withColumnsRenamed({"doc_id": "doc_b", "gs": "gb"})
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("jaccard", inter / (F.size("ga") + F.size("gb") - inter))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_col() -> F.Column:
+    """Aggregate exprs folding per-shingle hash bits into a signature."""
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("g"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    return bit_sums
+
+
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= 3 (30-bit sigs).
+
+    Per doc: each distinct shingle votes ±1 on each of 30 bit positions
+    of its universal hash; sign of the vote total forms the signature.
+    Candidate pairs come from a 4-band self-join — pigeonhole makes the
+    banding lossless for hamming <= 3, so the output is EXACTLY "all
+    pairs at hamming <= 3" and the oracle can verify with a plain
+    quadratic scan at sf0.01.
+    """
+    hashed = _exploded_gram_hashes(spark, sf_dir).select(
+        "doc_id", uhash(F.col("ph"), SIMHASH_MEMBER).alias("g")
+    )
+    votes = hashed.groupBy("doc_id").agg(*_simhash_col())
+    sig_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sigs = votes.select("doc_id", sig_expr.cast("long").alias("sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_no"),
+                F.shiftright(F.col("sig"), off).bitwiseAND(F.lit((1 << w) - 1)).alias("bv"),
+            )
+            for i, (off, w) in enumerate(SIMHASH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", "sig", F.explode(band_structs).alias("bd")).select(
+        "doc_id", "sig", "bd.band_no", "bd.bv"
+    )
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine >= 0.4, brute force.
+
+    The dot/norm folds are sequential left-to-right in both Spark
+    (`aggregate`) and the DuckDB oracle (`list_reduce`), after a
+    float→double upcast — bit-identical results, no rounding games.
+    Brute force is the verifiable baseline; similarity.py holds the
+    bucketed ANN scale path. The pair join is a single cartesian stage
+    over an embeddings table that is tiny relative to the corpus.
+    """
+    emb = (
+        Catalog(spark, sf_dir)
+        .embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -284,6 +284,152 @@ STREAMING_ORACLES: dict[str, str] = {
 }
 
 
+# --- dedup family (operators/dedup.py) --------------------------------------
+# The engine-neutral polyhash (functions/hashing.py) lets these oracles
+# replicate the EXACT MinHash/SimHash pipelines — same constants, same
+# arithmetic — so hash-based dedup is value-checked, not just row-counted.
+
+from uw_hadoop_aglorithms_spark.functions.hashing import polyhash_sql, uhash_sql
+from uw_hadoop_aglorithms_spark.operators.dedup import (
+    BANDS,
+    COSINE_THRESHOLD,
+    HAMMING_MAX,
+    JACCARD_THRESHOLD,
+    NUM_PERMS,
+    ROWS_PER_BAND,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    SIMHASH_MEMBER,
+)
+
+#: Distinct word-bigram shingles per document (mirrors dedup._grams).
+_GRAMS_CTE = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(ts) - 1),
+                             i -> ts[i + 1] || ' ' || ts[i + 2])) AS gs
+        FROM toks
+    )
+"""
+
+_HASHED_CTE = f"""
+    sh AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    hashed AS (SELECT doc_id, {polyhash_sql('g')} AS ph FROM sh)
+"""
+
+
+def _minhash_lsh_sql() -> str:
+    sig_cols = ",\n               ".join(
+        f"min({uhash_sql('ph', i)}) AS s{i}" for i in range(NUM_PERMS)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, s{b * ROWS_PER_BAND} AS h1, "
+        f"s{b * ROWS_PER_BAND + 1} AS h2 FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH {_GRAMS_CTE}, {_HASHED_CTE},
+    sigs AS (
+        SELECT doc_id, {sig_cols}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_no = b.band_no AND a.h1 = b.h1 AND a.h2 = b.h2
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(ga.gs, gb.gs))
+             / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))
+             AS jaccard
+    FROM cand
+    JOIN grams ga ON ga.doc_id = doc_a
+    JOIN grams gb ON gb.doc_id = doc_b
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (g >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_GRAMS_CTE}, {_HASHED_CTE},
+    uh AS (SELECT doc_id, {uhash_sql('ph', SIMHASH_MEMBER)} AS g FROM hashed),
+    votes AS (SELECT doc_id, {bit_sums} FROM uh GROUP BY doc_id),
+    sigs AS (SELECT doc_id, ({sig})::BIGINT AS sig FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """
+
+
+#: Sequential left-fold dot/norm — mirrors Spark's `aggregate` order so
+#: doubles come out bit-identical (no rounding needed).
+def _fold_sum(items: str) -> str:
+    return f"list_reduce(list_prepend(0.0::DOUBLE, {items}), (acc, x) -> acc + x)"
+
+
+DEDUP_ORACLES: dict[str, str] = {
+    "exact_dedup": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+              FROM documents)
+        GROUP BY norm
+        ORDER BY doc_id
+    """,
+    "ngram_jaccard": f"""
+        WITH {_GRAMS_CTE},
+        sh AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        sizes AS (SELECT doc_id, len(gs) AS n FROM grams),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "minhash_lsh_dedup": _minhash_lsh_sql(),
+    "simhash_dedup": _simhash_sql(),
+    "embedding_cosine_dups": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt({_fold_sum('list_transform(embedding::DOUBLE[], x -> x * x)')})
+                     AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_fold_sum('list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])')}
+                 / (a.nrm * b.nrm) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_fold_sum('list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])')}
+                 / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
+}
+
+
 def all_oracles() -> dict[str, str]:
     """Merged oracle map across operator families (driver contract)."""
     merged: dict[str, str] = {}
@@ -291,4 +437,5 @@ def all_oracles() -> dict[str, str]:
     merged.update(TEXT_ORACLES)
     merged.update(INDEX_ORACLES)
     merged.update(STREAMING_ORACLES)
+    merged.update(DEDUP_ORACLES)
     return merged
