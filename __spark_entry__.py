@@ -21,6 +21,7 @@ from uw_hadoop_aglorithms_spark.operators import (
     index,
     ml,
     relational,
+    similarity,
     text,
 )
 from uw_hadoop_aglorithms_spark.oracles import all_oracles
@@ -80,6 +81,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "simhash_dedup": dedup.simhash_dedup,
         "embedding_cosine_dups": dedup.embedding_cosine_dups,
+        # Training-data pipeline: similarity search (exact baseline +
+        # LSH-bucketed ANN, both fully oracle-checked)
+        "ann_brute_topk": similarity.ann_brute_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
     }
 
 

@@ -1,0 +1,173 @@
+"""Similarity search over `embeddings` (beyond-reference capability).
+
+Two operators per the training-data-pipeline brief:
+
+- ann_brute_topk — exact cosine top-k for a query subset. The query side
+  is tiny and broadcast; the big side streams map-side with no shuffle
+  of the corpus. The verifiable baseline.
+- ann_lsh_topk  — random-hyperplane LSH: 4 sign bits → 16 buckets;
+  multiprobe (own bucket + hamming-1) → candidates → exact-cosine
+  rerank → top-k. The scale path: bucket assignment is map-side
+  arithmetic, candidate generation is an equi-join on the bucket key,
+  and the rerank touches ~5/16 of the corpus per query instead of all
+  of it. Recall vs. brute force is property-tested in
+  tests/test_similarity.py.
+
+Hyperplanes are DETERMINISTIC: weights derive from the universal-hash
+constants (functions/hashing.py) and are embedded as double literals in
+both the Spark plan and the DuckDB oracle — so even the ANN pipeline is
+value-checked end to end. Dot products and norms use identical
+sequential folds in both engines (bit-identical doubles, no rounding).
+
+Ranking is made deterministic by ordering on (cosine DESC, neighbor id
+ASC): cosines are bit-identical across engines, so ties break the same
+way everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+#: Every QUERY_STRIDE-th vector is a query point.
+QUERY_STRIDE = 50
+TOP_K = 10
+#: LSH: NPLANES sign bits → 2^NPLANES buckets; probe own + hamming-1.
+NPLANES = 4
+EMBED_DIM = 64
+#: Probe masks: own bucket plus each single-bit flip.
+PROBE_MASKS = [0] + [1 << p for p in range(NPLANES)]
+
+
+def hyperplanes() -> list[list[float]]:
+    """NPLANES deterministic pseudo-random unit-free hyperplanes in
+    [-0.5, 0.5]^EMBED_DIM, derived from the shared hash constants so
+    Spark and the DuckDB oracle embed the SAME literals."""
+    planes = []
+    for p in range(NPLANES):
+        a, b = hash_params(p + 301)
+        planes.append([((a * (d + 1) + b) % P) / P - 0.5 for d in range(EMBED_DIM)])
+    return planes
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    lit_arr = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit_arr, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _bucket(vec: Column) -> Column:
+    """Sign-bit bucket id in [0, 2^NPLANES)."""
+    expr = F.lit(0)
+    for p, plane in enumerate(hyperplanes()):
+        expr = expr + F.when(_dot_lit(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return expr
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Catalog(spark, sf_dir)
+        .embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+
+
+def _cosine(a: str, b: str) -> Column:
+    dot = F.aggregate(
+        F.zip_with(F.col(f"{a}.v"), F.col(f"{b}.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.col(f"{a}.nrm") * F.col(f"{b}.nrm"))
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for each stride-50 query vector.
+
+    The query set is broadcast (|corpus|/50 rows), so the corpus is
+    scanned once map-side — the only shuffle is the per-query top-k
+    window over |queries|×|corpus| scored rows, which AQE keeps small
+    because the scoring join already filtered to query rows.
+    """
+    emb = _normed(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).alias("q")
+    c = emb.alias("c")
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cosine("q", "c").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10: sign-bucket + multiprobe.
+
+    Corpus vectors get a bucket map-side; each query probes its own
+    bucket and the NPLANES hamming-1 buckets. Candidates come from an
+    equi-join on the bucket key (shuffle ∝ probed fraction, ~5/16 of
+    the corpus per query), then exact cosine reranks. At 100 TB, raise
+    NPLANES so bucket population stays bounded; the plan shape is
+    unchanged.
+    """
+    emb = _normed(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
+    q = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.explode(F.array(*[F.lit(m) for m in PROBE_MASKS])).alias("mask"),
+            F.col("bucket"),
+        )
+        .withColumn("probe", F.col("bucket").bitwiseXOR(F.col("mask")))
+        .alias("q")
+    )
+    c = emb.alias("c")
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.probe") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cosine("q", "c").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

@@ -430,6 +430,91 @@ DEDUP_ORACLES: dict[str, str] = {
 }
 
 
+# --- similarity search (operators/similarity.py) ----------------------------
+# Hyperplane weights are embedded as the SAME double literals Spark uses
+# (repr round-trips exactly), and all dots/norms are sequential folds, so
+# even the approximate-NN pipeline is value-checked.
+
+from uw_hadoop_aglorithms_spark.operators.similarity import (
+    PROBE_MASKS,
+    QUERY_STRIDE,
+    TOP_K,
+    hyperplanes,
+)
+
+_NORMED_CTE = f"""
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt({_fold_sum('list_transform(embedding::DOUBLE[], x -> x * x)')})
+                 AS nrm
+        FROM embeddings
+    )
+"""
+
+_COS_QC = _fold_sum("list_transform(range(len(q.v)), i -> q.v[i + 1] * c.v[i + 1])")
+
+
+def _bucket_sql(vcol: str) -> str:
+    terms = []
+    for p, plane in enumerate(hyperplanes()):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        dot = _fold_sum(f"list_transform(range(len({vcol})), i -> {vcol}[i + 1] * ({lit})[i + 1])")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _ann_brute_sql() -> str:
+    return f"""
+    WITH {_NORMED_CTE},
+    q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_QC} / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, "rank"
+    FROM ranked WHERE "rank" <= {TOP_K}
+    ORDER BY query_id, "rank"
+    """
+
+
+def _ann_lsh_sql() -> str:
+    masks = ", ".join(str(m) for m in PROBE_MASKS)
+    return f"""
+    WITH {_NORMED_CTE},
+    eb AS (SELECT *, ({_bucket_sql('v')}) AS bucket FROM e),
+    q AS (
+        SELECT vec_id, v, nrm, xor(bucket, mask) AS probe
+        FROM eb, unnest([{masks}]) AS t(mask)
+        WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_QC} / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN eb c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, "rank"
+    FROM ranked WHERE "rank" <= {TOP_K}
+    ORDER BY query_id, "rank"
+    """
+
+
+SIMILARITY_ORACLES: dict[str, str] = {
+    "ann_brute_topk": _ann_brute_sql(),
+    "ann_lsh_topk": _ann_lsh_sql(),
+}
+
+
 def all_oracles() -> dict[str, str]:
     """Merged oracle map across operator families (driver contract)."""
     merged: dict[str, str] = {}
@@ -438,4 +523,5 @@ def all_oracles() -> dict[str, str]:
     merged.update(INDEX_ORACLES)
     merged.update(STREAMING_ORACLES)
     merged.update(DEDUP_ORACLES)
+    merged.update(SIMILARITY_ORACLES)
     return merged
