@@ -23,6 +23,7 @@ from uw_hadoop_aglorithms_spark.operators import (
     relational,
     similarity,
     text,
+    textstats,
 )
 from uw_hadoop_aglorithms_spark.oracles import all_oracles
 from uw_hadoop_aglorithms_spark.streaming import windows as stream_windows
@@ -85,6 +86,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSH-bucketed ANN, both fully oracle-checked)
         "ann_brute_topk": similarity.ann_brute_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        # Training-data pipeline: text analysis (token counting, quality
+        # scoring, lang-ID, winnowing fingerprints)
+        "doc_stats": textstats.doc_stats,
+        "quality_score": textstats.quality_score,
+        "lang_id": textstats.lang_id,
+        "doc_fingerprint": textstats.doc_fingerprint,
     }
 
 

@@ -1,0 +1,172 @@
+"""Text-analysis suite over `documents` (beyond-reference capability).
+
+Training-data-pipeline operators per the build brief: quality scoring,
+token counting, language ID (n-gram profile heuristic), and document
+fingerprinting (winnowing over rolling hashes, Schleimer et al.,
+SIGMOD'03). The reference's only text machinery is tokenize+count
+(reference MapReduce/Counting/WordCount.java:53-66); everything here is
+new surface built on the same canonical tokenizer (functions/text.py).
+
+All four are pure map-side column arithmetic except lang_id's profile
+join, which broadcasts a |langs|×PROFILE_K table — nothing here shuffles
+the corpus, so the family scales linearly with input bytes at 100 TB.
+
+Every operator has a full DuckDB oracle; fingerprints ride the shared
+engine-neutral polyhash (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.functions.text import tokens
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+#: Stopword list for quality scoring (tiny; broadcast-free literal).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+#: Quality score weights: length, non-stopword, lexical diversity.
+W_LEN, W_STOP, W_DIV = 0.4, 0.3, 0.3
+#: Token count at which the length component saturates.
+LEN_SATURATION = 50
+
+#: lang_id: character n-gram size, profile width, train split modulus.
+LANG_NGRAM = 3
+PROFILE_K = 20
+TRAIN_MOD = 5
+
+#: Winnowing: k-gram size and window width (fingerprint density ~ 2/(w+1)).
+FP_K = 8
+FP_W = 4
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens, distinct
+    tokens, and mean token length per document. Map-side only."""
+    docs = Catalog(spark, sf_dir).documents
+    ts = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_obs"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(ts).alias("n_re_tokens"),
+        F.size(F.array_distinct(ts)).alias("n_distinct_tokens"),
+        (
+            F.aggregate(ts, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.size(ts)
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation + stopword ratio + lexical
+    diversity, combined with fixed weights. The int/int divisions and
+    literal multiplications are bit-identical in DuckDB."""
+    docs = Catalog(spark, sf_dir).documents
+    ts = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(ts)
+    n_stop = F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(ts))
+    stop_ratio = n_stop / n_tok
+    uniq_ratio = n_uniq / n_tok
+    len_score = F.least(n_tok / F.lit(LEN_SATURATION), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        len_score.alias("length_score"),
+        (
+            F.lit(W_LEN) * len_score
+            + F.lit(W_STOP) * (F.lit(1.0) - stop_ratio)
+            + F.lit(W_DIV) * uniq_ratio
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _char_ngrams() -> F.Column:
+    """array of character LANG_NGRAM-grams of `text` (positions 1..len-n+1)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length(text) - {LANG_NGRAM - 1}, 0), 1),"
+        f" i -> substr(text, i, {LANG_NGRAM}))"
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by character-trigram profile overlap.
+
+    Train split (doc_id % 5 == 0, labels known): per language, the
+    PROFILE_K most frequent trigrams (ties broken by trigram asc) form
+    the profile. Test docs score each language by how many of their
+    trigram occurrences hit that language's profile; argmax wins, ties
+    broken by language asc, zero-overlap docs fall back to 'unknown'.
+
+    The profile table is |langs|×PROFILE_K — a broadcast join against
+    the exploded test trigrams; one groupBy(doc, lang) shuffle sized by
+    matches, not by corpus.
+    """
+    docs = Catalog(spark, sf_dir).documents.withColumn("grams", _char_ngrams())
+    train = docs.filter(F.col("doc_id") % TRAIN_MOD == 0)
+    test = docs.filter(F.col("doc_id") % TRAIN_MOD != 0)
+
+    gram_counts = (
+        train.select("lang", F.explode("grams").alias("g"))
+        .groupBy("lang", "g")
+        .count()
+    )
+    rk = Window.partitionBy("lang").orderBy(F.col("count").desc(), F.col("g"))
+    profile = (
+        gram_counts.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= PROFILE_K)
+        .select("lang", "g")
+    )
+
+    hits = (
+        test.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(profile.withColumnRenamed("lang", "cand_lang")), "g")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    best = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    pred = (
+        hits.withColumn("rk", F.row_number().over(best))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+    )
+    return (
+        test.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+            "actual_lang",
+            (F.coalesce("pred_lang", F.lit("?")) == F.col("actual_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: rolling polyhash of char 8-grams, min per
+    4-window, distinct mins per doc (one row per fingerprint).
+
+    Guarantees of winnowing: any shared substring of length >= FP_K +
+    FP_W - 1 between two docs yields a shared fingerprint. Entirely
+    map-side (explode + distinct is a per-doc dedup — the distinct
+    shuffle keys on (doc_id, fp), two int64s).
+    """
+    docs = Catalog(spark, sf_dir).documents
+    kgram_hashes = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {FP_K - 1}, 0), 1),"
+        f" i -> aggregate(split(substr(text, i, {FP_K}), ''), 0L,"
+        f"  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007))"
+    )
+    windows_min = F.expr(
+        f"transform(sequence(1, greatest(size(khs) - {FP_W - 1}, 0), 1),"
+        f" j -> array_min(slice(khs, j, {FP_W})))"
+    )
+    return (
+        docs.select("doc_id", kgram_hashes.alias("khs"))
+        .select("doc_id", F.explode(F.array_distinct(windows_min)).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )

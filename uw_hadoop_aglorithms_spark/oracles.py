@@ -515,6 +515,107 @@ SIMILARITY_ORACLES: dict[str, str] = {
 }
 
 
+# --- text analysis (operators/textstats.py) ---------------------------------
+
+from uw_hadoop_aglorithms_spark.functions.text import TOKENS_SQL
+from uw_hadoop_aglorithms_spark.operators.textstats import (
+    FP_K,
+    FP_W,
+    LANG_NGRAM,
+    LEN_SATURATION,
+    PROFILE_K,
+    STOPWORDS,
+    TRAIN_MOD,
+    W_DIV,
+    W_LEN,
+    W_STOP,
+)
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+_CHAR_NGRAMS_SQL = (
+    f"list_transform(range(1, greatest(length(text) - {LANG_NGRAM - 1}, 0) + 1),"
+    f" i -> substr(text, i, {LANG_NGRAM}))"
+)
+
+TEXTSTATS_ORACLES: dict[str, str] = {
+    "doc_stats": f"""
+        WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS ts FROM documents)
+        SELECT doc_id,
+               length(text) AS n_chars_obs,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(ts) AS n_re_tokens,
+               len(list_distinct(ts)) AS n_distinct_tokens,
+               list_reduce(list_prepend(0, list_transform(ts, t -> length(t))),
+                           (acc, x) -> acc + x) / len(ts) AS avg_token_len
+        FROM t ORDER BY doc_id
+    """,
+    "quality_score": f"""
+        WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(list_filter(ts, t -> list_contains({_STOP_LIST}, t)))
+                     / len(ts) AS stopword_ratio,
+                   len(list_distinct(ts)) / len(ts) AS unique_ratio,
+                   least(len(ts) / {LEN_SATURATION}, 1.0) AS length_score
+            FROM t
+        )
+        SELECT doc_id, stopword_ratio, unique_ratio, length_score,
+               {W_LEN} * length_score + {W_STOP} * (1.0 - stopword_ratio)
+                 + {W_DIV} * unique_ratio AS quality
+        FROM m ORDER BY doc_id
+    """,
+    "lang_id": f"""
+        WITH d AS (SELECT doc_id, lang, {_CHAR_NGRAMS_SQL} AS grams FROM documents),
+        tr AS (SELECT lang, unnest(grams) AS g FROM d WHERE doc_id % {TRAIN_MOD} = 0),
+        gc AS (SELECT lang, g, count(*) AS cnt FROM tr GROUP BY lang, g),
+        prof AS (
+            SELECT lang, g FROM (
+                SELECT lang, g, row_number() OVER (
+                    PARTITION BY lang ORDER BY cnt DESC, g) AS rk FROM gc)
+            WHERE rk <= {PROFILE_K}
+        ),
+        te AS (SELECT doc_id, unnest(grams) AS g FROM d WHERE doc_id % {TRAIN_MOD} <> 0),
+        hits AS (
+            SELECT te.doc_id, prof.lang AS cand_lang, count(*) AS score
+            FROM te JOIN prof ON te.g = prof.g
+            GROUP BY te.doc_id, prof.lang
+        ),
+        pred AS (
+            SELECT doc_id, cand_lang AS pred_lang FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
+                FROM hits)
+            WHERE rk = 1
+        )
+        SELECT d.doc_id,
+               coalesce(pred_lang, 'unknown') AS pred_lang,
+               d.lang AS actual_lang,
+               (coalesce(pred_lang, '?') = d.lang) AS correct
+        FROM d LEFT JOIN pred USING (doc_id)
+        WHERE d.doc_id % {TRAIN_MOD} <> 0
+        ORDER BY doc_id
+    """,
+    "doc_fingerprint": f"""
+        WITH kh AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(length(text) - {FP_K - 1}, 0) + 1),
+                       i -> {polyhash_sql(f'substr(text, i, {FP_K})')}) AS khs
+            FROM documents
+        ),
+        wm AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(khs) - {FP_W - 1}, 0) + 1),
+                       j -> list_min(khs[j:j + {FP_W - 1}]))) AS fps
+            FROM kh
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM wm ORDER BY doc_id, fp
+    """,
+}
+
+
 def all_oracles() -> dict[str, str]:
     """Merged oracle map across operator families (driver contract)."""
     merged: dict[str, str] = {}
@@ -524,4 +625,5 @@ def all_oracles() -> dict[str, str]:
     merged.update(STREAMING_ORACLES)
     merged.update(DEDUP_ORACLES)
     merged.update(SIMILARITY_ORACLES)
+    merged.update(TEXTSTATS_ORACLES)
     return merged
