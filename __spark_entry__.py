@@ -20,6 +20,7 @@ from uw_hadoop_aglorithms_spark.operators import (
     graph,
     index,
     ml,
+    multimodal,
     relational,
     similarity,
     text,
@@ -92,6 +93,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.doc_fingerprint,
+        # Training-data pipeline: multimodal binary-column plumbing
+        # (Arrow-batched mapInPandas feature extraction + frame sampling;
+        # decode itself is stubbed — no media libs in this container)
+        "media_features": multimodal.media_features,
+        "frame_sample": multimodal.frame_sample,
     }
 
 

