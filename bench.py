@@ -47,6 +47,9 @@ def main() -> None:
         rows = fn(spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         del rows
+        # per-query scratch caches (shingle sets, graph edges, …) must not
+        # accumulate across the 40-query run
+        spark.catalog.clearCache()
 
     result = {
         "metric": "total_query_sec",

@@ -1,0 +1,53 @@
+"""Physical-plan regression tests: the scale-critical plan properties.
+
+These assert the plan SHAPE, not timing — the properties that decide
+whether a query survives a 100× scale-up: predicate pushdown into the
+parquet scan, column pruning, broadcast joins for dimension tables, and
+map-side partial aggregation. A regression here is invisible at sf0.001
+and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+from uw_hadoop_aglorithms_spark.operators import relational, similarity, text
+from tests.conftest import SF_TEST
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_date_filter_into_scan(spark):
+    plan = _plan(relational.q1(spark, SF_TEST))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_q1_prunes_columns(spark):
+    plan = _plan(relational.q1(spark, SF_TEST))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # count over a date filter needs only the filter column
+    assert "l_shipdate" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_q3_broadcasts_dimension_tables(spark):
+    plan = _plan(relational.q3(spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_word_count_uses_partial_aggregation(spark):
+    plan = _plan(text.word_count(spark, SF_TEST))
+    # map-side combine: a partial HashAggregate before the shuffle
+    assert "partial_count" in plan
+
+
+def test_ann_broadcasts_query_side(spark):
+    plan = _plan(similarity.ann_brute_topk(spark, SF_TEST))
+    assert "Broadcast" in plan
+
+
+def test_q6_single_scan_multi_aggregate(spark):
+    plan = _plan(relational.q6(spark, SF_TEST))
+    # one parquet scan feeds all aggregates (no self-union of scans)
+    assert plan.count("FileScan parquet") == 1

@@ -59,8 +59,15 @@ COSINE_THRESHOLD = 0.4
 
 
 def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, gs: array<string>) — distinct word-bigram shingles."""
-    docs = Catalog(spark, sf_dir).documents
+    """(doc_id, gs: array<string>) — distinct word-bigram shingles.
+
+    The scan is repartitioned before shingling: per-char hash folds are
+    interpreter-bound CPU, so spreading the text across all cores beats
+    file-split parallelism (the local fixture is one row group; on a
+    real lake this shuffle is tiny relative to the compute it feeds)."""
+    docs = Catalog(spark, sf_dir).documents.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     ts = tokens("text")
     n = F.greatest(F.size(ts) - F.lit(1), F.lit(0))
     grams = F.zip_with(
@@ -263,7 +270,8 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = (
         Catalog(spark, sf_dir)
-        .embeddings.select(
+        .embeddings.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
         .withColumn(

@@ -71,9 +71,12 @@ def _bucket(vec: Column) -> Column:
 
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition the single-row-group fixture scan so the interpreted
+    # fold expressions run on all cores (no-op shape on a real lake)
     return (
         Catalog(spark, sf_dir)
-        .embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .embeddings.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn(
             "nrm",
             F.sqrt(

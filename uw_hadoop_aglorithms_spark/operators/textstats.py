@@ -155,7 +155,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side (explode + distinct is a per-doc dedup — the distinct
     shuffle keys on (doc_id, fp), two int64s).
     """
-    docs = Catalog(spark, sf_dir).documents
+    # per-char rolling hashes are interpreter-bound: spread the text
+    # across all cores (the fixture scan is a single row group)
+    docs = Catalog(spark, sf_dir).documents.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     kgram_hashes = F.expr(
         f"transform(sequence(1, greatest(length(text) - {FP_K - 1}, 0), 1),"
         f" i -> aggregate(split(substr(text, i, {FP_K}), ''), 0L,"

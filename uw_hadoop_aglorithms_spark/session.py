@@ -18,6 +18,10 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+#: local-mode JVM heap: in local[*] the "executors" live inside the driver
+#: JVM, so the default 1g heap GC-thrashes under cached state + 32 task
+#: threads. On a real cluster the launcher sizes executors instead.
+DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 
 def get_spark(
@@ -37,6 +41,7 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEMORY)
         # AQE: runtime re-planning — partition coalescing, dynamic broadcast
         # conversion, skew-join splitting. This is the engine's answer to the
         # reference's hand-tuned reducer counts and split-size caps.
