@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Personalized PageRank (SURVEY §2.8; iterative → no SQL oracle,
         # validated against a sequential Python oracle in tests/test_graph.py)
         "ppr_top20": graph.ppr_top20,
+        "pagerank_top20": graph.pagerank_top20,
         # Spam classifier (SURVEY §2.9; order-sensitive serial SGD fold →
         # no SQL oracle, validated against a Python oracle in tests/test_ml.py)
         "spam_train": ml.spam_train,

@@ -86,6 +86,37 @@ def test_matches_sequential_oracle(engine_ranks):
         assert worst < 1e-9, f"source {src}: max rank delta {worst}"
 
 
+def _python_pagerank(vertices, edges, iters, alpha):
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    n = len(vertices)
+    r = {v: 1.0 / n for v in vertices}
+    for _ in range(iters):
+        gathered = defaultdict(float)
+        for u, nbrs in out.items():
+            if r[u]:
+                share = r[u] / len(nbrs)
+                for v in nbrs:
+                    gathered[v] += share
+        m = sum(gathered.values())
+        r = {
+            v: alpha / n + (1 - alpha) * (gathered.get(v, 0.0) + (1.0 - m) / n)
+            for v in vertices
+        }
+    return r
+
+
+def test_uniform_pagerank_matches_sequential_oracle(spark):
+    eng = {r.id: r.rank for r in graph.pagerank(spark, SF_TEST).collect()}
+    vertices, edges = _python_graph()
+    py = _python_pagerank(vertices, edges, ITERS, ALPHA)
+    assert set(eng) == set(py)
+    assert abs(sum(eng.values()) - 1.0) < 1e-9
+    worst = max(abs(eng[v] - py[v]) for v in py)
+    assert worst < 1e-9, f"max rank delta {worst}"
+
+
 def test_top20_shape(spark):
     rows = graph.ppr_top20(spark, SF_TEST).collect()
     per_source = defaultdict(list)

@@ -166,6 +166,73 @@ def personalized_pagerank(
     return ranks.select("id", "source", "rank")
 
 
+def pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = DEFAULT_ITERATIONS,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """Uniform (non-personalized) PageRank — the reference's sequential
+    oracle semantics (reference SequentialPageRank.java:100-117) as a
+    distributed loop: p'(v) = α/N + (1-α)·(Σ_{u→v} p(u)/deg(u) + miss/N),
+    dangling mass redistributed uniformly. Same scatter/gather/checkpoint
+    machinery as the personalized variant, single rank slot.
+    """
+    vertices, edges = build_graph(spark, sf_dir)
+    n = vertices.count()
+
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(outdeg, "src").select("src", "dst", "deg")
+    edges_deg = edges_deg.repartition(F.col("src")).cache()
+    vdeg = (
+        vertices.join(outdeg, vertices.id == outdeg.src, "left")
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .cache()
+    )
+
+    ranks = vdeg.select(
+        "id", F.lit(1.0 / n).alias("rank"), "deg"
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        totals = ranks.filter(F.col("deg") > 0).select(F.sum("rank").alias("m"))
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.id)
+            .select(F.col("dst").alias("id"), (F.col("rank") / ranks.deg).alias("mass"))
+        )
+        gathered = contribs.groupBy("id").agg(F.sum("mass").alias("mass"))
+        ranks = (
+            vdeg.join(gathered, "id", "left")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "id",
+                (
+                    F.lit(alpha / n)
+                    + F.lit(1 - alpha)
+                    * (
+                        F.coalesce(F.col("mass"), F.lit(0.0))
+                        + (F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0))) / n
+                    )
+                ).alias("rank"),
+                "deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return ranks.select("id", "rank")
+
+
+def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 by uniform PageRank (rows-only driver check; the
+    sequential Python oracle lives in tests/test_graph.py)."""
+    ranks = pagerank(spark, sf_dir)
+    return (
+        ranks.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(TOP_K)
+    )
+
+
 def ppr_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 vertices per source by rank — G7 as a window rank, replacing
     the reference's mapper-side bounded priority queues + single reducer
