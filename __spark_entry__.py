@@ -23,6 +23,7 @@ from uw_hadoop_aglorithms_spark.operators import (
     multimodal,
     relational,
     similarity,
+    temporal,
     text,
     textstats,
 )
@@ -99,6 +100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode itself is stubbed — no media libs in this container)
         "media_features": multimodal.media_features,
         "frame_sample": multimodal.frame_sample,
+        # Temporal: sessionization + as-of join (beyond-reference;
+        # oracle uses DuckDB's native ASOF JOIN)
+        "user_sessions": temporal.user_sessions,
+        "asof_last_order": temporal.asof_last_order,
     }
 
 

@@ -284,6 +284,50 @@ STREAMING_ORACLES: dict[str, str] = {
 }
 
 
+# --- temporal (operators/temporal.py) ---------------------------------------
+# events.ts is TIMESTAMP_NS in DuckDB; ::TIMESTAMP truncates to micros,
+# matching the catalog's nanos→micros normalization.
+
+from uw_hadoop_aglorithms_spark.operators.temporal import SESSION_GAP_S
+
+TEMPORAL_ORACLES: dict[str, str] = {
+    "user_sessions": f"""
+        WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+        gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts - lag(ts) OVER w) >= {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM gaps
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    "asof_last_order": """
+        WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events),
+        od AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS last_order_key,
+               o.o_orderdate AS last_order_date
+        FROM e ASOF LEFT JOIN od o
+          ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        ORDER BY event_id
+    """,
+}
+
+
 # --- dedup family (operators/dedup.py) --------------------------------------
 # The engine-neutral polyhash (functions/hashing.py) lets these oracles
 # replicate the EXACT MinHash/SimHash pipelines — same constants, same
@@ -679,4 +723,5 @@ def all_oracles() -> dict[str, str]:
     merged.update(SIMILARITY_ORACLES)
     merged.update(TEXTSTATS_ORACLES)
     merged.update(MULTIMODAL_ORACLES)
+    merged.update(TEMPORAL_ORACLES)
     return merged
