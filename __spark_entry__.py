@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": relational.anti_join_orders_without_shipments,
         "rollup_revenue": relational.rollup_revenue,
         "set_ops": relational.set_ops_customers,
+        "distinct_users": relational.distinct_users,
         # Text analytics (SURVEY §2.2/§2.4, reference MapReduce+Spark text jobs)
         "word_count": text.word_count,
         "word_count_having": text.word_count_having,

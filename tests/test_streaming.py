@@ -71,6 +71,56 @@ def test_stream_trending_equals_batch_except_open_windows(spark, replay):
     assert got, "stream should emit closed windows"
 
 
+def test_watermark_drops_late_data(spark, replay):
+    """Late-data semantics: an event arriving later than the watermark
+    behind max event time is dropped by the stream but present in batch.
+    The reference's mock replay is perfectly ordered and has no
+    late-data story (SURVEY.md §2.10 note); the watermark is the
+    engine's idiomatic replacement."""
+    import os
+    import time
+
+    d = tempfile.mkdtemp(prefix="late_")
+    ev = spark.read.parquet(f"{replay}/events")
+    # three replay files → three microbatches:
+    #  b0: bulk (sets max event time) — watermark still unset, no eviction
+    #  b1: newest event — watermark now active; old windows evicted+emitted
+    #  b2: the earliest event, arriving AFTER its window was finalized —
+    #      must be dropped (state already evicted)
+    first = ev.orderBy("ts").limit(1).collect()[0]
+    last = ev.orderBy(F.col("ts").desc()).limit(1).collect()[0]
+    bulk = ev.filter(~F.col("event_id").isin(first.event_id, last.event_id))
+    for i, piece in enumerate(
+        [bulk, spark.createDataFrame([last], ev.schema), spark.createDataFrame([first], ev.schema)]
+    ):
+        piece.coalesce(1).write.mode("append").parquet(f"{d}/ev")
+        # stamp mtimes immediately so replay order == write order
+        newest = max(
+            (f for f in os.listdir(f"{d}/ev") if f.startswith("part-") and not f.endswith(".crc")),
+            key=lambda f: os.path.getmtime(os.path.join(d, "ev", f)),
+        )
+        t = time.time() - 30 + i * 10
+        os.utime(os.path.join(d, "ev", newest), (t, t))
+
+    stream = {
+        r.window_start: r.cnt
+        for r in runner.stream_event_count_append(
+            spark, f"{d}/ev", f"{d}/cp", query_name="late_ec"
+        ).collect()
+    }
+    batch = {
+        r.window_start: r.cnt for r in windows.event_count(spark, SF_TEST).collect()
+    }
+    late_window = first.ts.replace(minute=0, second=0, microsecond=0)
+    assert stream, "append mode must emit finalized windows"
+    assert stream[late_window] == batch[late_window] - 1, (
+        "the late event must be dropped by the watermark"
+    )
+    for w, cnt in stream.items():
+        if w != late_window:
+            assert cnt == batch[w], f"window {w}: stream {cnt} != batch {batch[w]}"
+
+
 def test_geo_region_tag(spark):
     gx = (GOLDMAN[1] + GOLDMAN[2]) / 2
     gy = (GOLDMAN[3] + GOLDMAN[4]) / 2

@@ -263,3 +263,25 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = positive.subtract(with_orders).select(F.lit("except").alias("op"), "c_custkey")
     return inter.unionAll(diff).orderBy("op", "c_custkey")
+
+
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count at scale: users and events per event_type.
+
+    count(DISTINCT) is absent from the reference (SURVEY.md §2.4 note);
+    Spark plans it as expand + two-phase aggregate, so the dedup happens
+    distributed on (event_type, user_id) before the final count — no
+    single-reducer bottleneck at 100 TB. approx_count_distinct (HLL) is
+    the cheaper alternative when exactness isn't required; it has no
+    cross-engine oracle (sketch implementations differ), so the exact
+    form is the registered query.
+    """
+    return (
+        Catalog(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -252,6 +252,11 @@ def _win(seconds: int) -> str:
 
 
 STREAMING_ORACLES: dict[str, str] = {
+    "distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "event_count": f"""
         SELECT {_win(3600)} AS window_start, count(*) AS cnt
         FROM events

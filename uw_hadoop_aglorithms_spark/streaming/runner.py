@@ -90,6 +90,36 @@ def stream_event_count(
     return spark.table(query_name).orderBy("window_start")
 
 
+def stream_event_count_append(
+    spark: SparkSession,
+    replay_dir: str,
+    checkpoint_dir: str,
+    minutes: int = 60,
+    query_name: str = "stream_event_count_append",
+) -> DataFrame:
+    """T1 in APPEND mode: only watermark-finalized windows are emitted,
+    and input rows later than the watermark are DROPPED — the late-data
+    semantics the reference's perfectly-ordered replay never exercises.
+    The final (non-finalized) window is absent from the output."""
+    agg = (
+        _event_stream(spark, replay_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("window_start")
+
+
 def stream_region_event_count(
     spark: SparkSession,
     replay_dir: str,
