@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": relational.rollup_revenue,
         "set_ops": relational.set_ops_customers,
         "distinct_users": relational.distinct_users,
+        "cube_revenue": relational.cube_revenue,
+        "customer_order_stats": relational.customer_order_stats,
         # Text analytics (SURVEY §2.2/§2.4, reference MapReduce+Spark text jobs)
         "word_count": text.word_count,
         "word_count_having": text.word_count_having,

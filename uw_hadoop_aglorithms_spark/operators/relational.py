@@ -24,7 +24,7 @@ Scale design (100 TB target):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
@@ -284,4 +284,41 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by CUBE(returnflag, linestatus) — all 2^2 grouping sets in
+    one pass (Expand + single aggregate; no scan-per-grouping union)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(_revenue_expr()), _MONEY_SCALE).alias("revenue"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite over orders: per customer, orders in date
+    order with running total, rank, and gap-to-previous — the analytic
+    surface (running sums, rank, lag) the reference had no way to express
+    without a custom secondary-sort reducer (SURVEY.md §2.11 last row).
+
+    One shuffle on o_custkey serves all three window functions (same
+    partitioning+ordering → one Window exec)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(wr), _MONEY_SCALE).alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "order_seq")
     )

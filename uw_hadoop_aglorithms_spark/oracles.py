@@ -114,6 +114,29 @@ RELATIONAL_ORACLES: dict[str, str] = {
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus
     """,
+    "cube_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "customer_order_stats": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS order_seq,
+               datediff('day',
+                        lag(o_orderdate) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey),
+                        o_orderdate) AS days_since_prev
+        FROM orders
+        ORDER BY o_custkey, order_seq
+    """,
     "set_ops": """
         SELECT 'intersect' AS op, c_custkey FROM (
             SELECT DISTINCT o_custkey AS c_custkey FROM orders
