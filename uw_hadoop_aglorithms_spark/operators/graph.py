@@ -46,6 +46,34 @@ DEFAULT_ITERATIONS = 10
 CHECKPOINT_EVERY = 5  # SURVEY.md §7 Phase 4
 TOP_K = 20  # reference ExtractTopPersonalizedPageRankNodes.java default
 
+#: Target rows per shuffle partition inside the iteration loop. The loop
+#: runs ~3 tiny stages × `iterations`, so per-task overhead dominates —
+#: sizing partitions to the STATE (not the session default) halves
+#: wall-clock at bench scale and picks large partition counts again when
+#: the graph is actually big.
+_LOOP_ROWS_PER_PARTITION = 250_000
+
+
+class _loop_shuffle_partitions:
+    """Scoped spark.sql.shuffle.partitions override for iterative loops
+    (restores the session value on exit; AQE still coalesces below it)."""
+
+    def __init__(self, spark: SparkSession, state_rows: int):
+        self.spark = spark
+        self.n = max(2, min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            -(-state_rows // _LOOP_ROWS_PER_PARTITION),
+        ))
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self.n
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
 
 def build_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Derive (vertices, edges) from the star schema — G1.
@@ -86,35 +114,42 @@ def personalized_pagerank(
     Mass is conserved exactly: Σ_v p'(v) = 1 per source.
     """
     vertices, edges = build_graph(spark, sf_dir)
+    edges = edges.cache()  # count() below materializes; edges_deg reuses
+    scope = _loop_shuffle_partitions(spark, edges.count() * max(1, len(sources)))
 
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges_deg = edges.join(outdeg, "src").select("src", "dst", "deg")
-    edges_deg = edges_deg.repartition(F.col("src")).cache()
+    with scope as n_parts:
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        edges_deg = edges.join(outdeg, "src").select("src", "dst", "deg")
+        edges_deg = edges_deg.repartition(n_parts, F.col("src")).cache()
 
-    # (id, deg) for every vertex, deg=0 for dangling — joined back each
-    # iteration when reinstating zero-in-mass vertices, so `deg` rides in
-    # the rank state and dangling mass needs NO second pass over gathered.
-    vdeg = (
-        vertices.join(outdeg, vertices.id == outdeg.src, "left")
-        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
-        .cache()
-    )
-
-    src_df = spark.createDataFrame(
-        [(int(s),) for s in sources], "source long"
-    )
-    # state: one row per (vertex, source); initial mass 1 at the source
-    ranks = (
-        vdeg.crossJoin(F.broadcast(src_df))
-        .select(
-            "id",
-            "source",
-            F.when(F.col("id") == F.col("source"), 1.0).otherwise(0.0).alias("rank"),
-            "deg",
+        # (id, deg) for every vertex, deg=0 for dangling — joined back each
+        # iteration when reinstating zero-in-mass vertices, so `deg` rides in
+        # the rank state and dangling mass needs NO second pass over gathered.
+        vdeg = (
+            vertices.join(outdeg, vertices.id == outdeg.src, "left")
+            .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+            .cache()
         )
-        .localCheckpoint(eager=True)
-    )
 
+        src_df = spark.createDataFrame(
+            [(int(s),) for s in sources], "source long"
+        )
+        # state: one row per (vertex, source); initial mass 1 at the source
+        ranks = (
+            vdeg.crossJoin(F.broadcast(src_df))
+            .select(
+                "id",
+                "source",
+                F.when(F.col("id") == F.col("source"), 1.0).otherwise(0.0).alias("rank"),
+                "deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        return _ppr_loop(ranks, edges_deg, vdeg, src_df, iterations, alpha)
+
+
+def _ppr_loop(ranks, edges_deg, vdeg, src_df, iterations, alpha):
     for i in range(iterations):
         # per-source mass that will survive the scatter = rank held by
         # non-dangling vertices; missing = 1 - that. A 3-row aggregate over
@@ -179,45 +214,47 @@ def pagerank(
     machinery as the personalized variant, single rank slot.
     """
     vertices, edges = build_graph(spark, sf_dir)
+    edges = edges.cache()  # count() below materializes; edges_deg reuses
     n = vertices.count()
 
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges_deg = edges.join(outdeg, "src").select("src", "dst", "deg")
-    edges_deg = edges_deg.repartition(F.col("src")).cache()
-    vdeg = (
-        vertices.join(outdeg, vertices.id == outdeg.src, "left")
-        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
-        .cache()
-    )
-
-    ranks = vdeg.select(
-        "id", F.lit(1.0 / n).alias("rank"), "deg"
-    ).localCheckpoint(eager=True)
-
-    for _ in range(iterations):
-        totals = ranks.filter(F.col("deg") > 0).select(F.sum("rank").alias("m"))
-        contribs = (
-            edges_deg.join(ranks, edges_deg.src == ranks.id)
-            .select(F.col("dst").alias("id"), (F.col("rank") / ranks.deg).alias("mass"))
+    with _loop_shuffle_partitions(spark, edges.count()) as n_parts:
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        edges_deg = edges.join(outdeg, "src").select("src", "dst", "deg")
+        edges_deg = edges_deg.repartition(n_parts, F.col("src")).cache()
+        vdeg = (
+            vertices.join(outdeg, vertices.id == outdeg.src, "left")
+            .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+            .cache()
         )
-        gathered = contribs.groupBy("id").agg(F.sum("mass").alias("mass"))
-        ranks = (
-            vdeg.join(gathered, "id", "left")
-            .crossJoin(F.broadcast(totals))
-            .select(
-                "id",
-                (
-                    F.lit(alpha / n)
-                    + F.lit(1 - alpha)
-                    * (
-                        F.coalesce(F.col("mass"), F.lit(0.0))
-                        + (F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0))) / n
-                    )
-                ).alias("rank"),
-                "deg",
+
+        ranks = vdeg.select(
+            "id", F.lit(1.0 / n).alias("rank"), "deg"
+        ).localCheckpoint(eager=True)
+
+        for _ in range(iterations):
+            totals = ranks.filter(F.col("deg") > 0).select(F.sum("rank").alias("m"))
+            contribs = (
+                edges_deg.join(ranks, edges_deg.src == ranks.id)
+                .select(F.col("dst").alias("id"), (F.col("rank") / ranks.deg).alias("mass"))
             )
-            .localCheckpoint(eager=True)
-        )
+            gathered = contribs.groupBy("id").agg(F.sum("mass").alias("mass"))
+            ranks = (
+                vdeg.join(gathered, "id", "left")
+                .crossJoin(F.broadcast(totals))
+                .select(
+                    "id",
+                    (
+                        F.lit(alpha / n)
+                        + F.lit(1 - alpha)
+                        * (
+                            F.coalesce(F.col("mass"), F.lit(0.0))
+                            + (F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0))) / n
+                        )
+                    ).alias("rank"),
+                    "deg",
+                )
+                .localCheckpoint(eager=True)
+            )
 
     return ranks.select("id", "rank")
 
