@@ -27,6 +27,9 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from uw_hadoop_aglorithms_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: Repetitions per query; >1 reports the MEDIAN (BASELINE.md protocol:
+#: median of warm runs). Default 1 keeps the per-round driver run fast.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -43,13 +46,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(entry_mod.queries().items()):
-        t0 = time.perf_counter()
-        rows = fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        del rows
-        # per-query scratch caches (shingle sets, graph edges, …) must not
-        # accumulate across the 40-query run
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            rows = fn(spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+            del rows
+            # per-query scratch caches (shingle sets, graph edges, …) must
+            # not accumulate across the run
+            spark.catalog.clearCache()
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     result = {
         "metric": "total_query_sec",

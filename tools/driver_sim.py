@@ -1,0 +1,68 @@
+"""Simulate the spark-graft driver: smoke entry() at sf0.001, then run every
+queries()[k] at sf0.01 vs oracle_sql()[k] in DuckDB — row count + schema +
+order-insensitive value hash."""
+import datetime as dt, hashlib, json, math, sys
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as E
+from pyspark.sql import SparkSession
+
+SF = "/root/testdata/sf0.01"
+
+spark = (SparkSession.builder.appName("driver-sim").master("local[8]")
+         .config("spark.sql.shuffle.partitions", "16")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# --- t1 smoke ---
+df = E.entry(spark)
+rows = df.collect()
+print(f"SMOKE entry(): rows={len(rows)} schema={[f.name for f in df.schema.fields]}")
+assert len(rows) >= 0
+
+# --- t2 correctness ---
+import duckdb
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (dt.datetime, dt.date)): return v.isoformat().replace("T", " ")
+    if isinstance(v, (list, tuple)): return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+def vhash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+qmap, omap = E.queries(), E.oracle_sql()
+results = {}
+for name, fn in sorted(qmap.items()):
+    sdf = fn(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if name not in omap:
+        results[name] = {"mode": "rows-only", "rows": len(srows)}
+        print(f"{name}: rows-only rows={len(srows)}")
+        continue
+    cur = con.execute(omap[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    ok_count = len(srows) == len(drows)
+    ok_schema = sorted(scols) == sorted(dcols)
+    sh, dh = vhash(scols, srows), vhash(dcols, drows)
+    ok_hash = sh == dh
+    results[name] = {"rows": len(srows), "count_match": ok_count,
+                     "schema_match": ok_schema, "hash_match": ok_hash}
+    flag = "OK " if (ok_count and ok_schema and ok_hash) else "FAIL"
+    print(f"{name}: {flag} rows={len(srows)}/{len(drows)} schema={ok_schema} hash={sh}=={dh}:{ok_hash}")
+
+bad = [k for k, v in results.items() if not all(v.get(f, True) for f in ("count_match", "schema_match", "hash_match"))]
+print(json.dumps({"failed": bad}))
+spark.stop()
+sys.exit(1 if bad else 0)
