@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle uses DuckDB's native ASOF JOIN)
         "user_sessions": temporal.user_sessions,
         "asof_last_order": temporal.asof_last_order,
+        "range_join_nearby_events": temporal.range_join_nearby_events,
     }
 
 

@@ -86,3 +86,10 @@ def test_sql_entry_matches_dataframe_entry(spark):
         f"WHERE l_shipdate = TIMESTAMP '{relational.SHIP_DATE}'"
     )
     assert _rows(sql_q1) == _rows(relational.q1(spark, SF_TEST))
+
+
+def test_declared_schemas_match_disk(spark):
+    """Schema-drift guard: the declared StructTypes must agree with the
+    parquet footers field-for-field (the reference had no schema system
+    at all — this is the contract that replaces ordinal constants)."""
+    assert Catalog(spark, SF_TEST).validate_schemas() == []

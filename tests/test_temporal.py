@@ -39,3 +39,33 @@ def test_asof_matches_latest_prior_order(spark):
         best_key = max(o.o_orderkey for o in cands if o.o_orderdate == best_date)
         assert r.last_order_date == best_date
         assert r.last_order_key == best_key
+
+
+def test_range_join_banding_is_lossless(spark):
+    """The ±1-bucket banding must find EXACTLY the pairs a brute-force
+    scan finds (any |diff| <= window pair falls in an adjacent bucket)."""
+    got = {
+        (r.purchase_id, r.other_id)
+        for r in temporal.range_join_nearby_events(spark, SF_TEST).collect()
+    }
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, SF_TEST).events.collect()
+    import math
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    brute = set()
+    for es in by_user.values():
+        for p in es:
+            if p.event_type != "purchase":
+                continue
+            for o in es:
+                if o.event_id == p.event_id:
+                    continue
+                diff = abs(
+                    math.floor(o.ts.timestamp()) - math.floor(p.ts.timestamp())
+                )
+                if diff <= temporal.RANGE_WINDOW_S:
+                    brute.add((p.event_id, o.event_id))
+    assert got == brute

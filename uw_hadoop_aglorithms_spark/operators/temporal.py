@@ -109,3 +109,53 @@ def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+#: Range-join window (seconds) and bucket width for the banded plan.
+RANGE_WINDOW_S = 300
+
+
+def range_join_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: pairs of events by the same user within ±5 minutes of
+    a purchase event.
+
+    A naive theta-join explodes to |purchases|×|user events|; the
+    scalable plan BANDS time into RANGE_WINDOW_S buckets: each purchase
+    probes its own bucket ±1 (any match within the window must fall
+    there), so the shuffle key is (user_id, bucket) and the inequality
+    is only evaluated on banded candidates. This is the interval-join
+    strategy streaming engines use for stream-stream joins; the DuckDB
+    oracle runs the plain inequality join.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "user_id", "event_type", F.col("ts").alias("ts")
+    )
+    bucket = (F.unix_timestamp("ts") / RANGE_WINDOW_S).cast("long")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.explode(
+                F.array(bucket - 1, bucket, bucket + 1)
+            ).alias("bucket"),
+        )
+    )
+    others = ev.select(
+        F.col("event_id").alias("other_id"),
+        "user_id",
+        F.col("event_type").alias("other_type"),
+        F.col("ts").alias("o_ts"),
+        bucket.alias("bucket"),
+    )
+    return (
+        purchases.join(others, ["user_id", "bucket"])
+        .filter(
+            (F.col("other_id") != F.col("purchase_id"))
+            & (F.abs(F.unix_timestamp("o_ts") - F.unix_timestamp("p_ts")) <= RANGE_WINDOW_S)
+        )
+        .select("purchase_id", "other_id", "user_id", "other_type")
+        .distinct()
+        .orderBy("purchase_id", "other_id")
+    )

@@ -316,9 +316,30 @@ STREAMING_ORACLES: dict[str, str] = {
 # events.ts is TIMESTAMP_NS in DuckDB; ::TIMESTAMP truncates to micros,
 # matching the catalog's nanos→micros normalization.
 
-from uw_hadoop_aglorithms_spark.operators.temporal import SESSION_GAP_S
+from uw_hadoop_aglorithms_spark.operators.temporal import (
+    RANGE_WINDOW_S,
+    SESSION_GAP_S,
+)
 
 TEMPORAL_ORACLES: dict[str, str] = {
+    "range_join_nearby_events": f"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   floor(epoch(ts::TIMESTAMP))::BIGINT AS es
+            FROM events
+        ),
+        p AS (
+            SELECT event_id AS purchase_id, user_id, es AS ps
+            FROM e WHERE event_type = 'purchase'
+        )
+        SELECT DISTINCT purchase_id, o.event_id AS other_id, p.user_id,
+               o.event_type AS other_type
+        FROM p JOIN e o
+          ON p.user_id = o.user_id
+         AND abs(o.es - p.ps) <= {RANGE_WINDOW_S}
+         AND o.event_id <> p.purchase_id
+        ORDER BY purchase_id, other_id
+    """,
     "user_sessions": f"""
         WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
         gaps AS (
