@@ -40,9 +40,16 @@ FP_K = 8
 FP_W = 4
 
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation —
+#: the split granularity byte-pair encoders start from. Same regex
+#: dialect-safe pattern in both engines.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, regex word tokens, distinct
-    tokens, and mean token length per document. Map-side only."""
+    """Token counting: whitespace tokens, canonical-tokenizer tokens, a
+    BPE-ish pre-tokenization count, distinct tokens, and mean token
+    length per document. Map-side only."""
     docs = Catalog(spark, sf_dir).documents
     ts = tokens("text")
     return docs.select(
@@ -50,6 +57,9 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_obs"),
         F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
         F.size(ts).alias("n_re_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{BPE_PATTERN}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
         F.size(F.array_distinct(ts)).alias("n_distinct_tokens"),
         (
             F.aggregate(ts, F.lit(0), lambda acc, t: acc + F.length(t))

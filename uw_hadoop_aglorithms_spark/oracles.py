@@ -664,6 +664,7 @@ SIMILARITY_ORACLES: dict[str, str] = {
 
 from uw_hadoop_aglorithms_spark.functions.text import TOKENS_SQL
 from uw_hadoop_aglorithms_spark.operators.textstats import (
+    BPE_PATTERN,
     FP_K,
     FP_W,
     LANG_NGRAM,
@@ -690,6 +691,8 @@ TEXTSTATS_ORACLES: dict[str, str] = {
                length(text) AS n_chars_obs,
                len(string_split(text, ' ')) AS n_ws_tokens,
                len(ts) AS n_re_tokens,
+               len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+                 AS n_bpe_tokens,
                len(list_distinct(ts)) AS n_distinct_tokens,
                list_reduce(list_prepend(0, list_transform(ts, t -> length(t))),
                            (acc, x) -> acc + x) / len(ts) AS avg_token_len
