@@ -1,0 +1,69 @@
+"""Registry contract guards (driver interface, __spark_entry__.py).
+
+Cheap but broad: every queries() key must ANALYZE (schema resolution,
+no job execution) and, when an oracle exists, its column names must
+match the oracle's exactly — the driver hashes values under sorted
+column names, so alias drift is a silent correctness failure. DuckDB
+runs at sf0.001 (instant); Spark never executes a job here.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_TEST
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_TEST}/{t}.parquet')"
+        )
+    return con
+
+
+def test_every_query_analyzes_and_matches_oracle_columns(spark, oracle_con):
+    qmap, omap = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(omap) <= set(qmap), "oracle keys without a query"
+    problems = []
+    for name, fn in sorted(qmap.items()):
+        try:
+            cols = fn(spark, SF_TEST).columns  # analysis only
+        except Exception as ex:  # noqa: BLE001
+            problems.append(f"{name}: analysis failed: {ex}")
+            continue
+        if name in omap:
+            dcols = [
+                d[0] for d in oracle_con.execute(omap[name]).description
+            ]
+            if sorted(cols) != sorted(dcols):
+                problems.append(f"{name}: spark={sorted(cols)} oracle={sorted(dcols)}")
+    assert not problems, "\n".join(problems)
+
+
+def test_rows_only_queries_have_python_oracle_tests(spark):
+    """Every key WITHOUT a DuckDB oracle must be justified: iterative or
+    order-sensitive, each covered by a sequential oracle in tests/."""
+    qmap, omap = entry_mod.queries(), entry_mod.oracle_sql()
+    rows_only = set(qmap) - set(omap)
+    assert rows_only == {
+        "ppr_top20",
+        "pagerank_top20",
+        "spam_train",
+        "spam_apply",
+        "spam_ensemble",
+    }, f"unexpected rows-only keys: {rows_only}"
+
+
+def test_entry_is_registered_query_shape(spark):
+    df = entry_mod.entry(spark)
+    assert df.columns, "entry() must return an analyzable DataFrame"
