@@ -121,6 +121,42 @@ def test_watermark_drops_late_data(spark, replay):
             assert cnt == batch[w], f"window {w}: stream {cnt} != batch {batch[w]}"
 
 
+def test_checkpoint_resume_is_exactly_once(spark, replay):
+    """T4: a stream that stops mid-replay and restarts from the SAME
+    checkpoint processes each file exactly once — the restarted run's
+    final counts equal the batch result, no duplicates."""
+    import os
+    import shutil
+
+    d = tempfile.mkdtemp(prefix="resume_")
+    os.makedirs(f"{d}/ev")
+    parts = sorted(
+        f
+        for f in os.listdir(f"{replay}/events")
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    assert len(parts) >= 4
+    half = len(parts) // 2
+    for f in parts[:half]:
+        shutil.copy(f"{replay}/events/{f}", f"{d}/ev/{f}")
+    # run 1: only half the files exist; stream drains them and stops
+    runner.stream_event_count(spark, f"{d}/ev", f"{d}/cp", query_name="resume_ec")
+    # "new data arrives" — then run 2 restarts from the same checkpoint
+    for f in parts[half:]:
+        shutil.copy(f"{replay}/events/{f}", f"{d}/ev/{f}")
+    final = {
+        (r.window_start, r.cnt)
+        for r in runner.stream_event_count(
+            spark, f"{d}/ev", f"{d}/cp", query_name="resume_ec"
+        ).collect()
+    }
+    batch = {
+        (r.window_start, r.cnt)
+        for r in windows.event_count(spark, SF_TEST).collect()
+    }
+    assert final == batch
+
+
 def test_geo_region_tag(spark):
     gx = (GOLDMAN[1] + GOLDMAN[2]) / 2
     gy = (GOLDMAN[3] + GOLDMAN[4]) / 2
