@@ -21,6 +21,7 @@ from uw_hadoop_aglorithms_spark.operators import (
     index,
     ml,
     multimodal,
+    pipeline,
     relational,
     similarity,
     temporal,
@@ -98,6 +99,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.doc_fingerprint,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
+        # Training-data pipeline: deterministic dataset assembly (hash
+        # sampling / splits / stratified rebalancing) + JSON metadata
+        # extraction over events
+        "hash_sample": pipeline.hash_sample,
+        "split_assign": pipeline.split_assign,
+        "stratified_sample": pipeline.stratified_sample,
+        "events_props_stats": pipeline.events_props_stats,
         # Training-data pipeline: multimodal binary-column plumbing
         # (Arrow-batched mapInPandas feature extraction + frame sampling;
         # decode itself is stubbed — no media libs in this container)

@@ -1,0 +1,188 @@
+"""Dataset-assembly operators: deterministic sampling, train/val/test
+splits, stratified rebalancing, and semi-structured metadata extraction
+(beyond-reference training-data-pipeline capability).
+
+The reference's only sampling machinery is an UNSEEDED random shuffle
+before SGD training (reference Spark/Spam Classifier/
+TrainSpamClassifier.scala:34-40) — non-reproducible by construction
+(SURVEY.md §2.12.5). This module does the opposite: every membership
+decision is a pure function of the row's key via the engine-neutral
+universal hash family (functions/hashing.py), so samples and splits are
+
+- reproducible across runs, engines, partitionings, and cluster sizes
+  (no RNG state, no partition-index dependence — unlike `df.sample`,
+  whose output changes with the split layout);
+- map-side only: membership is column arithmetic inside whole-stage
+  codegen, no shuffle, no driver round-trip — at 100 TB a 1% sample
+  costs one scan, and Parquet column pruning means only the key and the
+  projected columns are read;
+- exactly oracle-able in DuckDB (same integer arithmetic, same rows).
+
+Hash-based splits are the published standard for ML dataset assembly
+precisely because resampling stays stable as the corpus grows: a
+document's split assignment never changes when other documents are
+added, which row-number or RNG schemes cannot guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+#: Universal-hash family members (distinct per use so the operators'
+#: membership decisions are pairwise independent).
+SAMPLE_SEED = 101
+SPLIT_SEED = 102
+STRATA_SEED = 103
+
+#: Membership buckets: rates/fractions are expressed out of 10_000.
+BUCKETS = 10_000
+
+#: hash_sample: keep 10% of documents.
+SAMPLE_KEEP = 1_000
+
+#: split_assign: 80 / 10 / 10 train / val / test, out of 100.
+TRAIN_PCT, VAL_PCT = 80, 90
+
+#: stratified_sample: per-language keep-rates out of BUCKETS. The corpus
+#: is ~50% English (testdata strata); capping `en` while keeping the
+#: tail rebalances the language mix — the canonical training-data use.
+STRATA_RATES = {"en": 2_500}
+STRATA_DEFAULT = 10_000
+
+
+def _bucket(key: F.Column | str, seed: int, buckets: int) -> F.Column:
+    """key → uniform bucket in [0, buckets): ((key % P) * A + B) % P % buckets.
+
+    The `% P` before the multiply keeps the product inside int64 for any
+    key magnitude (A < P ≈ 2^30, so (key % P) * A < 2^60) — safe for
+    100-TB-scale id spaces, not just the testdata's.
+    """
+    a, b = hash_params(seed)
+    c = F.col(key) if isinstance(key, str) else key
+    return ((c % P) * F.lit(a) + F.lit(b)) % F.lit(P) % F.lit(buckets)
+
+
+def _bucket_sql(expr: str, seed: int, buckets: int) -> str:
+    """DuckDB fragment computing the identical bucket."""
+    a, b = hash_params(seed)
+    return f"((({expr}) % {P}) * {a} + {b}) % {P} % {buckets}"
+
+
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample of `documents` by doc_id.
+
+    One map-side filter — the 100 TB plan is scan + filter with the
+    predicate inside codegen; no shuffle, no RNG, stable under resizing.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    return docs.filter(
+        _bucket("doc_id", SAMPLE_SEED, BUCKETS) < F.lit(SAMPLE_KEEP)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment, summarized per (split, lang).
+
+    A document's split is a pure function of doc_id: adding documents
+    never reassigns existing ones (the property that makes hash splits
+    the standard over row-number or RNG splits). The summary aggregate
+    is one shuffle over |splits|×|langs| groups.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    bucket = _bucket("doc_id", SPLIT_SEED, 100)
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep-rates: cap the dominant language, keep the tail.
+
+    The rate table is a literal CASE cascade (broadcast-free); membership
+    stays map-side column arithmetic. At 100 TB this is how a corpus's
+    language mix is rebalanced in a single scan.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    rate = F.lit(STRATA_DEFAULT)
+    for lang, r in sorted(STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return docs.filter(
+        _bucket("doc_id", STRATA_SEED, BUCKETS) < rate
+    ).select("doc_id", "lang", "source")
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the JSON `props` payload of `events` and aggregate per type.
+
+    Semi-structured metadata riding alongside typed columns is the norm
+    in event/training logs; `get_json_object` keeps extraction JVM-side
+    (no Python), and the aggregate is one shuffle over |event_type|
+    groups with map-side partials — scan-bound at scale.
+    """
+    events = Catalog(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 9).alias("avg_k"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+#: DuckDB oracles (same arithmetic; json_extract_string for `props`).
+PIPELINE_ORACLES: dict[str, str] = {
+    "hash_sample": f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE {_bucket_sql('doc_id', SAMPLE_SEED, BUCKETS)} < {SAMPLE_KEEP}
+        ORDER BY doc_id
+    """,
+    "split_assign": f"""
+        WITH s AS (
+            SELECT CASE
+                     WHEN {_bucket_sql('doc_id', SPLIT_SEED, 100)} < {TRAIN_PCT}
+                       THEN 'train'
+                     WHEN {_bucket_sql('doc_id', SPLIT_SEED, 100)} < {VAL_PCT}
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   lang, n_chars
+            FROM documents
+        )
+        SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_bucket_sql('doc_id', STRATA_SEED, BUCKETS)} < (CASE
+            {' '.join(f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(STRATA_RATES.items()))}
+            ELSE {STRATA_DEFAULT} END)
+        ORDER BY doc_id
+    """,
+    "events_props_stats": """
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 9)
+                 AS avg_k,
+               round(sum("value"), 6) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+}

@@ -39,6 +39,9 @@ TRAIN_MOD = 5
 FP_K = 8
 FP_W = 4
 
+#: TF-IDF: terms kept per document.
+TFIDF_TOP = 3
+
 
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation —
 #: the split granularity byte-pair encoders start from. Same regex
@@ -183,4 +186,40 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", kgram_hashes.alias("khs"))
         .select("doc_id", F.explode(F.array_distinct(windows_min)).alias("fp"))
         .orderBy("doc_id", "fp")
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF (tf * ln(N/df)).
+
+    Classic corpus-statistics operator the reference's word count (A1)
+    stops short of. Plan shape: explode tokens -> (doc, term) counts
+    [shuffle 1, map-side partials] -> document frequencies per term
+    [shuffle 2, reuses the (doc, term) grouping's output] -> join tf
+    with df on term [shuffle 3] -> per-doc window top-k (the O3 bounded
+    priority queue as row_number). Every stage keys on (doc, term) or
+    term — high-cardinality keys, no skew hot-spot, no driver collect
+    except the N scalar (a count, not data).
+    """
+    docs = Catalog(spark, sf_dir).documents
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= TFIDF_TOP)
+        .select("doc_id", "pos", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "pos")
     )

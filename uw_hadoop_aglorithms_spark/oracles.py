@@ -761,13 +761,32 @@ TEXTSTATS_ORACLES: dict[str, str] = {
         )
         SELECT doc_id, unnest(fps) AS fp FROM wm ORDER BY doc_id, fp
     """,
+    "tfidf_top_terms": f"""
+        WITH t AS (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                   round(tf.tf * ln(n.n / dfq.df), 9) AS tfidf
+            FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS pos
+              FROM s)
+        SELECT doc_id, pos, term, tf, df, tfidf FROM r
+        WHERE pos <= 3 ORDER BY doc_id, pos
+    """,
 }
 
 
 def all_oracles() -> dict[str, str]:
     """Merged oracle map across operator families (driver contract)."""
+    from uw_hadoop_aglorithms_spark.operators.pipeline import PIPELINE_ORACLES
+
     merged: dict[str, str] = {}
     merged.update(RELATIONAL_ORACLES)
+    merged.update(PIPELINE_ORACLES)
     merged.update(TEXT_ORACLES)
     merged.update(INDEX_ORACLES)
     merged.update(STREAMING_ORACLES)
