@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming/trending.py, equivalence-tested in tests/test_streaming.py)
         "event_count": stream_windows.event_count,
         "region_event_count": stream_windows.region_event_count,
+        "geo_region_count": stream_windows.geo_region_count,
         "trending_arrivals": stream_windows.trending_arrivals,
         # Training-data pipeline: dedup family (beyond-reference; full
         # DuckDB oracles via the engine-neutral polyhash)

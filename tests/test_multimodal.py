@@ -42,7 +42,11 @@ def test_media_features_survives_small_arrow_batches(spark):
     for k in baseline:
         assert small[k] == baseline[k]
     for r in baseline.values():
-        assert sum(r.hist) == r.n_bytes
+        # hist is a '|'-joined scalar string (driver canonicalizer can't
+        # hash list cells); bins must still sum to the byte count
+        bins = [int(x) for x in r.hist.split("|")]
+        assert len(bins) == multimodal.HIST_BINS
+        assert sum(bins) == r.n_bytes
         assert 0.0 <= r.byte_mean <= 255.0
 
 

@@ -31,16 +31,30 @@ def oracle_con():
     return con
 
 
+#: Types the driver's pandas canonicalizer cannot sort/hash (it factorizes
+#: cell values): any nested or binary cell breaks the CORRECTNESS harness,
+#: so registered outputs must be scalar-only (CORRECTNESS_r01 media_features
+#: failed exactly this way with an array<long> column).
+_NON_CANONICALIZABLE = ("array<", "map<", "struct<", "binary")
+
+
 def test_every_query_analyzes_and_matches_oracle_columns(spark, oracle_con):
     qmap, omap = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(omap) <= set(qmap), "oracle keys without a query"
     problems = []
     for name, fn in sorted(qmap.items()):
         try:
-            cols = fn(spark, SF_TEST).columns  # analysis only
+            df = fn(spark, SF_TEST)  # analysis only
+            cols = df.columns
         except Exception as ex:  # noqa: BLE001
             problems.append(f"{name}: analysis failed: {ex}")
             continue
+        for col, kind in df.dtypes:
+            if any(kind.startswith(bad) or bad in kind for bad in _NON_CANONICALIZABLE):
+                problems.append(
+                    f"{name}: column {col} has non-scalar type {kind} "
+                    "(driver canonicalizer cannot hash it)"
+                )
         if name in omap:
             dcols = [
                 d[0] for d in oracle_con.execute(omap[name]).description

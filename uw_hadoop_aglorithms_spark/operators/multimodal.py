@@ -39,9 +39,12 @@ HIST_BINS = 16
 FRAME_BYTES = 64
 FRAME_STRIDE = 4
 
+# `hist` is a '|'-joined string, not array<long>: the driver's pandas
+# canonicalizer cannot sort/hash list cells (CORRECTNESS_r01 TypeError),
+# and registered query outputs must stay scalar-typed (tests/test_registry).
 FEATURES_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, byte_mean double,"
-    f" hist array<long>"
+    " hist string"
 )
 FRAMES_SCHEMA = "doc_id long, frame_idx long, n_bytes long, frame_hash long"
 
@@ -86,7 +89,7 @@ def _features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     mtype,
                     int(b.size),
                     float(int(b.sum(dtype=np.int64))) / b.size if b.size else 0.0,
-                    hist.tolist(),
+                    "|".join(str(int(h)) for h in hist),
                 )
             )
         yield pd.DataFrame(

@@ -148,6 +148,8 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: DuckDB oracles (same arithmetic; json_extract_string for `props`).
+#: Integer sums are CAST to BIGINT: DuckDB's sum() over integers returns
+#: HUGEINT, which the driver canonicalizes differently than Spark's long.
 PIPELINE_ORACLES: dict[str, str] = {
     "hash_sample": f"""
         SELECT doc_id, lang, source, n_chars FROM documents
@@ -166,7 +168,8 @@ PIPELINE_ORACLES: dict[str, str] = {
                    lang, n_chars
             FROM documents
         )
-        SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM s GROUP BY split, lang ORDER BY split, lang
     """,
     "stratified_sample": f"""
@@ -179,7 +182,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "events_props_stats": """
         SELECT event_type,
                count(*) AS n_events,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 9)
                  AS avg_k,
                round(sum("value"), 6) AS sum_value

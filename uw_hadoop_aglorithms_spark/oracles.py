@@ -274,7 +274,27 @@ def _win(seconds: int) -> str:
     )
 
 
+from uw_hadoop_aglorithms_spark.functions.geo import (
+    region_case_sql,
+    synth_lonlat_sql,
+)
+
+_GEO_LON, _GEO_LAT = synth_lonlat_sql("event_id")
+
 STREAMING_ORACLES: dict[str, str] = {
+    "geo_region_count": f"""
+        WITH pts AS (
+            SELECT ts, {_GEO_LON} AS lon, {_GEO_LAT} AS lat FROM events
+        ),
+        tagged AS (
+            SELECT ts, {region_case_sql('lon', 'lat')} AS region FROM pts
+        )
+        SELECT {_win(3600)} AS window_start, region, count(*) AS cnt
+        FROM tagged
+        WHERE region IS NOT NULL
+        GROUP BY window_start, region
+        ORDER BY window_start, region
+    """,
     "distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users,
                count(*) AS n_events
@@ -551,9 +571,10 @@ MULTIMODAL_ORACLES: dict[str, str] = {
                len(codes)::BIGINT AS n_bytes,
                list_reduce(list_prepend(0::BIGINT, codes), (a, b) -> a + b)
                  / len(codes) AS byte_mean,
-               list_transform(range(0, {HIST_BINS}),
-                              b -> len(list_filter(codes, c -> c // 16 = b))::BIGINT)
-                 AS hist
+               array_to_string(
+                   list_transform(range(0, {HIST_BINS}),
+                                  b -> len(list_filter(codes, c -> c // 16 = b))),
+                   '|') AS hist
         FROM m ORDER BY doc_id
     """,
     "frame_sample": f"""

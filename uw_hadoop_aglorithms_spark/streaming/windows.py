@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from uw_hadoop_aglorithms_spark.functions.geo import region_tag, synth_lonlat
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
 #: Trend alert thresholds (reference Spark/Spark Streaming/
@@ -51,6 +52,30 @@ def region_event_count(spark: SparkSession, sf_dir: str, minutes: int = 60) -> D
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
         .orderBy("window_start", "event_type")
+    )
+
+
+def geo_region_count(spark: SparkSession, sf_dir: str, minutes: int = 60) -> DataFrame:
+    """T2 with the REAL bounding-box tagger (reference RegionEventCount.
+    scala:66-98): points inside the goldman/citigroup boxes are tagged
+    (citigroup priority, inclusive bounds) and counted per tumbling
+    window. The fixture has no lon/lat, so coordinates derive
+    deterministically from event_id (functions/geo.py synth_lonlat) —
+    pure column arithmetic, identical doubles in the DuckDB oracle.
+
+    Scale shape: tag + filter are map-side (the filter drops ~99% of
+    events before any shuffle); the aggregate shuffles |windows×regions|
+    partial counts only.
+    """
+    cat = Catalog(spark, sf_dir)
+    lon, lat = synth_lonlat(F.col("event_id"))
+    return (
+        cat.events.select("ts", region_tag(lon, lat).alias("region"))
+        .where(F.col("region").isNotNull())
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "region")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "region", "cnt")
+        .orderBy("window_start", "region")
     )
 
 
