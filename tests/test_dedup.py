@@ -95,3 +95,15 @@ def test_embedding_cosine_dups_bounds(spark):
     for r in rows:
         assert r.vec_a < r.vec_b
         assert dedup.COSINE_THRESHOLD <= r.cosine <= 1.0 + 1e-12
+
+
+def test_brute_force_guard_refuses_lake_scale(spark, monkeypatch):
+    """The quadratic baselines must refuse inputs above BRUTE_MAX_ROWS
+    (they are oracles for the LSH variants, not the scale path)."""
+    from uw_hadoop_aglorithms_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "BRUTE_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="minhash_lsh_dedup"):
+        dedup.ngram_jaccard_pairs(spark, SF_TEST)
+    with pytest.raises(ValueError, match="ann_lsh_topk"):
+        dedup.embedding_cosine_dups(spark, SF_TEST)

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.functions.hashing import polyhash, uhash
 from uw_hadoop_aglorithms_spark.functions.text import tokens
+from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
 #: Near-dup Jaccard threshold (word-bigram shingles).
@@ -56,18 +57,31 @@ HAMMING_MAX = 3
 SIMHASH_MEMBER = 101
 #: Cosine near-dup threshold over `embeddings`.
 COSINE_THRESHOLD = 0.4
+#: The quadratic ground-truth baselines (ngram_jaccard, embedding cosine)
+#: refuse inputs above this row count: they exist to verify the LSH
+#: variants at oracle scale, and must never be pointed at a lake. The
+#: guard costs one metadata-cheap count per call.
+BRUTE_MAX_ROWS = 100_000
+
+
+def _guard_brute(n: int, name: str, alternative: str) -> None:
+    if n > BRUTE_MAX_ROWS:
+        raise ValueError(
+            f"{name} is a quadratic ground-truth baseline: refusing "
+            f"{n} input rows (> BRUTE_MAX_ROWS={BRUTE_MAX_ROWS}). "
+            f"Use {alternative} — the bucketed scale path with the same "
+            "semantics."
+        )
 
 
 def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, gs: array<string>) — distinct word-bigram shingles.
 
-    The scan is repartitioned before shingling: per-char hash folds are
-    interpreter-bound CPU, so spreading the text across all cores beats
-    file-split parallelism (the local fixture is one row group; on a
-    real lake this shuffle is tiny relative to the compute it feeds)."""
-    docs = Catalog(spark, sf_dir).documents.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    Per-char hash folds are interpreter-bound CPU, so the scan is spread
+    across cores when (and only when) the input is under-parallel — see
+    plans/layout.spread_for_cpu for why this must not be unconditional
+    at lake scale."""
+    docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
     ts = tokens("text")
     n = F.greatest(F.size(ts) - F.lit(1), F.lit(0))
     grams = F.zip_with(
@@ -113,10 +127,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Inverted-index self-join (shingle → docs) computes |A∩B| with one
     shuffle on the shingle key; set sizes join in afterwards. Exact but
-    quadratic in hot shingles — the LSH variant below is the scale path.
+    quadratic in hot shingles — the LSH variant below is the scale path,
+    and a BRUTE_MAX_ROWS guard refuses lake-sized inputs outright.
     Jaccard is an int/int double division: bit-identical in DuckDB, so
     no rounding is needed for oracle parity.
     """
+    _guard_brute(
+        Catalog(spark, sf_dir).documents.count(),
+        "ngram_jaccard_pairs",
+        "minhash_lsh_dedup",
+    )
     grams = _grams(spark, sf_dir).cache()
     sizes = grams.select("doc_id", F.size("gs").alias("n"))
     sh = grams.select("doc_id", F.explode("gs").alias("g"))
@@ -265,12 +285,16 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`aggregate`) and the DuckDB oracle (`list_reduce`), after a
     float→double upcast — bit-identical results, no rounding games.
     Brute force is the verifiable baseline; similarity.py holds the
-    bucketed ANN scale path. The pair join is a single cartesian stage
-    over an embeddings table that is tiny relative to the corpus.
+    bucketed ANN scale path. The pair join is a nested-loop cartesian —
+    a BRUTE_MAX_ROWS guard refuses lake-sized inputs outright.
     """
+    _guard_brute(
+        Catalog(spark, sf_dir).embeddings.count(),
+        "embedding_cosine_dups",
+        "similarity.ann_lsh_topk",
+    )
     emb = (
-        Catalog(spark, sf_dir)
-        .embeddings.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        spread_for_cpu(Catalog(spark, sf_dir).embeddings, "vec_id")
         .select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )

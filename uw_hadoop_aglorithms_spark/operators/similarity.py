@@ -30,10 +30,18 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params
+from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
-#: Every QUERY_STRIDE-th vector is a query point.
+#: Every QUERY_STRIDE-th vector is a query point, capped at
+#: ANN_MAX_QUERIES: the query side is BROADCAST, so it must be a bounded
+#: external query set, never a fraction of the corpus (a |corpus|/50
+#: broadcast grows linearly and dies at lake scale). The cap bounds the
+#: broadcast at ANN_MAX_QUERIES × (NPLANES+1) rows regardless of corpus
+#: size; the cap is inactive at fixture scale (vec_id < 50 000 always),
+#: so oracle results are unchanged.
 QUERY_STRIDE = 50
+ANN_MAX_QUERIES = 1_000
 TOP_K = 10
 #: LSH: NPLANES sign bits → 2^NPLANES buckets; probe own + hamming-1.
 NPLANES = 4
@@ -70,12 +78,19 @@ def _bucket(vec: Column) -> Column:
     return expr
 
 
+def _is_query(vec_id: Column) -> Column:
+    """Bounded deterministic query set: stride-sampled AND id-capped so
+    the broadcast side never grows with the corpus."""
+    return (vec_id % QUERY_STRIDE == 0) & (
+        vec_id < QUERY_STRIDE * ANN_MAX_QUERIES
+    )
+
+
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition the single-row-group fixture scan so the interpreted
-    # fold expressions run on all cores (no-op shape on a real lake)
+    # spread the interpreted fold expressions across cores only when the
+    # scan is under-parallel (plans/layout.spread_for_cpu)
     return (
-        Catalog(spark, sf_dir)
-        .embeddings.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        spread_for_cpu(Catalog(spark, sf_dir).embeddings, "vec_id")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn(
             "nrm",
@@ -100,15 +115,16 @@ def _cosine(a: str, b: str) -> Column:
 
 
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors for each stride-50 query vector.
+    """Exact cosine top-10 neighbors for each query vector.
 
-    The query set is broadcast (|corpus|/50 rows), so the corpus is
-    scanned once map-side — the only shuffle is the per-query top-k
-    window over |queries|×|corpus| scored rows, which AQE keeps small
-    because the scoring join already filtered to query rows.
+    The query set is broadcast and BOUNDED (<= ANN_MAX_QUERIES rows), so
+    the corpus is scanned once map-side — the only shuffle is the
+    per-query top-k window over |queries|×|corpus| scored rows. Still
+    the ground-truth baseline: scoring is linear in the corpus per
+    query; ann_lsh_topk is the scale path.
     """
     emb = _normed(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).alias("q")
+    q = emb.filter(_is_query(F.col("vec_id"))).alias("q")
     c = emb.alias("c")
     scored = (
         F.broadcast(q)
@@ -135,13 +151,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus vectors get a bucket map-side; each query probes its own
     bucket and the NPLANES hamming-1 buckets. Candidates come from an
     equi-join on the bucket key (shuffle ∝ probed fraction, ~5/16 of
-    the corpus per query), then exact cosine reranks. At 100 TB, raise
-    NPLANES so bucket population stays bounded; the plan shape is
-    unchanged.
+    the corpus per query), then exact cosine reranks. The broadcast
+    query side is bounded by ANN_MAX_QUERIES — it never scales with the
+    corpus. At 100 TB, raise NPLANES so bucket population stays bounded;
+    the plan shape is unchanged.
     """
     emb = _normed(spark, sf_dir).withColumn("bucket", _bucket(F.col("v")))
     q = (
-        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        emb.filter(_is_query(F.col("vec_id")))
         .select(
             "vec_id",
             "v",

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.functions.text import tokens
+from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
 #: Stopword list for quality scoring (tiny; broadcast-free literal).
@@ -169,10 +170,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keys on (doc_id, fp), two int64s).
     """
     # per-char rolling hashes are interpreter-bound: spread the text
-    # across all cores (the fixture scan is a single row group)
-    docs = Catalog(spark, sf_dir).documents.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # across cores only when the scan is under-parallel
+    # (plans/layout.spread_for_cpu)
+    docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
     kgram_hashes = F.expr(
         f"transform(sequence(1, greatest(length(text) - {FP_K - 1}, 0), 1),"
         f" i -> aggregate(split(substr(text, i, {FP_K}), ''), 0L,"

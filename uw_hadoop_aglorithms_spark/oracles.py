@@ -100,10 +100,11 @@ RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "anti_join": f"""
         SELECT o_orderkey, o_orderstatus, o_totalprice
-        FROM orders
-        WHERE o_orderkey NOT IN (
-            SELECT l_orderkey FROM lineitem
-            WHERE l_shipdate > TIMESTAMP '{Q7_DATE}'
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o.o_orderkey
+              AND l_shipdate > TIMESTAMP '{Q7_DATE}'
         )
         ORDER BY o_orderkey
     """,
@@ -602,10 +603,17 @@ MULTIMODAL_ORACLES: dict[str, str] = {
 # even the approximate-NN pipeline is value-checked.
 
 from uw_hadoop_aglorithms_spark.operators.similarity import (
+    ANN_MAX_QUERIES,
     PROBE_MASKS,
     QUERY_STRIDE,
     TOP_K,
     hyperplanes,
+)
+
+#: Bounded query set — mirrors similarity._is_query exactly (the cap is
+#: inactive at fixture scale, so results match the uncapped form there).
+_IS_QUERY = (
+    f"vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_STRIDE * ANN_MAX_QUERIES}"
 )
 
 _NORMED_CTE = f"""
@@ -632,7 +640,7 @@ def _bucket_sql(vcol: str) -> str:
 def _ann_brute_sql() -> str:
     return f"""
     WITH {_NORMED_CTE},
-    q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+    q AS (SELECT * FROM e WHERE {_IS_QUERY}),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_COS_QC} / (q.nrm * c.nrm) AS cosine
@@ -657,7 +665,7 @@ def _ann_lsh_sql() -> str:
     q AS (
         SELECT vec_id, v, nrm, xor(bucket, mask) AS probe
         FROM eb, unnest([{masks}]) AS t(mask)
-        WHERE vec_id % {QUERY_STRIDE} = 0
+        WHERE {_IS_QUERY}
     ),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
