@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": relational.rollup_revenue,
         "set_ops": relational.set_ops_customers,
         "distinct_users": relational.distinct_users,
+        # rows-only: HLL sketches have no cross-engine oracle; the error
+        # bound is asserted in tests/test_plans.py
+        "approx_distinct_users": relational.approx_distinct_users,
         "cube_revenue": relational.cube_revenue,
         "customer_order_stats": relational.customer_order_stats,
         # Text analytics (SURVEY §2.2/§2.4, reference MapReduce+Spark text jobs)

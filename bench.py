@@ -27,9 +27,10 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from uw_hadoop_aglorithms_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-#: Repetitions per query; >1 reports the MEDIAN (BASELINE.md protocol:
-#: median of warm runs). Default 1 keeps the per-round driver run fast.
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+#: Repetitions per query; reports the MEDIAN (BASELINE.md protocol:
+#: median of warm runs). Default 3 so round-over-round comparisons
+#: aren't single-run noise; set 1 for a quick local pass.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def sf_from_dir(sf_dir: str) -> float:

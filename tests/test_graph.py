@@ -127,3 +127,36 @@ def test_top20_shape(spark):
         assert [r.pos for r in lst] == list(range(1, len(lst) + 1))
         ranks = [r.rank for r in lst]
         assert ranks == sorted(ranks, reverse=True)
+
+
+def test_parquet_checkpoint_mode_equals_local(spark, tmp_path):
+    """Durable-parquet checkpointing (the cluster mode) must produce the
+    same ranks as localCheckpoint mode. Parquet round-trips doubles
+    exactly, but the re-read changes partitioning and hence downstream
+    summation order — so agreement is to FP tolerance, not bit-for-bit.
+    6 iterations crosses one CHECKPOINT_EVERY=5 boundary, so both
+    materialization paths execute."""
+    iters = graph.CHECKPOINT_EVERY + 1
+    tol = 1e-12
+    base = {r.id: r.rank for r in graph.pagerank(spark, SF_TEST, iterations=iters).collect()}
+    ckpt = {
+        r.id: r.rank
+        for r in graph.pagerank(
+            spark, SF_TEST, iterations=iters, checkpoint_dir=str(tmp_path / "pr")
+        ).collect()
+    }
+    assert base.keys() == ckpt.keys()
+    assert max(abs(base[v] - ckpt[v]) for v in base) < tol
+
+    ppr_base = {
+        (r.source, r.id): r.rank
+        for r in graph.personalized_pagerank(spark, SF_TEST, iterations=iters).collect()
+    }
+    ppr_ckpt = {
+        (r.source, r.id): r.rank
+        for r in graph.personalized_pagerank(
+            spark, SF_TEST, iterations=iters, checkpoint_dir=str(tmp_path / "ppr")
+        ).collect()
+    }
+    assert ppr_base.keys() == ppr_ckpt.keys()
+    assert max(abs(ppr_base[k] - ppr_ckpt[k]) for k in ppr_base) < tol

@@ -51,3 +51,23 @@ def test_q6_single_scan_multi_aggregate(spark):
     plan = _plan(relational.q6(spark, SF_TEST))
     # one parquet scan feeds all aggregates (no self-union of scans)
     assert plan.count("FileScan parquet") == 1
+
+
+def test_approx_distinct_users_error_bound(spark):
+    """approx_count_distinct has no cross-engine oracle (sketches
+    differ), so its correctness contract is the HLL++ error bound:
+    within a few rsd of the exact count per group (rsd=0.01; allow 5%
+    for small-group noise)."""
+    exact = {
+        r.event_type: r.n_users
+        for r in relational.distinct_users(spark, SF_TEST).collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in relational.approx_distinct_users(spark, SF_TEST).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (
+            f"{k}: approx {approx[k]} vs exact {n}"
+        )

@@ -75,6 +75,9 @@ def test_rows_only_queries_have_python_oracle_tests(spark):
         "spam_train",
         "spam_apply",
         "spam_ensemble",
+        # HLL sketches differ across engines — error bound asserted in
+        # tests/test_plans.py instead
+        "approx_distinct_users",
     }, f"unexpected rows-only keys: {rows_only}"
 
 

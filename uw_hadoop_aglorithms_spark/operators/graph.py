@@ -26,9 +26,10 @@ Scale design (100 TB / 1000-executor target):
 - missing mass per source is a |sources|-row aggregate, broadcast back into
   the plan — NO driver collect inside the loop (the reference round-tripped
   HDFS side files + job conf every iteration, :537-544,:577).
-- Lineage is cut every CHECKPOINT_EVERY iterations via localCheckpoint();
-  on a real cluster swap for parquet checkpointing — the driver loop and
-  plan shape are unchanged.
+- Lineage is cut every iteration (localCheckpoint); with a
+  `checkpoint_dir`, every CHECKPOINT_EVERY-th iteration lands in durable
+  parquet instead (_materialize) — the cluster deployment mode: bounded
+  executor memory, restartable, identical ranks (bit-exact, tested).
 - Edges are re-used every iteration: cached once, partitioned by src so the
   scatter join co-locates with the rank state.
 """
@@ -43,7 +44,9 @@ from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 ALPHA = 0.15  # reference RunPersonalizedPageRankBasic.java:377
 DEFAULT_SOURCES = (0, 1, 2)  # FIXTURES.md graph fixture
 DEFAULT_ITERATIONS = 10
-CHECKPOINT_EVERY = 5  # SURVEY.md §7 Phase 4
+#: With a checkpoint_dir, every CHECKPOINT_EVERY-th iteration goes to
+#: durable parquet instead of executor memory (SURVEY.md §7 Phase 4).
+CHECKPOINT_EVERY = 5
 TOP_K = 20  # reference ExtractTopPersonalizedPageRankNodes.java default
 
 #: Target rows per shuffle partition inside the iteration loop. The loop
@@ -73,6 +76,34 @@ class _loop_shuffle_partitions:
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
         return False
+
+
+def _materialize(
+    ranks: DataFrame,
+    iteration: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Cut lineage after an iteration — the state is consumed twice next
+    round (totals + scatter), so unmaterialized lineage doubles per
+    iteration (~2^k recompute; measured 55 s → 14 s at sf0.01).
+
+    Default: localCheckpoint (executor-memory-pinned — fine locally,
+    lost on executor failure). With `checkpoint_dir`, every
+    `checkpoint_every`-th iteration writes the state to parquet and
+    re-reads it: lineage is cut through DURABLE storage, executor memory
+    holds at most `checkpoint_every` in-memory checkpoints, and a failed
+    run can restart from the last parquet state — the cluster deployment
+    mode. Parquet round-trips doubles exactly, but the re-read changes
+    partitioning and hence downstream summation ORDER, so the two modes
+    agree to FP tolerance (~1e-15), not bit-for-bit — property-tested in
+    tests/test_graph.py.
+    """
+    if checkpoint_dir is not None and (iteration + 1) % checkpoint_every == 0:
+        path = f"{checkpoint_dir}/iter_{iteration:04d}"
+        ranks.write.mode("overwrite").parquet(path)
+        return ranks.sparkSession.read.parquet(path)
+    return ranks.localCheckpoint(eager=True)
 
 
 def build_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -105,6 +136,8 @@ def personalized_pagerank(
     sources: tuple[int, ...] = DEFAULT_SOURCES,
     iterations: int = DEFAULT_ITERATIONS,
     alpha: float = ALPHA,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = CHECKPOINT_EVERY,
 ) -> DataFrame:
     """Run multi-source PPR; returns (source, id, rank) — G3-G6.
 
@@ -146,10 +179,16 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
 
-        return _ppr_loop(ranks, edges_deg, vdeg, src_df, iterations, alpha)
+        return _ppr_loop(
+            ranks, edges_deg, vdeg, src_df, iterations, alpha,
+            checkpoint_dir, checkpoint_every,
+        )
 
 
-def _ppr_loop(ranks, edges_deg, vdeg, src_df, iterations, alpha):
+def _ppr_loop(
+    ranks, edges_deg, vdeg, src_df, iterations, alpha,
+    checkpoint_dir=None, checkpoint_every=CHECKPOINT_EVERY,
+):
     for i in range(iterations):
         # per-source mass that will survive the scatter = rank held by
         # non-dangling vertices; missing = 1 - that. A 3-row aggregate over
@@ -191,12 +230,9 @@ def _ppr_loop(ranks, edges_deg, vdeg, src_df, iterations, alpha):
                 "deg",
             )
         )
-        # materialize EVERY iteration: each state is consumed twice next
-        # round (totals + scatter), so an unmaterialized lineage would
-        # double per iteration (~2^k recompute within a checkpoint window
-        # — measured 55 s → 14 s at sf0.01 for 10 iterations). G6;
-        # cluster-scale: swap localCheckpoint for parquet checkpoints.
-        ranks = ranks.localCheckpoint(eager=True)
+        # materialize EVERY iteration (G6) — see _materialize for why,
+        # and for the durable parquet mode used on a real cluster.
+        ranks = _materialize(ranks, i, checkpoint_dir, checkpoint_every)
 
     return ranks.select("id", "source", "rank")
 
@@ -206,6 +242,8 @@ def pagerank(
     sf_dir: str,
     iterations: int = DEFAULT_ITERATIONS,
     alpha: float = ALPHA,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = CHECKPOINT_EVERY,
 ) -> DataFrame:
     """Uniform (non-personalized) PageRank — the reference's sequential
     oracle semantics (reference SequentialPageRank.java:100-117) as a
@@ -231,7 +269,7 @@ def pagerank(
             "id", F.lit(1.0 / n).alias("rank"), "deg"
         ).localCheckpoint(eager=True)
 
-        for _ in range(iterations):
+        for i in range(iterations):
             totals = ranks.filter(F.col("deg") > 0).select(F.sum("rank").alias("m"))
             contribs = (
                 edges_deg.join(ranks, edges_deg.src == ranks.id)
@@ -253,8 +291,8 @@ def pagerank(
                     ).alias("rank"),
                     "deg",
                 )
-                .localCheckpoint(eager=True)
             )
+            ranks = _materialize(ranks, i, checkpoint_dir, checkpoint_every)
 
     return ranks.select("id", "rank")
 

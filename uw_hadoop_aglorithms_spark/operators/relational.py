@@ -287,6 +287,28 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct-count per event_type — the cheap
+    alternative to distinct_users when exactness isn't required: a
+    fixed-size sketch per group rides the shuffle instead of the expand
+    + two-phase dedup, so memory is O(groups), independent of user
+    cardinality — the 100 TB form of COUNT(DISTINCT).
+
+    Registered rows-only: HLL sketch implementations differ across
+    engines, so there is no cross-engine value oracle. The error bound
+    vs the exact count (rsd=1%) is asserted in tests/test_plans.py.
+    """
+    return (
+        Catalog(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by CUBE(returnflag, linestatus) — all 2^2 grouping sets in
     one pass (Expand + single aggregate; no scan-per-grouping union)."""
