@@ -13,6 +13,7 @@ checked to stay small.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -57,6 +58,13 @@ def main() -> None:
             # not accumulate across the run
             spark.catalog.clearCache()
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # Release cross-query garbage OUTSIDE the timers: clearCache does
+        # not free localCheckpoint RDDs or broadcasts — they die only when
+        # their Python refs are collected and the ContextCleaner runs, so
+        # without this, earlier queries' leftovers tax later timings
+        # (measured ~2× on the graph loops after 45 queries).
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     result = {
         "metric": "total_query_sec",
