@@ -50,6 +50,21 @@ def test_stream_region_event_count_equals_batch(spark, replay):
     assert stream == batch
 
 
+def test_stream_geo_region_count_equals_batch(spark, replay):
+    batch = {
+        (r.window_start, r.region, r.cnt)
+        for r in windows.geo_region_count(spark, SF_TEST).collect()
+    }
+    stream = {
+        (r.window_start, r.region, r.cnt)
+        for r in runner.stream_geo_region_count(
+            spark, f"{replay}/events", f"{replay}/cp_geo"
+        ).collect()
+    }
+    assert stream == batch
+    assert batch, "fixture must produce in-box events"
+
+
 def test_stream_trending_equals_batch_except_open_windows(spark, replay):
     batch_rows = windows.trending_arrivals(spark, SF_TEST).collect()
     last_window = {}

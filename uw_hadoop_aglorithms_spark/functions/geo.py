@@ -56,18 +56,23 @@ SYNTH_LON0 = -74.0150
 SYNTH_LAT0 = 40.7130
 SYNTH_STEP = 1e-5
 SYNTH_MOD = 1_000
-SYNTH_DIV = 7
+#: Affine permutation decorrelating the lat index from the lon index —
+#: chosen so every run of 1000 consecutive ids lands ~7 points in the
+#: goldman box and ~34 in citigroup (so even the sf0.001 fixture, ids
+#: 0..999, exercises both boxes). A plain id//K lat index fails there:
+#: small id ranges never reach the boxes' latitudes.
+SYNTH_A = 37
+SYNTH_B = 11
 
 
 def synth_lonlat(event_id: Column) -> tuple[Column, Column]:
-    """(lon, lat) derived from event_id: lon walks a 0.01° band, lat an
-    independent band via bounded integer division — together they tile a
-    grid around the Manhattan boxes. The lat index reduces event_id mod
-    DIV*MOD FIRST so the division stays exact in double for any int64 id
-    (and equals (event_id // DIV) % MOD). Same association order as the
-    SQL fragment below (mult before add) for bit-identical doubles."""
+    """(lon, lat) derived from event_id: lon walks a 0.01° band
+    (id % MOD), lat walks the same band under an affine permutation of
+    the index — integer arithmetic reduced mod MOD first, so it stays
+    exact for any int64 id. Same association order as the SQL fragment
+    below (mult before add) for bit-identical doubles."""
     lon = F.lit(SYNTH_LON0) + (event_id % SYNTH_MOD) * F.lit(SYNTH_STEP)
-    lat_idx = F.floor((event_id % (SYNTH_DIV * SYNTH_MOD)) / SYNTH_DIV)
+    lat_idx = ((event_id % SYNTH_MOD) * SYNTH_A + SYNTH_B) % SYNTH_MOD
     lat = F.lit(SYNTH_LAT0) + lat_idx * F.lit(SYNTH_STEP)
     return lon, lat
 
@@ -81,8 +86,8 @@ def synth_lonlat_sql(event_id_expr: str) -> tuple[str, str]:
         f" * {SYNTH_STEP!r})"
     )
     lat = (
-        f"({SYNTH_LAT0!r}e0 + ((({event_id_expr}) % {SYNTH_DIV * SYNTH_MOD})"
-        f" // {SYNTH_DIV}) * {SYNTH_STEP!r})"
+        f"({SYNTH_LAT0!r}e0 + ((({event_id_expr}) % {SYNTH_MOD})"
+        f" * {SYNTH_A} + {SYNTH_B}) % {SYNTH_MOD} * {SYNTH_STEP!r})"
     )
     return lon, lat
 

@@ -120,6 +120,40 @@ def stream_event_count_append(
     return spark.table(query_name).orderBy("window_start")
 
 
+def stream_geo_region_count(
+    spark: SparkSession,
+    replay_dir: str,
+    checkpoint_dir: str,
+    minutes: int = 60,
+    query_name: str = "stream_geo_region_count",
+) -> DataFrame:
+    """The reference RegionEventCount job end-to-end as a real stream:
+    bounding-box tag (map-side, drops out-of-box events BEFORE the
+    stateful aggregation) → watermarked window counts per region."""
+    from uw_hadoop_aglorithms_spark.functions.geo import region_tag, synth_lonlat
+
+    lon, lat = synth_lonlat(F.col("event_id"))
+    agg = (
+        _event_stream(spark, replay_dir)
+        .select("ts", region_tag(lon, lat).alias("region"))
+        .where(F.col("region").isNotNull())
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "region")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "region", "cnt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("window_start", "region")
+
+
 def stream_region_event_count(
     spark: SparkSession,
     replay_dir: str,
