@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": pipeline.split_assign,
         "stratified_sample": pipeline.stratified_sample,
         "events_props_stats": pipeline.events_props_stats,
+        # distributed prefix-sum context packing + dedup/quality curation
+        "pack_sequences": pipeline.pack_sequences,
+        "corpus_curation": pipeline.corpus_curation,
         # Training-data pipeline: multimodal binary-column plumbing
         # (Arrow-batched mapInPandas feature extraction + frame sampling;
         # decode itself is stubbed — no media libs in this container)

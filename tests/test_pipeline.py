@@ -85,3 +85,40 @@ def test_tfidf_topk_shape_and_monotonicity(spark):
         assert scores == sorted(scores, reverse=True)
         # df of a kept term can never exceed the corpus size; tf >= 1
         assert all(r.tf >= 1 for r in rs)
+
+
+def test_pack_sequences_is_a_valid_packing(spark):
+    """Shard ids must be monotone in doc order, start at 0, skip nothing,
+    and each shard's exclusive token start must sit in [shard*B, (shard+1)*B)."""
+    rows = pipeline.pack_sequences(spark, SF_TEST).collect()
+    assert rows
+    cum = 0
+    seen = set()
+    prev = 0
+    for r in rows:
+        shard = cum // pipeline.PACK_BUDGET
+        assert r.shard_id == shard, f"doc {r.doc_id}: {r.shard_id} != {shard}"
+        assert r.shard_id >= prev
+        prev = r.shard_id
+        seen.add(r.shard_id)
+        cum += r.n_tokens
+    assert seen == set(range(max(seen) + 1)), "shard ids must be contiguous"
+    assert len(seen) > 1, "fixture should span multiple shards"
+
+
+def test_corpus_curation_composes_dedup_and_quality(spark):
+    """Curation counts must equal the intersection of survivor and
+    above-threshold sets computed from the component operators."""
+    from uw_hadoop_aglorithms_spark.operators.dedup import exact_dedup
+    from uw_hadoop_aglorithms_spark.operators.textstats import quality_score
+
+    survivors = {r.doc_id for r in exact_dedup(spark, SF_TEST).collect()}
+    good = {
+        r.doc_id
+        for r in quality_score(spark, SF_TEST).collect()
+        if r.quality >= pipeline.CURATION_MIN_QUALITY
+    }
+    expect = len(survivors & good)
+    got = sum(r.n_docs for r in pipeline.corpus_curation(spark, SF_TEST).collect())
+    assert got == expect
+    assert 0 < got

@@ -26,10 +26,11 @@ added, which row-number or RNG schemes cannot guarantee.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params
+from uw_hadoop_aglorithms_spark.functions.text import tokens
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
 #: Universal-hash family members (distinct per use so the operators'
@@ -125,6 +126,97 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+#: pack_sequences: token budget per shard, and the doc-id range width of
+#: the distributed prefix-sum (each range's cumsum runs in parallel; the
+#: cross-range offsets are a |docs|/PACK_RANGE-row window — the classic
+#: two-phase scan that replaces a single-partition global window).
+PACK_BUDGET = 1_000
+PACK_RANGE = 100
+
+#: corpus_curation: minimum quality score a document must reach (median
+#: of the fixture corpus is ~0.78; 0.75 keeps ~70%).
+CURATION_MIN_QUALITY = 0.75
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents (in doc_id order) to
+    fixed token-budget shards — the sequence-packing step of an LLM
+    training pipeline, as a DISTRIBUTED prefix sum.
+
+    shard_id = exclusive-cumulative-tokens div PACK_BUDGET. A naive
+    global ordered window would single-partition the corpus; instead the
+    cumsum is two-phase: per-range windows (parallel, partitioned by
+    doc_id div PACK_RANGE) plus broadcast cross-range offsets computed
+    from the tiny per-range totals. Integer arithmetic end-to-end, so
+    the two-phase result is EXACTLY the global cumsum the DuckDB oracle
+    computes in one window.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_RANGE}").alias("rng"),
+    )
+    per_range = toks.groupBy("rng").agg(F.sum("n_tokens").alias("rng_tokens"))
+    # exclusive prefix over ranges: |docs|/PACK_RANGE rows — tiny by
+    # construction, so the unpartitioned window is a non-issue at scale
+    w_rng = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_range.select(
+        "rng",
+        F.coalesce(F.sum("rng_tokens").over(w_rng), F.lit(0)).alias("offset"),
+    )
+    w_in = Window.partitionBy("rng").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        toks.join(F.broadcast(offsets), "rng")
+        .withColumn(
+            "cum_excl",
+            F.col("offset") + F.sum("n_tokens").over(w_in) - F.col("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"cum_excl div {PACK_BUDGET}").alias("shard_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation report: exact-dedup survivors that clear the
+    quality bar, summarized per (lang, source) — the composition step a
+    training-data pipeline runs before packing: dedup → quality filter →
+    mix report. Built by COMPOSING the registered operators (exact_dedup
+    supplies survivors, quality_score supplies scores), so the pipeline
+    is the same plan fragments the driver already verifies individually.
+
+    Scale: survivor membership joins on doc_id (32-byte digests did the
+    dedup shuffle), quality is map-side arithmetic, and the final
+    aggregate is |langs × sources| groups with map-side partials.
+    """
+    from uw_hadoop_aglorithms_spark.operators.dedup import exact_dedup
+    from uw_hadoop_aglorithms_spark.operators.textstats import quality_score
+
+    survivors = exact_dedup(spark, sf_dir).select("doc_id")
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return (
+        docs.join(survivors, "doc_id")
+        .join(quality, "doc_id")
+        .where(F.col("quality") >= CURATION_MIN_QUALITY)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("quality"), 9).alias("avg_quality"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract the JSON `props` payload of `events` and aggregate per type.
 
@@ -147,9 +239,14 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB token-array fragment (canonical tokenizer parity).
+from uw_hadoop_aglorithms_spark.functions.text import TOKENS_SQL  # noqa: E402
+
 #: DuckDB oracles (same arithmetic; json_extract_string for `props`).
 #: Integer sums are CAST to BIGINT: DuckDB's sum() over integers returns
 #: HUGEINT, which the driver canonicalizes differently than Spark's long.
+#: pack_sequences' oracle is the NAIVE single-window global cumsum — the
+#: engine's two-phase distributed form must equal it exactly (integers).
 PIPELINE_ORACLES: dict[str, str] = {
     "hash_sample": f"""
         SELECT doc_id, lang, source, n_chars FROM documents
@@ -178,6 +275,20 @@ PIPELINE_ORACLES: dict[str, str] = {
             {' '.join(f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(STRATA_RATES.items()))}
             ELSE {STRATA_DEFAULT} END)
         ORDER BY doc_id
+    """,
+    "pack_sequences": f"""
+        WITH t AS (SELECT doc_id, len({TOKENS_SQL}) AS n_tokens FROM documents),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_excl
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS shard_id
+        FROM c ORDER BY doc_id
     """,
     "events_props_stats": """
         SELECT event_type,

@@ -809,6 +809,48 @@ TEXTSTATS_ORACLES: dict[str, str] = {
 }
 
 
+# --- curation composition (operators/pipeline.py corpus_curation) -----------
+# Mirrors the quality_score oracle's arithmetic SHAPE exactly (same CTE
+# structure → bit-identical doubles → the threshold filter selects the
+# same rows), composed with the exact_dedup survivor set.
+
+from uw_hadoop_aglorithms_spark.operators.pipeline import CURATION_MIN_QUALITY
+
+CURATION_ORACLES: dict[str, str] = {
+    "corpus_curation": f"""
+        WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(list_filter(ts, t -> list_contains({_STOP_LIST}, t)))
+                     / len(ts) AS stopword_ratio,
+                   len(list_distinct(ts)) / len(ts) AS unique_ratio,
+                   least(len(ts) / {LEN_SATURATION}, 1.0) AS length_score
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id,
+                   {W_LEN} * length_score + {W_STOP} * (1.0 - stopword_ratio)
+                     + {W_DIV} * unique_ratio AS quality
+            FROM m
+        ),
+        surv AS (
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+                  FROM documents)
+            GROUP BY norm
+        )
+        SELECT d.lang, d.source, count(*) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+               round(avg(q.quality), 9) AS avg_quality
+        FROM documents d JOIN surv USING (doc_id) JOIN q USING (doc_id)
+        WHERE q.quality >= {CURATION_MIN_QUALITY}
+        GROUP BY d.lang, d.source
+        ORDER BY d.lang, d.source
+    """,
+}
+
+
 def all_oracles() -> dict[str, str]:
     """Merged oracle map across operator families (driver contract)."""
     from uw_hadoop_aglorithms_spark.operators.pipeline import PIPELINE_ORACLES
@@ -824,4 +866,5 @@ def all_oracles() -> dict[str, str]:
     merged.update(TEXTSTATS_ORACLES)
     merged.update(MULTIMODAL_ORACLES)
     merged.update(TEMPORAL_ORACLES)
+    merged.update(CURATION_ORACLES)
     return merged
