@@ -9,7 +9,8 @@ and fatal at 100 TB.
 
 from __future__ import annotations
 
-from uw_hadoop_aglorithms_spark.operators import relational, similarity, text
+from uw_hadoop_aglorithms_spark.operators import pipeline, relational, similarity, text
+from uw_hadoop_aglorithms_spark.streaming import windows
 from tests.conftest import SF_TEST
 
 
@@ -51,6 +52,24 @@ def test_q6_single_scan_multi_aggregate(spark):
     plan = _plan(relational.q6(spark, SF_TEST))
     # one parquet scan feeds all aggregates (no self-union of scans)
     assert plan.count("FileScan parquet") == 1
+
+
+def test_geo_region_count_prunes_to_two_columns(spark):
+    """The geo tagger derives lon/lat from event_id, so the scan must
+    read only (event_id, ts) — everything else pruned."""
+    plan = _plan(windows.geo_region_count(spark, SF_TEST))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read_schema and "ts" in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_pack_sequences_broadcasts_range_offsets(spark):
+    """The distributed prefix sum must broadcast the tiny cross-range
+    offset table (never shuffle the corpus by a global order), and the
+    only single-partition exchange is the |ranges|-row offset window."""
+    plan = _plan(pipeline.pack_sequences(spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 1
 
 
 def test_approx_distinct_users_error_bound(spark):

@@ -152,11 +152,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes in one window.
     """
     docs = Catalog(spark, sf_dir).documents
+    # cache the 3-int projection: it feeds BOTH the per-range totals and
+    # the final assignment — without it the corpus is scanned (and
+    # tokenized) twice. ~24 bytes/doc, cacheable even at 1e9 docs.
     toks = docs.select(
         "doc_id",
         F.size(tokens("text")).cast("long").alias("n_tokens"),
         F.expr(f"doc_id div {PACK_RANGE}").alias("rng"),
-    )
+    ).cache()
     per_range = toks.groupBy("rng").agg(F.sum("n_tokens").alias("rng_tokens"))
     # exclusive prefix over ranges: |docs|/PACK_RANGE rows — tiny by
     # construction, so the unpartitioned window is a non-issue at scale
