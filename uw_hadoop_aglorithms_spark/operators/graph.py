@@ -88,6 +88,13 @@ def _materialize(
     round (totals + scatter), so unmaterialized lineage doubles per
     iteration (~2^k recompute; measured 55 s → 14 s at sf0.01).
 
+    Measured alternative (round 2, rejected): computing `totals` from
+    `gathered` makes the state single-consumer, which in principle
+    allows checkpointing every K iterations — but the per-iteration
+    broadcast subquery still re-executes its whole unmaterialized
+    lineage, reproducing the 2^k blowup (52 s vs 7 s at sf0.1 for
+    K=5). Per-iteration materialization is load-bearing; keep it.
+
     Default: localCheckpoint (executor-memory-pinned — fine locally,
     lost on executor failure). With `checkpoint_dir`, every
     `checkpoint_every`-th iteration writes the state to parquet and
