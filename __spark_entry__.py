@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "simhash_dedup": dedup.simhash_dedup,
         "embedding_cosine_dups": dedup.embedding_cosine_dups,
+        # test-set decontamination: token-8-gram overlap vs held-out docs
+        "decontaminate": dedup.decontaminate,
         # Training-data pipeline: similarity search (exact baseline +
         # LSH-bucketed ANN, both fully oracle-checked)
         "ann_brute_topk": similarity.ann_brute_topk,

@@ -107,3 +107,49 @@ def test_brute_force_guard_refuses_lake_scale(spark, monkeypatch):
         dedup.ngram_jaccard_pairs(spark, SF_TEST)
     with pytest.raises(ValueError, match="ann_lsh_topk"):
         dedup.embedding_cosine_dups(spark, SF_TEST)
+
+
+def test_decontaminate_matches_python_oracle(spark):
+    """Sequential oracle: per training doc, the count of distinct token
+    8-gram hashes shared with the held-out set (same polyhash + 31-fold
+    arithmetic, so equality is exact)."""
+    import re
+
+    P = hashing.P
+
+    def ph(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % P
+        return h
+
+    def gram_hashes(text):
+        ts = [w for w in re.split(r"[^a-z0-9']+", text.lower()) if w]
+        hs = [ph(t) for t in ts]
+        out = set()
+        for i in range(len(hs) - dedup.DECON_NGRAM + 1):
+            g = 0
+            for h in hs[i : i + dedup.DECON_NGRAM]:
+                g = (g * 31 + h) % P
+            out.add(g)
+        return out
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_TEST}/documents.parquet").collect()
+    }
+    test_g = set().union(
+        *(gram_hashes(t) for d, t in docs.items() if d % dedup.DECON_TEST_MOD == 0)
+    )
+    expect = {
+        d: len(gram_hashes(t) & test_g)
+        for d, t in docs.items()
+        if d % dedup.DECON_TEST_MOD != 0
+    }
+    expect = {d: n for d, n in expect.items() if n}
+    got = {
+        r.doc_id: r.n_shared_ngrams
+        for r in dedup.decontaminate(spark, SF_TEST).collect()
+    }
+    assert got == expect
+    assert got, "fixture should contain contaminated training docs"

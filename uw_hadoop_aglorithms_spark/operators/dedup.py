@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from uw_hadoop_aglorithms_spark.functions.hashing import polyhash, uhash
+from uw_hadoop_aglorithms_spark.functions.hashing import P, polyhash, uhash
 from uw_hadoop_aglorithms_spark.functions.text import tokens
 from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
@@ -275,6 +275,63 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+#: Decontamination: token n-gram width (published pipelines use 8-13)
+#: and the held-out "benchmark" modulus (doc_id % MOD == 0 stands in for
+#: an external eval set; a real deployment joins an actual test corpus).
+DECON_NGRAM = 8
+DECON_TEST_MOD = 10
+
+
+def _token_ngram_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, gh) — DISTINCT token-8-gram hashes per doc.
+
+    Chars are hashed once per token occurrence (polyhash), then each
+    8-token window folds the token hashes with the same 31-ary step —
+    ~8× fewer char folds than hashing each gram's full string, same
+    engine-neutral reproducibility."""
+    ts = tokens("text")
+    th = F.transform(ts, lambda t: polyhash(t))
+    n = F.greatest(F.size(th) - F.lit(DECON_NGRAM - 1), F.lit(0))
+    grams = F.when(n >= 1, F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(
+            F.slice(th, i, DECON_NGRAM),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * F.lit(31) + h) % F.lit(P),
+        ),
+    )).otherwise(F.array().cast("array<long>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gh")
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: training docs sharing any token 8-gram
+    with the held-out set, with the count of distinct shared grams —
+    the contamination report a training pipeline runs before packing.
+
+    Plan shape: inverted-index semi-join on int64 gram hashes — the
+    shuffle carries (doc_id, hash) pairs, never text; the held-out side
+    is DISTINCT gram hashes (bounded by the eval corpus, broadcast-able
+    at scale). Nothing is quadratic; hot grams cost |train ∩ hot| join
+    rows, the same skew profile AQE already splits.
+    """
+    docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+    sh = _token_ngram_hashes(docs)
+    test_sh = (
+        sh.filter(F.col("doc_id") % DECON_TEST_MOD == 0)
+        .select("gh")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % DECON_TEST_MOD != 0)
+        .join(test_sh, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
     )
 
 

@@ -407,6 +407,8 @@ from uw_hadoop_aglorithms_spark.functions.hashing import polyhash_sql, uhash_sql
 from uw_hadoop_aglorithms_spark.operators.dedup import (
     BANDS,
     COSINE_THRESHOLD,
+    DECON_NGRAM,
+    DECON_TEST_MOD,
     HAMMING_MAX,
     JACCARD_THRESHOLD,
     NUM_PERMS,
@@ -415,6 +417,7 @@ from uw_hadoop_aglorithms_spark.operators.dedup import (
     SIMHASH_BITS,
     SIMHASH_MEMBER,
 )
+from uw_hadoop_aglorithms_spark.functions.hashing import P as _P
 
 #: Distinct word-bigram shingles per document (mirrors dedup._grams).
 _GRAMS_CTE = """
@@ -523,6 +526,33 @@ DEDUP_ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
+    """,
+    "decontaminate": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, list_transform(ts, t -> {polyhash_sql('t')}) AS hs
+            FROM toks
+        ),
+        gr AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(hs) - {DECON_NGRAM - 1}, 0) + 1),
+                       i -> list_reduce(
+                           list_prepend(0::BIGINT, hs[i:i + {DECON_NGRAM - 1}]),
+                           (a, h) -> (a * 31 + h) % {_P}))) AS gs
+            FROM th
+        ),
+        sh AS (SELECT doc_id, unnest(gs) AS gh FROM gr),
+        test AS (SELECT DISTINCT gh FROM sh WHERE doc_id % {DECON_TEST_MOD} = 0)
+        SELECT doc_id, count(*) AS n_shared_ngrams
+        FROM sh JOIN test USING (gh)
+        WHERE doc_id % {DECON_TEST_MOD} <> 0
+        GROUP BY doc_id ORDER BY doc_id
     """,
     "minhash_lsh_dedup": _minhash_lsh_sql(),
     "simhash_dedup": _simhash_sql(),
