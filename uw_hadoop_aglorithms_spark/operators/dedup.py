@@ -291,21 +291,27 @@ def _token_ngram_hashes(docs: DataFrame) -> DataFrame:
     Chars are hashed once per token occurrence (polyhash), then each
     8-token window folds the token hashes with the same 31-ary step —
     ~8× fewer char folds than hashing each gram's full string, same
-    engine-neutral reproducibility."""
+    engine-neutral reproducibility.
+
+    The window fold is a FLAT expression (7 chained element_at steps),
+    not a nested aggregate-over-slice: higher-order lambdas are
+    interpreted per element, and flattening the inner fold measured 20×
+    faster at sf0.1 (0.55 s vs 10.8 s) for identical values."""
+
+    def flat_gram(i: F.Column) -> F.Column:
+        g = F.element_at(F.col("th"), i)
+        for j in range(1, DECON_NGRAM):
+            g = (g * F.lit(31) + F.element_at(F.col("th"), i + F.lit(j))) % F.lit(P)
+        return g
+
     ts = tokens("text")
     th = F.transform(ts, lambda t: polyhash(t))
-    n = F.greatest(F.size(th) - F.lit(DECON_NGRAM - 1), F.lit(0))
-    grams = F.when(n >= 1, F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.aggregate(
-            F.slice(th, i, DECON_NGRAM),
-            F.lit(0).cast("long"),
-            lambda acc, h: (acc * F.lit(31) + h) % F.lit(P),
-        ),
-    )).otherwise(F.array().cast("array<long>"))
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("gh")
-    )
+    base = docs.select("doc_id", th.alias("th"))
+    n = F.greatest(F.size("th") - F.lit(DECON_NGRAM - 1), F.lit(0))
+    grams = F.when(
+        n >= 1, F.transform(F.sequence(F.lit(1), n), flat_gram)
+    ).otherwise(F.array().cast("array<long>"))
+    return base.select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
 
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
