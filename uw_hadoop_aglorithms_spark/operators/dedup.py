@@ -92,12 +92,32 @@ def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.array_distinct(grams).alias("gs"))
 
 
+def _gram_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs: array<long>) — DISTINCT word-bigram shingle hashes.
+
+    Each token is polyhashed ONCE, then a bigram hashes as
+    (th1 * 31 + th2) % P — chars fold per token occurrence instead of
+    per shingle string, measurably faster for the minhash/simhash
+    pipelines. The DuckDB oracle replicates the same combine
+    (oracles._HASHED_CTE), so hash-level parity is preserved;
+    distinctness is per hash pair (collisions ~n²/P per doc, mirrored
+    identically in the oracle)."""
+    docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+    ts = tokens("text")
+    th = F.transform(ts, lambda t: polyhash(t))
+    n = F.greatest(F.size(th) - F.lit(1), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(th, 1, n),
+        F.slice(th, 2, n),
+        lambda a, b: (a * F.lit(31) + b) % F.lit(P),
+    )
+    return docs.select("doc_id", F.array_distinct(pairs).alias("hs"))
+
+
 def _exploded_gram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, ph) — polyhash per distinct shingle occurrence."""
-    return (
-        _grams(spark, sf_dir)
-        .select("doc_id", F.explode("gs").alias("g"))
-        .select("doc_id", polyhash(F.col("g")).alias("ph"))
+    """(doc_id, ph) — one row per distinct shingle hash."""
+    return _gram_hash_sets(spark, sf_dir).select(
+        "doc_id", F.explode("hs").alias("ph")
     )
 
 
@@ -168,14 +188,14 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact regardless of recall.
 
     Scale: signatures are 16 int64s/doc; the band join shuffles
-    |docs|×8 small rows; verification joins shingle arrays for only the
-    colliding pairs. No step is quadratic in corpus size.
+    |docs|×8 small rows; verification joins shingle-hash arrays for only
+    the colliding pairs (int64 intersection — same Jaccard as string
+    shingles modulo ~n²/P collisions, mirrored in the oracle). No step
+    is quadratic in corpus size, and the corpus is tokenized ONCE (the
+    cached hash-set table feeds signatures AND verification).
     """
-    grams = _grams(spark, sf_dir).cache()
-    hashed = (
-        grams.select("doc_id", F.explode("gs").alias("g"))
-        .select("doc_id", polyhash(F.col("g")).alias("ph"))
-    )
+    hsets = _gram_hash_sets(spark, sf_dir).cache()
+    hashed = hsets.select("doc_id", F.explode("hs").alias("ph"))
     sigs = hashed.groupBy("doc_id").agg(
         *[F.min(uhash(F.col("ph"), i)).alias(f"s{i}") for i in range(NUM_PERMS)]
     )
@@ -204,8 +224,8 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ga = grams.withColumnsRenamed({"doc_id": "doc_a", "gs": "ga"})
-    gb = grams.withColumnsRenamed({"doc_id": "doc_b", "gs": "gb"})
+    ga = hsets.withColumnsRenamed({"doc_id": "doc_a", "hs": "ga"})
+    gb = hsets.withColumnsRenamed({"doc_id": "doc_b", "hs": "gb"})
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     return (
         cand.join(ga, "doc_a")

@@ -173,17 +173,29 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across cores only when the scan is under-parallel
     # (plans/layout.spread_for_cpu)
     docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+    # char codes computed ONCE, then each k-gram hash is a FLAT chain of
+    # element_at steps — not aggregate-over-split per window: interpreted
+    # higher-order lambdas cost per element, and flattening the inner
+    # fold computes identical values much faster (same finding as
+    # dedup._token_ngram_hashes, measured there at 20×).
+    # BIGINT codes: ascii() is int32 and the 31-fold would overflow it
+    codes = F.expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))")
+    fold = "element_at(cs, i)"
+    for j in range(1, FP_K):
+        fold = f"(({fold}) * 31 + element_at(cs, i + {j})) % {1_000_000_007}"
     kgram_hashes = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {FP_K - 1}, 0), 1),"
-        f" i -> aggregate(split(substr(text, i, {FP_K}), ''), 0L,"
-        f"  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007))"
+        f"transform(sequence(1, greatest(size(cs) - {FP_K - 1}, 0), 1),"
+        f" i -> {fold})"
     )
     windows_min = F.expr(
         f"transform(sequence(1, greatest(size(khs) - {FP_W - 1}, 0), 1),"
-        f" j -> array_min(slice(khs, j, {FP_W})))"
+        " j -> least("
+        + ", ".join(f"element_at(khs, j + {w})" for w in range(FP_W))
+        + "))"
     )
     return (
-        docs.select("doc_id", kgram_hashes.alias("khs"))
+        docs.select("doc_id", codes.alias("cs"))
+        .select("doc_id", kgram_hashes.alias("khs"))
         .select("doc_id", F.explode(F.array_distinct(windows_min)).alias("fp"))
         .orderBy("doc_id", "fp")
     )

@@ -435,9 +435,20 @@ _GRAMS_CTE = """
     )
 """
 
+#: Mirrors dedup._gram_hash_sets: per-token polyhash, bigram combine
+#: (th1*31 + th2) % P, distinct per doc.
 _HASHED_CTE = f"""
-    sh AS (SELECT doc_id, unnest(gs) AS g FROM grams),
-    hashed AS (SELECT doc_id, {polyhash_sql('g')} AS ph FROM sh)
+    th AS (
+        SELECT doc_id, list_transform(ts, t -> {polyhash_sql('t')}) AS hls
+        FROM toks
+    ),
+    hsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(hls) - 1),
+                   i -> (hls[i + 1] * 31 + hls[i + 2]) % {_P})) AS gset
+        FROM th
+    ),
+    hashed AS (SELECT doc_id, unnest(gset) AS ph FROM hsets)
 """
 
 
@@ -464,12 +475,12 @@ def _minhash_lsh_sql() -> str:
          AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           len(list_intersect(ga.gs, gb.gs))
-             / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))
+           len(list_intersect(ga.gset, gb.gset))
+             / (len(ga.gset) + len(gb.gset) - len(list_intersect(ga.gset, gb.gset)))
              AS jaccard
     FROM cand
-    JOIN grams ga ON ga.doc_id = doc_a
-    JOIN grams gb ON gb.doc_id = doc_b
+    JOIN hsets ga ON ga.doc_id = doc_a
+    JOIN hsets gb ON gb.doc_id = doc_b
     WHERE jaccard >= {JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
     """
