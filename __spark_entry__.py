@@ -114,8 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": pipeline.stratified_sample,
         "events_props_stats": pipeline.events_props_stats,
         # distributed prefix-sum context packing + dedup/quality curation
+        # + overlapping token-window chunking
         "pack_sequences": pipeline.pack_sequences,
         "corpus_curation": pipeline.corpus_curation,
+        "doc_chunks": pipeline.doc_chunks,
         # Training-data pipeline: multimodal binary-column plumbing
         # (Arrow-batched mapInPandas feature extraction + frame sampling;
         # decode itself is stubbed — no media libs in this container)

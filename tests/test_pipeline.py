@@ -122,3 +122,27 @@ def test_corpus_curation_composes_dedup_and_quality(spark):
     got = sum(r.n_docs for r in pipeline.corpus_curation(spark, SF_TEST).collect())
     assert got == expect
     assert 0 < got
+
+
+def test_doc_chunks_cover_every_token(spark):
+    """Chunks are stride-spaced windows: chunk i holds
+    min(CHUNK_TOKENS, n - i*CHUNK_STRIDE) tokens, where n (the doc's
+    token count) is implied by the last chunk; indexes are contiguous
+    and the last chunk reaches token n exactly."""
+    chunks = pipeline.doc_chunks(spark, SF_TEST).collect()
+    ndocs = spark.read.parquet(f"{SF_TEST}/documents.parquet").count()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == ndocs
+    W, S = pipeline.CHUNK_TOKENS, pipeline.CHUNK_STRIDE
+    for doc_id, lst in by_doc.items():
+        lst.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in lst] == list(range(len(lst)))
+        n = lst[-1].chunk_idx * S + lst[-1].n_tokens  # last chunk ends at n
+        for r in lst:
+            assert r.n_tokens == min(W, n - r.chunk_idx * S), (
+                f"doc {doc_id} chunk {r.chunk_idx}: {r.n_tokens} tokens, n={n}"
+            )
+        # one more stride-start would fall past the end
+        assert len(lst) * S + 1 > n

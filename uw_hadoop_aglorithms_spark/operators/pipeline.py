@@ -29,8 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params
+from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params, polyhash
 from uw_hadoop_aglorithms_spark.functions.text import tokens
+from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
 #: Universal-hash family members (distinct per use so the operators'
@@ -136,6 +137,52 @@ PACK_RANGE = 100
 #: corpus_curation: minimum quality score a document must reach (median
 #: of the fixture corpus is ~0.78; 0.75 keeps ~70%).
 CURATION_MIN_QUALITY = 0.75
+
+#: doc_chunks: chunk width and stride in tokens (overlap = width-stride).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/context-window
+    chunking step of an LLM data pipeline: windows of CHUNK_TOKENS
+    tokens every CHUNK_STRIDE, trailing partial chunk kept. Each chunk
+    carries a content hash (31-fold over per-token polyhashes) so
+    downstream chunk-level dedup is oracle-checkable.
+
+    Plan shape: entirely map-side — tokenize, explode chunk starts,
+    slice + fold per row; rows multiply by ~n_tokens/stride BEFORE any
+    shuffle (only the final orderBy). Linear in corpus bytes at 100 TB.
+    """
+    docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+    ts = tokens("text")
+    th = F.transform(ts, lambda t: polyhash(t))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(th), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    exploded = docs.select(
+        "doc_id", th.alias("th"), F.explode(starts).alias("start")
+    )
+    cs = F.slice(F.col("th"), F.col("start"), CHUNK_TOKENS)
+    return (
+        exploded.select(
+            "doc_id",
+            F.expr(f"(start - 1) div {CHUNK_STRIDE}").alias("chunk_idx"),
+            cs.alias("cs"),
+        )
+        .where(F.size("cs") > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("cs").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.col("cs"),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * F.lit(31) + h) % F.lit(P),
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,6 +290,7 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: DuckDB token-array fragment (canonical tokenizer parity).
+from uw_hadoop_aglorithms_spark.functions.hashing import polyhash_sql  # noqa: E402
 from uw_hadoop_aglorithms_spark.functions.text import TOKENS_SQL  # noqa: E402
 
 #: DuckDB oracles (same arithmetic; json_extract_string for `props`).
@@ -292,6 +340,31 @@ PIPELINE_ORACLES: dict[str, str] = {
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS shard_id
         FROM c ORDER BY doc_id
+    """,
+    "doc_chunks": f"""
+        WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+        th AS (
+            SELECT doc_id, list_transform(ts, t -> {polyhash_sql('t')}) AS hls
+            FROM t
+        ),
+        st AS (
+            SELECT doc_id, hls,
+                   unnest(range(1, greatest(len(hls), 1) + 1, {CHUNK_STRIDE}))
+                     AS start
+            FROM th
+        ),
+        ch AS (
+            SELECT doc_id,
+                   CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+                   hls[start:start + {CHUNK_TOKENS - 1}] AS cs
+            FROM st
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(cs) AS BIGINT) AS n_tokens,
+               list_reduce(list_prepend(0::BIGINT, cs),
+                           (a, h) -> (a * 31 + h) % {P}) AS chunk_hash
+        FROM ch WHERE len(cs) > 0
+        ORDER BY doc_id, chunk_idx
     """,
     "events_props_stats": """
         SELECT event_type,
