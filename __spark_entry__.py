@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+        # connected components over the near-dup pair graph
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash_dedup": dedup.simhash_dedup,
         "embedding_cosine_dups": dedup.embedding_cosine_dups,
         # test-set decontamination: token-8-gram overlap vs held-out docs

@@ -153,3 +153,26 @@ def test_decontaminate_matches_python_oracle(spark):
     }
     assert got == expect
     assert got, "fixture should contain contaminated training docs"
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Cluster ids must equal a sequential union-find over the same
+    MinHash pair graph, with the component minimum as canonical id."""
+    pairs = [(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_dedup(spark, SF_TEST).collect()]
+    assert pairs, "fixture should contain near-dup pairs"
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, SF_TEST).collect()}
+    assert got == expect

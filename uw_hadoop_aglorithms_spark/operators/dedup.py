@@ -237,6 +237,62 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash+LSH pair
+    graph, each clustered doc mapped to its component's canonical
+    (minimum) doc_id — the final "pick one survivor per duplicate
+    group" step of a dedup pipeline.
+
+    Min-label propagation to fixpoint: labels start as own id; each
+    round takes the min over neighbors; converged when no label changes.
+    Iterations ≤ graph diameter (near-dup components are tiny chains in
+    practice); per round one join + groupBy over the PAIR graph only —
+    |pairs| rows, not the corpus. The fixpoint check collects a single
+    count per round (scalar, not data). Oracle: DuckDB recursive-CTE
+    reachability closure over the same pairs.
+    """
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 def _simhash_col() -> F.Column:
     """Aggregate exprs folding per-shingle hash bits into a signature."""
     bit_sums = [

@@ -566,6 +566,23 @@ DEDUP_ORACLES: dict[str, str] = {
         GROUP BY doc_id ORDER BY doc_id
     """,
     "minhash_lsh_dedup": _minhash_lsh_sql(),
+    # connected components over the SAME pair graph, via recursive-CTE
+    # reachability closure (min reachable id = cluster id)
+    "dedup_clusters": f"""
+        WITH RECURSIVE mh AS ({_minhash_lsh_sql()}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM mh
+            UNION ALL
+            SELECT doc_b, doc_a FROM mh
+        ),
+        reach(id, m) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m
+        )
+        SELECT id AS doc_id, min(m) AS cluster_id
+        FROM reach GROUP BY id ORDER BY doc_id
+    """,
     "simhash_dedup": _simhash_sql(),
     "embedding_cosine_dups": f"""
         WITH e AS (
