@@ -118,8 +118,18 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     The profile table is |langs|×PROFILE_K — a broadcast join against
     the exploded test trigrams; one groupBy(doc, lang) shuffle sized by
     matches, not by corpus.
+
+    The gram arrays are spread across cores (substr-per-position is
+    interpreter-bound) and cached: the train-profile and test-scoring
+    branches both consume them, and without the cache the corpus is
+    double-scanned. The final label join prunes `grams`, so it costs a
+    plain column scan.
     """
-    docs = Catalog(spark, sf_dir).documents.withColumn("grams", _char_ngrams())
+    docs = (
+        spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+        .withColumn("grams", _char_ngrams())
+        .cache()
+    )
     train = docs.filter(F.col("doc_id") % TRAIN_MOD == 0)
     test = docs.filter(F.col("doc_id") % TRAIN_MOD != 0)
 
