@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.operators import index, ml
-from uw_hadoop_aglorithms_spark.sources import sinks, tbl
+from uw_hadoop_aglorithms_spark.sources import jsonl, sinks, tbl
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 from tests.conftest import SF_TEST
 
@@ -93,3 +93,17 @@ def test_declared_schemas_match_disk(spark):
     parquet footers field-for-field (the reference had no schema system
     at all — this is the contract that replaces ordinal constants)."""
     assert Catalog(spark, SF_TEST).validate_schemas() == []
+
+
+@pytest.mark.parametrize("table", ["nation", "orders", "events"])
+def test_jsonl_roundtrip(spark, tmp, table):
+    """parquet -> JSONL -> named-schema read == original, including
+    microsecond timestamps and the nested-JSON props string."""
+    src = Catalog(spark, SF_TEST).table(table)
+    path = f"{tmp}/{table}_jsonl"
+    jsonl.write_jsonl(src, path)
+    back = jsonl.read_jsonl(spark, path, table)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in src.schema.fields
+    ]
+    assert _rows(back) == _rows(src)
