@@ -90,3 +90,16 @@ def test_approx_distinct_users_error_bound(spark):
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (
             f"{k}: approx {approx[k]} vs exact {n}"
         )
+
+
+def test_spread_for_cpu_is_conditional(spark):
+    """No-op when the input already has >= cores partitions (at lake
+    scale a repartition here would shuffle full bodies for nothing);
+    spreads the single-split fixture scan to all cores."""
+    from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
+
+    cores = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(cores * 2)
+    assert spread_for_cpu(wide, "id") is wide
+    narrow = spark.range(1000).coalesce(1)
+    assert spread_for_cpu(narrow, "id").rdd.getNumPartitions() == cores
