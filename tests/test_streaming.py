@@ -65,6 +65,26 @@ def test_stream_geo_region_count_equals_batch(spark, replay):
     assert batch, "fixture must produce in-box events"
 
 
+def test_stream_range_join_equals_batch(spark, replay):
+    """Stream-stream interval join (inner) must equal the batch banded
+    range join once the replay drains — watermark state eviction only
+    affects late data, and the replay is event-time ordered."""
+    from uw_hadoop_aglorithms_spark.operators import temporal
+
+    batch = {
+        (r.purchase_id, r.other_id, r.user_id, r.other_type)
+        for r in temporal.range_join_nearby_events(spark, SF_TEST).collect()
+    }
+    stream = {
+        (r.purchase_id, r.other_id, r.user_id, r.other_type)
+        for r in runner.stream_range_join(
+            spark, f"{replay}/events", f"{replay}/cp_rj"
+        ).collect()
+    }
+    assert stream == batch
+    assert batch, "fixture must produce in-range pairs"
+
+
 def test_stream_trending_equals_batch_except_open_windows(spark, replay):
     batch_rows = windows.trending_arrivals(spark, SF_TEST).collect()
     last_window = {}

@@ -154,6 +154,63 @@ def stream_geo_region_count(
     return spark.table(query_name).orderBy("window_start", "region")
 
 
+def stream_range_join(
+    spark: SparkSession,
+    replay_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_range_join",
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to same-user events
+    within ±RANGE_WINDOW_S, as a real Structured Streaming join — the
+    engine form of operators/temporal.range_join_nearby_events.
+
+    Both sides read the same replay; watermarks bound the join state
+    (each side keeps only rows within the time-range constraint of the
+    other's watermark — Spark derives the eviction bound from the
+    inequality itself). Inner join ⇒ results equal the batch range join
+    exactly once the stream drains (tests/test_streaming.py).
+    """
+    from uw_hadoop_aglorithms_spark.operators.temporal import RANGE_WINDOW_S
+
+    ev = _event_stream(spark, replay_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    others = (
+        _event_stream(spark, replay_dir)
+        .select(
+            F.col("event_id").alias("other_id"),
+            F.col("user_id").alias("o_user_id"),
+            F.col("event_type").alias("other_type"),
+            F.col("ts").alias("o_ts"),
+        )
+        .withWatermark("o_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        others,
+        (F.col("user_id") == F.col("o_user_id"))
+        & (F.col("other_id") != F.col("purchase_id"))
+        & (F.col("o_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {RANGE_WINDOW_S} SECONDS"))
+        & (F.col("o_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {RANGE_WINDOW_S} SECONDS")),
+    ).select("purchase_id", "other_id", "user_id", "other_type")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).distinct().orderBy("purchase_id", "other_id")
+
+
 def stream_region_event_count(
     spark: SparkSession,
     replay_dir: str,
