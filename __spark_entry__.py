@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSH-bucketed ANN, both fully oracle-checked)
         "ann_brute_topk": similarity.ann_brute_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         # Training-data pipeline: text analysis (token counting, quality
         # scoring, lang-ID, winnowing fingerprints)
         "doc_stats": textstats.doc_stats,

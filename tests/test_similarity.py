@@ -40,3 +40,20 @@ def test_lsh_recall_beats_random_probing(spark, brute):
     for r in lsh:
         if (r.query_id, r.neighbor_id) in bc:
             assert r.cosine == bc[(r.query_id, r.neighbor_id)]
+
+
+def test_ivf_recall_beats_random_probing(spark, brute):
+    """Probing 2/NLIST cells at random would give recall ≈ 2/nlist; the
+    max-cosine cell assignment must do meaningfully better (similar
+    vectors land in the same cell). The rerank is exact cosine."""
+    ivf = similarity.ann_ivf_topk(spark, SF_TEST).collect()
+    nlist = len(similarity._ivf_centroids(spark, SF_TEST))
+    assert 1 <= nlist <= similarity.IVF_NLIST
+    b = {(r.query_id, r.neighbor_id) for r in brute}
+    v = {(r.query_id, r.neighbor_id) for r in ivf}
+    random_recall = similarity.IVF_NPROBE / nlist
+    assert len(b & v) / len(b) >= min(1.0, random_recall + 0.1)
+    bc = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bc:
+            assert r.cosine == bc[(r.query_id, r.neighbor_id)]

@@ -49,6 +49,13 @@ EMBED_DIM = 64
 #: Probe masks: own bucket plus each single-bit flip.
 PROBE_MASKS = [0] + [1 << p for p in range(NPLANES)]
 
+#: IVF: coarse quantizer = up to IVF_NLIST corpus vectors sampled by id
+#: (standing in for an offline-trained quantizer); every vector is
+#: assigned to its max-cosine centroid; queries probe IVF_NPROBE cells.
+IVF_CENTROID_MOD = 97
+IVF_NLIST = 8
+IVF_NPROBE = 2
+
 
 def hyperplanes() -> list[list[float]]:
     """NPLANES deterministic pseudo-random unit-free hyperplanes in
@@ -129,6 +136,100 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(q)
         .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cosine("q", "c").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float], float]]:
+    """(centroid_idx, vector, norm) for the ≤IVF_NLIST quantizer rows.
+
+    The collect is a BOUNDED quantizer load (≤8 rows), the IVF analog
+    of loading an offline-trained codebook — not a data collect. Norms
+    fold left-to-right like the engine/oracle folds, so every double
+    matches bit-for-bit.
+    """
+    rows = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(
+            (F.col("vec_id") % IVF_CENTROID_MOD == 0)
+            & (F.col("vec_id") < IVF_CENTROID_MOD * IVF_NLIST)
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    out = []
+    for idx, r in enumerate(rows):
+        acc = 0.0
+        for x in r.v:
+            acc = acc + x * x
+        out.append((idx, list(r.v), acc ** 0.5))
+    return out
+
+
+def _ivf_assign_structs(vec: Column, nrm: Column, cents) -> Column:
+    """array<struct(c: cosine, nj: -idx)> per vector — array_max /
+    sorted order give argmax with (cosine DESC, idx ASC) tie-break,
+    matching the oracle's row_number ordering."""
+    entries = []
+    for idx, cvec, cnorm in cents:
+        cos = _dot_lit(vec, cvec) / (nrm * F.lit(cnorm))
+        entries.append(F.struct(cos.alias("c"), F.lit(-idx).alias("nj")))
+    return F.array(*entries)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: coarse-quantizer cells + 2-cell probing.
+
+    Corpus vectors are assigned MAP-SIDE to their max-cosine centroid
+    (the centroid table is a ≤IVF_NLIST literal codebook — no shuffle,
+    no |corpus|×C join). Queries probe their IVF_NPROBE nearest cells;
+    candidates come from an equi-join on the cell id (shuffle ∝ probed
+    fraction ≈ NPROBE/NLIST of the corpus), then exact cosine reranks.
+    At 100 TB: raise IVF_NLIST so cells stay bounded and pre-partition
+    the corpus by cell on write — the standard IVF deployment shape.
+    """
+    cents = _ivf_centroids(spark, sf_dir)
+    emb = _normed(spark, sf_dir).withColumn(
+        "cell",
+        -F.array_max(_ivf_assign_structs(F.col("v"), F.col("nrm"), cents))["nj"],
+    )
+    probe_structs = F.reverse(
+        F.array_sort(_ivf_assign_structs(F.col("v"), F.col("nrm"), cents))
+    )
+    q = (
+        emb.filter(_is_query(F.col("vec_id")))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.explode(
+                F.slice(probe_structs, 1, IVF_NPROBE)
+            ).alias("pr"),
+        )
+        .select("vec_id", "v", "nrm", (-F.col("pr.nj")).alias("probe"))
+        .alias("q")
+    )
+    c = emb.alias("c")
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.probe") == F.col("c.cell"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
