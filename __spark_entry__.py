@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.quality_score,
         "lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.doc_fingerprint,
+        "repetition_score": textstats.repetition_score,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         # Training-data pipeline: deterministic dataset assembly (hash
         # sampling / splits / stratified rebalancing) + JSON metadata

