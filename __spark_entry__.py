@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": pipeline.events_props_stats,
         # distributed prefix-sum context packing + dedup/quality curation
         # + overlapping token-window chunking
+        # PII scrubbing (deterministically injected synthetic spans)
+        "pii_redact": pipeline.pii_redact,
         "pack_sequences": pipeline.pack_sequences,
         "corpus_curation": pipeline.corpus_curation,
         "doc_chunks": pipeline.doc_chunks,

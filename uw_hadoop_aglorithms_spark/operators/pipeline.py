@@ -267,6 +267,75 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns — written in the common Java-regex ∩ RE2 subset ([.] not
+#: backslash-escapes) so Spark and DuckDB match identical spans.
+PII_EMAIL = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+def _pii_raw() -> F.Column:
+    """documents.text + deterministically injected PII spans.
+
+    The fixture corpus is synthetic word-salad with no PII, so (like the
+    geo query's synthetic lon/lat) each doc gets spans derived purely
+    from doc_id: every third doc an email (every other of those, two
+    emails — exercising global replace), phone, or IPv4. Pure column
+    concat/printf — reproducible in DuckDB verbatim.
+    """
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"), F.lit(".com"),
+        F.when(
+            (d % 6 == 0),
+            F.concat(F.lit(" cc user"), d.cast("string"), F.lit("b@mail0.com")),
+        ).otherwise(""),
+    )
+    phone = F.concat(
+        F.lit(" call "),
+        F.format_string("555-%03d-%04d", (d * 7) % 1000, (d * 13) % 10000),
+    )
+    ip = F.concat(
+        F.lit(" from 10."), (d % 256).cast("string"),
+        F.lit("."), ((d * 3) % 256).cast("string"),
+        F.lit("."), ((d * 5) % 256).cast("string"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, email).when(d % 3 == 1, phone).otherwise(ip),
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email/phone/IP spans per document.
+
+    The cleaning step every training-data pipeline runs before release.
+    Counts come from `regexp_count` on the raw text; redaction is three
+    chained `regexp_replace`s to typed markers; `md5(redacted)` proves
+    span-exact replacement against the oracle. All JVM-side regex inside
+    whole-stage codegen — map-only, no shuffle except the final orderBy;
+    linear in corpus bytes at 100 TB.
+    """
+    docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+    raw = _pii_raw()
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+        ),
+        PII_IP,
+        "[IP]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(raw, F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.length(red).cast("long").alias("n_chars_red"),
+        F.md5(red).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract the JSON `props` payload of `events` and aggregate per type.
 
@@ -365,6 +434,41 @@ PIPELINE_ORACLES: dict[str, str] = {
                            (a, h) -> (a * 31 + h) % {P}) AS chunk_hash
         FROM ch WHERE len(cs) > 0
         ORDER BY doc_id, chunk_idx
+    """,
+    "pii_redact": f"""
+        WITH r AS (
+            SELECT doc_id,
+                   text || CASE
+                     WHEN doc_id % 3 = 0 THEN
+                       ' contact user' || doc_id || '@mail' || (doc_id % 7) || '.com'
+                       || CASE WHEN doc_id % 6 = 0
+                               THEN ' cc user' || doc_id || 'b@mail0.com'
+                               ELSE '' END
+                     WHEN doc_id % 3 = 1 THEN
+                       ' call ' || printf('555-%03d-%04d',
+                                          (doc_id * 7) % 1000,
+                                          (doc_id * 13) % 10000)
+                     ELSE
+                       ' from 10.' || (doc_id % 256) || '.'
+                       || ((doc_id * 3) % 256) || '.' || ((doc_id * 5) % 256)
+                   END AS raw
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id, raw,
+                   regexp_replace(regexp_replace(regexp_replace(raw,
+                       '{PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{PII_PHONE}', '[PHONE]', 'g'),
+                       '{PII_IP}', '[IP]', 'g') AS redacted
+            FROM r
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '{PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(raw, '{PII_PHONE}')) AS n_phones,
+               len(regexp_extract_all(raw, '{PII_IP}')) AS n_ips,
+               length(redacted) AS n_chars_red,
+               md5(redacted) AS redacted_md5
+        FROM red ORDER BY doc_id
     """,
     "events_props_stats": """
         SELECT event_type,
