@@ -109,6 +109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.doc_fingerprint,
         "repetition_score": textstats.repetition_score,
+        "length_percentiles": textstats.length_percentiles,
+        # rows-only: GK sketches have no cross-engine oracle; error bound
+        # vs the exact form is asserted in tests/test_textstats.py
+        "approx_length_percentiles": textstats.approx_length_percentiles,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         # Training-data pipeline: deterministic dataset assembly (hash
         # sampling / splits / stratified rebalancing) + JSON metadata

@@ -78,6 +78,9 @@ def test_rows_only_queries_have_python_oracle_tests(spark):
         # HLL sketches differ across engines — error bound asserted in
         # tests/test_plans.py instead
         "approx_distinct_users",
+        # GK percentile sketches likewise — error bound vs the exact
+        # length_percentiles asserted in tests/test_textstats.py
+        "approx_length_percentiles",
     }, f"unexpected rows-only keys: {rows_only}"
 
 

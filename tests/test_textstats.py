@@ -64,3 +64,23 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert near_dups
     for r in near_dups:
         assert fps[r.doc_a] & fps[r.doc_b]
+
+
+def test_approx_percentiles_within_bound(spark):
+    """GK sketch at accuracy A guarantees rank error <= n/A; with the
+    fixture sizes that pins each approx percentile to an actual value
+    within a handful of ranks of the exact one."""
+    exact = {r.lang: r for r in textstats.length_percentiles(spark, SF_TEST).collect()}
+    approx = {r.lang: r for r in textstats.approx_length_percentiles(spark, SF_TEST).collect()}
+    assert exact.keys() == approx.keys()
+    for lang, a in approx.items():
+        e = exact[lang]
+        assert a.n_docs == e.n_docs
+        # approx returns an actual value near the target rank; exact
+        # interpolates — allow the neighborhood spread
+        spread = max(2.0, 0.05 * (e.max_chars - e.min_chars))
+        for q in (50, 90, 99):
+            assert abs(getattr(a, f"ap{q}") - getattr(e, f"p{q}")) <= spread, (
+                lang,
+                q,
+            )

@@ -286,6 +286,71 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Percentile fractions reported by the distribution stats.
+PCTL_FRACS = (0.5, 0.9, 0.99)
+#: approx_percentile accuracy knob (1/eps; Spark's Greenwald-Khanna).
+PCTL_ACCURACY = 10_000
+
+
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution: count, min/max, exact
+    mean, exact interpolated p50/p90/p99, and stddev.
+
+    Percentiles use Spark's exact `percentile` aggregate, which matches
+    DuckDB's `quantile_cont` definition (rank h = q·(n−1), linear
+    interpolation) — so the doubles are bit-identical. The stddev is
+    computed from exact integer Σx and Σx² rather than `stddev_samp`
+    (whose float accumulation is summation-order-dependent across
+    engines): n_chars² sums stay well inside int64 at any fixture scale.
+
+    Scale note: exact percentiles buffer each group's values — fine for
+    |langs| groups of bounded width, but the 100 TB path is
+    `approx_length_percentiles` (mergeable GK sketches, fixed memory).
+    """
+    docs = Catalog(spark, sf_dir).documents
+    n = F.count("*")
+    s = F.sum("n_chars")
+    s2 = F.sum(F.col("n_chars") * F.col("n_chars"))
+    var = (s2 - s * s / n) / (n - F.lit(1))
+    pcts = [
+        F.round(F.percentile("n_chars", F.lit(q)), 9).alias(f"p{int(q * 100)}")
+        for q in PCTL_FRACS
+    ]
+    return (
+        docs.groupBy("lang")
+        .agg(
+            n.alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(s / n, 9).alias("avg_chars"),
+            *pcts,
+            F.round(F.sqrt(var), 9).alias("stddev_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `length_percentiles`: Greenwald-Khanna
+    `approx_percentile` sketches — mergeable, fixed-memory per group, no
+    per-group value buffering. Rows-only in the driver (sketches have no
+    cross-engine oracle); tests assert the error bound against the exact
+    form.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    pcts = [
+        F.percentile_approx("n_chars", F.lit(q), F.lit(PCTL_ACCURACY))
+        .cast("long")
+        .alias(f"ap{int(q * 100)}")
+        for q in PCTL_FRACS
+    ]
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), *pcts)
+        .orderBy("lang")
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by TF-IDF (tf * ln(N/df)).
 

@@ -905,6 +905,22 @@ TEXTSTATS_ORACLES: dict[str, str] = {
         )
         SELECT doc_id, unnest(fps) AS fp FROM wm ORDER BY doc_id, fp
     """,
+    # Spark's exact `percentile` == DuckDB `quantile_cont` (rank q·(n−1),
+    # linear interpolation); stddev from exact integer Σx/Σx² so no
+    # float-accumulation drift; the same (s2 − s·s/n)/(n−1) op order
+    "length_percentiles": """
+        SELECT lang, count(*) AS n_docs,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               round(CAST(sum(n_chars) AS BIGINT) / count(*), 9) AS avg_chars,
+               round(quantile_cont(n_chars, 0.5), 9) AS p50,
+               round(quantile_cont(n_chars, 0.9), 9) AS p90,
+               round(quantile_cont(n_chars, 0.99), 9) AS p99,
+               round(sqrt((CAST(sum(n_chars * n_chars) AS BIGINT)
+                           - CAST(sum(n_chars) AS BIGINT)
+                             * CAST(sum(n_chars) AS BIGINT) / count(*))
+                          / (count(*) - 1)), 9) AS stddev_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
     # same two-branch shape as the Spark plan: map-side trigram distinct,
     # grouped bigram counts, left join on doc_id; 0e0 pins DOUBLE (plain
     # decimal literals parse as DECIMAL in DuckDB)
