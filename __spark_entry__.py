@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": similarity.ann_brute_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        # int8 affine quantization + reconstruction-error stats
+        "embed_quantize": similarity.embed_quantize,
         # Training-data pipeline: text analysis (token counting, quality
         # scoring, lang-ID, winnowing fingerprints)
         "doc_stats": textstats.doc_stats,

@@ -57,3 +57,19 @@ def test_ivf_recall_beats_random_probing(spark, brute):
     for r in ivf:
         if (r.query_id, r.neighbor_id) in bc:
             assert r.cosine == bc[(r.query_id, r.neighbor_id)]
+
+
+def test_embed_quantize_error_bound(spark):
+    """Affine int8 coding guarantees |x - recon| <= scale/2 (+ float
+    slack); codes span [0,255]; degenerate scale never divides."""
+    from tests.conftest import SF_TEST
+
+    rows = similarity.embed_quantize(spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        assert r.scale >= 0
+        assert r.max_abs_err <= r.scale / 2 + 1e-9
+        assert r.mse <= r.max_abs_err**2 + 1e-12
+        codes = [int(c) for c in r.codes.split("|")]
+        assert all(0 <= c <= 255 for c in codes)
+        assert min(codes) == 0 and max(codes) == 255 or r.scale == 0

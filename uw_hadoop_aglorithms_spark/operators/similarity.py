@@ -292,3 +292,60 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 quantization of the embedding column, with
+    reconstruction-error stats — the compression step a 100 TB embedding
+    store runs before ANN serving (4× smaller than float32).
+
+    code_i = floor((x_i − vmin)/scale + 0.5) with scale = (vmax−vmin)/255
+    (floor(z+0.5) instead of round(): identical semantics in Java and
+    DuckDB, no banker's-rounding divergence). Entirely map-side array
+    lambdas inside the scan — no shuffle but the final orderBy; codes are
+    emitted '|'-joined (registered outputs must stay scalar-typed), and
+    the MSE / max-abs-error folds are sequential in both engines, so the
+    doubles are bit-identical.
+
+    Internal columns carry an ``_i`` suffix: a projection whose OUTPUT
+    alias shadows an input column name that a higher-order-function
+    lambda references makes Spark's interpreted HOF path bind the lambda
+    to the OUTPUT value (here: err would silently use round(scale, 9)
+    instead of scale — observed, not hypothetical).
+    """
+    emb = spread_for_cpu(Catalog(spark, sf_dir).embeddings, "vec_id")
+    vmin = F.array_min("embedding").cast("double")
+    vmax = F.array_max("embedding").cast("double")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        vmin.alias("vmin_i"),
+        vmax.alias("vmax_i"),
+        ((vmax - vmin) / F.lit(255.0)).alias("scale_i"),
+    )
+    code = lambda e: (  # noqa: E731
+        F.when(
+            F.col("scale_i") > 0,
+            F.floor(
+                (e.cast("double") - F.col("vmin_i")) / F.col("scale_i") + F.lit(0.5)
+            ).cast("int"),
+        ).otherwise(F.lit(0))
+    )
+    q = base.withColumn("codes_i", F.transform(F.col("embedding"), code))
+    err = lambda e, c: (  # noqa: E731
+        e.cast("double") - (F.col("vmin_i") + c.cast("double") * F.col("scale_i"))
+    )
+    err2 = F.zip_with(F.col("embedding"), F.col("codes_i"), lambda e, c: err(e, c) * err(e, c))
+    errabs = F.zip_with(F.col("embedding"), F.col("codes_i"), lambda e, c: F.abs(err(e, c)))
+    mse = F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding")
+    return q.select(
+        "vec_id",
+        F.round("vmin_i", 9).alias("vmin"),
+        F.round("vmax_i", 9).alias("vmax"),
+        F.round("scale_i", 9).alias("scale"),
+        F.concat_ws("|", F.transform(F.col("codes_i"), lambda c: c.cast("string"))).alias(
+            "codes"
+        ),
+        F.round(mse, 12).alias("mse"),
+        F.round(F.array_max(errabs), 12).alias("max_abs_err"),
+    ).orderBy("vec_id")

@@ -799,6 +799,52 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "ann_brute_topk": _ann_brute_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
     "ann_ivf_topk": _ann_ivf_sql(),
+    # mirrors operators/similarity.embed_quantize: floor(z+0.5) coding,
+    # sequential error folds, 255e0/0e0 literals pin DOUBLE
+    "embed_quantize": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+                   CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, embedding, vmin, vmax,
+                   (vmax - vmin) / 255e0 AS scale
+            FROM b
+        ),
+        q AS (
+            SELECT vec_id, embedding, vmin, vmax, scale,
+                   list_transform(embedding, e -> CASE WHEN scale > 0
+                       THEN CAST(floor((CAST(e AS DOUBLE) - vmin) / scale
+                                       + 0.5e0) AS INT)
+                       ELSE 0 END) AS codes
+            FROM s
+        ),
+        e AS (
+            SELECT vec_id, vmin, vmax, scale, codes, len(embedding) AS dim,
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> (CAST(embedding[i] AS DOUBLE)
+                             - (vmin + CAST(codes[i] AS DOUBLE) * scale))
+                            * (CAST(embedding[i] AS DOUBLE)
+                               - (vmin + CAST(codes[i] AS DOUBLE) * scale)))
+                     AS err2,
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> abs(CAST(embedding[i] AS DOUBLE)
+                                - (vmin + CAST(codes[i] AS DOUBLE) * scale)))
+                     AS errabs
+            FROM q
+        )
+        SELECT vec_id,
+               round(vmin, 9) AS vmin, round(vmax, 9) AS vmax,
+               round(scale, 9) AS scale,
+               array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)),
+                               '|') AS codes,
+               round(list_reduce(list_prepend(0e0, err2), (a, x) -> a + x)
+                     / dim, 12) AS mse,
+               round(list_aggregate(errabs, 'max'), 12) AS max_abs_err
+        FROM e ORDER BY vec_id
+    """,
 }
 
 
