@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from uw_hadoop_aglorithms_spark.operators import (
     dedup,
     graph,
+    graphstats,
     index,
     ml,
     multimodal,
@@ -74,6 +75,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # validated against a sequential Python oracle in tests/test_graph.py)
         "ppr_top20": graph.ppr_top20,
         "pagerank_top20": graph.pagerank_top20,
+        # Graph statistics over the synthetic-deterministic interaction
+        # graph (degree-ordered triangle counting; naive-join oracle)
+        "degree_distribution": graphstats.degree_distribution,
+        "triangle_count": graphstats.triangle_count,
         # Spam classifier (SURVEY §2.9; order-sensitive serial SGD fold →
         # no SQL oracle, validated against a Python oracle in tests/test_ml.py)
         "spam_train": ml.spam_train,

@@ -72,3 +72,22 @@ def uhash_sql(expr: str, i: int) -> str:
     """DuckDB fragment for uhash(i) of an int64 SQL expression."""
     a, b = hash_params(i)
     return f"(({expr}) * {a} + {b}) % {P}"
+
+
+def bucket(key: Column | str, seed: int, buckets: int) -> Column:
+    """int64 key → uniform bucket in [0, buckets).
+
+    The `% P` before the multiply keeps the product inside int64 for any
+    key magnitude (A < P ≈ 2^30, so (key % P) * A < 2^60) — safe for
+    100-TB-scale id spaces, not just the testdata's.
+    """
+    a, b = hash_params(seed)
+    c = F.col(key) if isinstance(key, str) else key
+    return ((c % P) * F.lit(a) + F.lit(b)) % F.lit(P) % F.lit(buckets)
+
+
+def bucket_sql(expr: str, seed: int, buckets: int | str) -> str:
+    """DuckDB fragment computing the identical bucket (buckets may be a
+    SQL subexpression, e.g. a scalar subquery sizing a synthetic graph)."""
+    a, b = hash_params(seed)
+    return f"((({expr}) % {P}) * {a} + {b}) % {P} % ({buckets})"

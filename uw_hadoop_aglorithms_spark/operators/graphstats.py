@@ -1,0 +1,215 @@
+"""Graph statistics: degree distribution + triangle counting
+(beyond-reference capability; complements the PPR family of
+operators/graph.py, SURVEY.md §2.8).
+
+The reference's only graph is the PageRank adjacency list (reference
+MapReduce/PageRank/BuildPersonalizedPageRankRecords.java:85-126); the
+testdata star-schema graph (customer→supplier) is bipartite, so triangle
+analytics over it are degenerate by construction, and its co-supply
+projection saturates into a complete graph at sf0.1. Instead the graph
+here is SYNTHETIC-DETERMINISTIC, the same pattern as the geo query's
+lon/lat and pii_redact's injected spans: each `events` row contributes
+one undirected edge whose endpoints derive from event_id via the
+engine-neutral universal hash (functions/hashing.py), over a vertex
+space sized to the table (|V| = |events| / 10 → expected degree ~20 at
+every scale factor). Both engines rebuild the identical edge list, so
+every statistic is value-hash oracle-checked.
+
+Scale design (100 TB target):
+- degree_distribution is two groupBys (edge endpoints → degrees →
+  histogram); shuffle volume is |E| longs then |V| pairs — linear.
+- triangle_count uses the DEGREE-ORDERED orientation (compact-forward):
+  each undirected edge is directed from its lower-(degree, id) endpoint
+  to the higher, so every wedge is enumerated exactly once at its
+  lowest-ranked vertex and the per-vertex out-degree is bounded by
+  O(sqrt(|E|)) on any graph. The wedge self-join therefore generates
+  Σ outdeg² = O(|E|^1.5) candidate rows worst-case — the published
+  bound for this algorithm — instead of the Σ deg² of a naive
+  node-iterator, which a few hot vertices (the 100 TB skew case) would
+  blow up quadratically. Closing wedges is one equi-join against the
+  oriented edge set. The DuckDB oracle deliberately stays the NAIVE
+  three-way join (a<b<c) — small-scale ground truth, different plan,
+  same count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.functions.hashing import bucket, bucket_sql
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+#: Universal-hash family members for the two synthetic endpoints.
+SRC_SEED, DST_SEED = 401, 402
+
+#: |V| = |events| / VERTEX_DIVISOR → expected degree ~2·VERTEX_DIVISOR,
+#: constant across scale factors (the graph stays sparse as it grows).
+VERTEX_DIVISOR = 10
+
+
+def _n_vertices(spark: SparkSession, sf_dir: str) -> int:
+    """Vertex-space size — a metadata-scale scalar (like build_graph's
+    max-key probe, operators/graph.py), not a data collect."""
+    n = Catalog(spark, sf_dir).events.count()
+    return max(n // VERTEX_DIVISOR, VERTEX_DIVISOR)
+
+
+def interaction_edges(spark: SparkSession, sf_dir: str, nv: int) -> DataFrame:
+    """Canonical undirected edge list (u < v, distinct, no self-loops).
+
+    Endpoints are pure column arithmetic over event_id — map-side; the
+    only shuffle is the distinct on the (u, v) key.
+    """
+    ev = Catalog(spark, sf_dir).events
+    src = bucket("event_id", SRC_SEED, nv)
+    dst = bucket("event_id", DST_SEED, nv)
+    return (
+        ev.select(src.alias("s"), dst.alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("u"),
+            F.greatest("s", "d").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _edges_sql(nv_sql: str) -> str:
+    """DuckDB CTE body building the identical canonical edge list."""
+    s = bucket_sql("event_id", SRC_SEED, nv_sql)
+    d = bucket_sql("event_id", DST_SEED, nv_sql)
+    return f"""
+        SELECT DISTINCT least({s}, {d}) AS u, greatest({s}, {d}) AS v
+        FROM events
+        WHERE {s} <> {d}
+    """
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """(id, deg) for every vertex incident to ≥1 edge."""
+    return (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the interaction graph: (degree, n_vertices).
+
+    Two aggregations, both with map-side partials; output is |distinct
+    degrees| rows (~O(max degree)) — tiny at any corpus size.
+    """
+    nv = _n_vertices(spark, sf_dir)
+    edges = interaction_edges(spark, sf_dir, nv)
+    return (
+        _degrees(edges)
+        .groupBy("deg")
+        .agg(F.count("*").alias("n_vertices"))
+        .select(F.col("deg").alias("degree"), "n_vertices")
+        .orderBy("degree")
+    )
+
+
+def _rank(deg: Column, id_: Column) -> Column:
+    """Total order (degree, id) as a comparable struct — the orientation
+    key of the compact-forward algorithm."""
+    return F.struct(deg.alias("r_deg"), id_.alias("r_id"))
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph summary: vertices, edges, wedges, triangles, and
+    the global clustering coefficient (3·triangles / wedges).
+
+    Plan: orient edges low→high rank, self-join on the low endpoint to
+    enumerate each wedge once (out-degree bounded by O(sqrt|E|) under
+    this orientation), close wedges with one equi-join back against the
+    oriented edge set. Three shuffles total, every count integer-exact.
+    """
+    nv = _n_vertices(spark, sf_dir)
+    edges = interaction_edges(spark, sf_dir, nv).cache()
+    degs = _degrees(edges).cache()
+
+    du = degs.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = degs.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    lo_first = _rank(F.col("du"), F.col("u")) < _rank(F.col("dv"), F.col("v"))
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).cache()
+
+    w1 = oriented.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    w2 = oriented.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = w1.join(w2, "a").where(
+        _rank(F.col("dx"), F.col("x")) < _rank(F.col("dy"), F.col("y"))
+    )
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+    # three 1-row aggregates crossJoined — everything stays in-plan (no
+    # driver round-trip, unlike the reference's counter side-channels)
+    summary = (
+        degs.agg(
+            F.count("*").alias("n_vertices"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri)
+    )
+    return summary.select(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 9).alias(
+            "clustering"
+        ),
+    )
+
+
+_NV_SQL = f"greatest((SELECT count(*) FROM events) // {VERTEX_DIVISOR}, {VERTEX_DIVISOR})"
+
+GRAPHSTATS_ORACLES: dict[str, str] = {
+    "degree_distribution": f"""
+        WITH e AS ({_edges_sql(_NV_SQL)}),
+        d AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
+            ) GROUP BY id
+        )
+        SELECT deg AS degree, count(*) AS n_vertices
+        FROM d GROUP BY deg ORDER BY degree
+    """,
+    # naive three-way join (a<b<c): the small-scale ground truth the
+    # degree-ordered Spark plan is verified against
+    "triangle_count": f"""
+        WITH e AS ({_edges_sql(_NV_SQL)}),
+        d AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e
+            ) GROUP BY id
+        ),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT (SELECT count(*) FROM d) AS n_vertices,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) FROM d)
+                 AS n_wedges,
+               n_triangles,
+               round(3.0 * n_triangles /
+                     (SELECT sum(deg * (deg - 1)) / 2 FROM d), 9) AS clustering
+        FROM tri
+    """,
+}

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params, polyhash
+from uw_hadoop_aglorithms_spark.functions.hashing import P, polyhash
 from uw_hadoop_aglorithms_spark.functions.text import tokens
 from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
@@ -56,22 +56,12 @@ STRATA_RATES = {"en": 2_500}
 STRATA_DEFAULT = 10_000
 
 
-def _bucket(key: F.Column | str, seed: int, buckets: int) -> F.Column:
-    """key → uniform bucket in [0, buckets): ((key % P) * A + B) % P % buckets.
-
-    The `% P` before the multiply keeps the product inside int64 for any
-    key magnitude (A < P ≈ 2^30, so (key % P) * A < 2^60) — safe for
-    100-TB-scale id spaces, not just the testdata's.
-    """
-    a, b = hash_params(seed)
-    c = F.col(key) if isinstance(key, str) else key
-    return ((c % P) * F.lit(a) + F.lit(b)) % F.lit(P) % F.lit(buckets)
-
-
-def _bucket_sql(expr: str, seed: int, buckets: int) -> str:
-    """DuckDB fragment computing the identical bucket."""
-    a, b = hash_params(seed)
-    return f"((({expr}) % {P}) * {a} + {b}) % {P} % {buckets}"
+# Shared engine-neutral bucket helpers (functions/hashing.py) — one
+# definition, identical arithmetic in Spark and every oracle.
+from uw_hadoop_aglorithms_spark.functions.hashing import (  # noqa: E402
+    bucket as _bucket,
+    bucket_sql as _bucket_sql,
+)
 
 
 def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1072,8 +1072,11 @@ def all_oracles() -> dict[str, str]:
     """Merged oracle map across operator families (driver contract)."""
     from uw_hadoop_aglorithms_spark.operators.pipeline import PIPELINE_ORACLES
 
+    from uw_hadoop_aglorithms_spark.operators.graphstats import GRAPHSTATS_ORACLES
+
     merged: dict[str, str] = {}
     merged.update(RELATIONAL_ORACLES)
+    merged.update(GRAPHSTATS_ORACLES)
     merged.update(PIPELINE_ORACLES)
     merged.update(TEXT_ORACLES)
     merged.update(INDEX_ORACLES)
