@@ -25,6 +25,7 @@ from uw_hadoop_aglorithms_spark.operators import (
     pipeline,
     relational,
     similarity,
+    sketches,
     temporal,
     text,
     textstats,
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Inverted index + boolean retrieval (SURVEY §2.7/§2.6)
         "inverted_index": index.inverted_index,
         "boolean_retrieval": index.boolean_retrieval,
+        "bm25_rank": index.bm25_rank,
         # Personalized PageRank (SURVEY §2.8; iterative → no SQL oracle,
         # validated against a sequential Python oracle in tests/test_graph.py)
         "ppr_top20": graph.ppr_top20,
@@ -88,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # true Structured Streaming runners live in streaming/runner.py and
         # streaming/trending.py, equivalence-tested in tests/test_streaming.py)
         "event_count": stream_windows.event_count,
+        "sliding_event_count": stream_windows.sliding_event_count,
         "region_event_count": stream_windows.region_event_count,
         "geo_region_count": stream_windows.geo_region_count,
         "trending_arrivals": stream_windows.trending_arrivals,
@@ -120,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: GK sketches have no cross-engine oracle; error bound
         # vs the exact form is asserted in tests/test_textstats.py
         "approx_length_percentiles": textstats.approx_length_percentiles,
+        # count-min sketch heavy hitters (fixed D×W state, engine-neutral
+        # hashes → the sketch itself is value-hash oracle-checked)
+        "cms_token_counts": sketches.cms_token_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         # Training-data pipeline: deterministic dataset assembly (hash
         # sampling / splits / stratified rebalancing) + JSON metadata
@@ -127,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": pipeline.hash_sample,
         "split_assign": pipeline.split_assign,
         "stratified_sample": pipeline.stratified_sample,
+        # weighted domain-mixture rebalancing (integer-exact keep rates)
+        "mixture_sample": pipeline.mixture_sample,
         "events_props_stats": pipeline.events_props_stats,
         # distributed prefix-sum context packing + dedup/quality curation
         # + overlapping token-window chunking

@@ -164,3 +164,22 @@ def test_pii_redact_counts_and_markers(spark):
         else:
             assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 1)
         assert len(r.redacted_md5) == 32
+
+
+def test_mixture_sample_respects_weights(spark):
+    """Keep-counts track w_s·K within hash-sampling noise; the binding
+    source keeps (nearly) everything it is entitled to."""
+    rows = pipeline.mixture_sample(spark, SF_TEST).collect()
+    by_src = {r.source: r for r in rows}
+    assert all(0 <= r.n_kept <= r.n_docs for r in rows)
+    assert all(0 <= r.rate_buckets <= pipeline.BUCKETS for r in rows)
+    k = min(
+        r.n_docs // pipeline.MIX_WEIGHTS.get(r.source, pipeline.MIX_DEFAULT_WEIGHT)
+        for r in rows
+    )
+    for r in rows:
+        w = pipeline.MIX_WEIGHTS.get(r.source, pipeline.MIX_DEFAULT_WEIGHT)
+        expect = pipeline.BUCKETS * w * k // r.n_docs
+        assert r.rate_buckets == min(pipeline.BUCKETS, expect)
+    # the heaviest source must keep more than an unweighted one
+    assert by_src["src0"].rate_buckets > by_src["src2"].rate_buckets

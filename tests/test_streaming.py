@@ -36,6 +36,20 @@ def test_stream_event_count_equals_batch(spark, replay):
     assert stream == batch
 
 
+def test_stream_sliding_event_count_equals_batch(spark, replay):
+    batch = {
+        (r.window_start, r.cnt)
+        for r in windows.sliding_event_count(spark, SF_TEST).collect()
+    }
+    stream = {
+        (r.window_start, r.cnt)
+        for r in runner.stream_sliding_event_count(
+            spark, f"{replay}/events", f"{replay}/cp_slide"
+        ).collect()
+    }
+    assert stream == batch
+
+
 def test_stream_region_event_count_equals_batch(spark, replay):
     batch = {
         (r.window_start, r.event_type, r.cnt)

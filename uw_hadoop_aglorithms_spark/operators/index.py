@@ -107,6 +107,66 @@ def eval_postfix(tf: DataFrame, query: str = DEFAULT_QUERY) -> DataFrame:
     return stack[0]
 
 
+#: BM25 ranking constants (Robertson/Sparck-Jones defaults) and the
+#: ranked-retrieval demo query (the boolean query's terms, bag-of-words).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "filter")
+BM25_TOP = 20
+
+
+def bm25_rank(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = BM25_TERMS
+) -> DataFrame:
+    """BM25 ranked retrieval over the inverted index — the scored upgrade
+    of boolean_retrieval (the reference only ever ranks implicitly by
+    doc order, BooleanRetrievalCompressed.java:145-158).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Everything is exact-integer until the final per-term expression: N,
+    df, tf, dl are counts, and avgdl = exact integer sum / N, so both
+    engines compute identical doubles; the per-doc sum is rounded before
+    ordering (summation order across ≤|terms| values differs).
+
+    Scale: postings for the query terms come from a pushed-down
+    isin-filter on the index (touches |terms| posting lists, not the
+    corpus); doc lengths are a map-side projection; df/N/avgdl are tiny
+    aggregates broadcast back. The only shuffle is the per-doc sum over
+    |terms|-row groups.
+    """
+    cat = Catalog(spark, sf_dir)
+    tfq = term_frequencies(spark, sf_dir).where(F.col("term").isin(*terms))
+    dl = cat.documents.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("dl")
+    )
+    stats = cat.documents.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens("text"))).alias("avgdl"),
+    )
+    df_t = tfq.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tfq.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * norm).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"), F.count("*").alias("n_terms"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
 def boolean_retrieval(
     spark: SparkSession, sf_dir: str, query: str = DEFAULT_QUERY
 ) -> DataFrame:

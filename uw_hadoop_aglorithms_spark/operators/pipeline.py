@@ -117,6 +117,72 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+#: mixture_sample: target WEIGHT per source (relative proportions of the
+#: final mix); sources not listed get weight 1. The fixture's 20 sources
+#: are uniform, so unequal weights force unequal keep-rates.
+MIX_SEED = 104
+MIX_WEIGHTS = {"src0": 5, "src1": 3}
+MIX_DEFAULT_WEIGHT = 1
+
+
+def _mix_weight_col() -> F.Column:
+    w = F.lit(MIX_DEFAULT_WEIGHT)
+    for src, wt in sorted(MIX_WEIGHTS.items()):
+        w = F.when(F.col("source") == src, wt).otherwise(w)
+    return w
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture rebalancing: per-source hash keep-rates sized so
+    the kept corpus approaches target proportions w_s — the
+    domain-reweighting step of training-data assembly (e.g. upweight
+    curated sources, downweight crawl).
+
+    K = min_s floor(n_s / w_s) is the binding constraint (the source
+    that runs out first at its target share); each source then keeps
+    ~w_s·K docs via rate_buckets_s = floor(BUCKETS·w_s·K / n_s) — all
+    integer arithmetic, so the oracle reproduces it bit-for-bit.
+
+    Scale: per-source counts are a |sources|-row aggregate; rates come
+    back via broadcast; membership is map-side hash arithmetic — the
+    corpus is scanned twice (count + filter) and shuffled never. Output
+    is the per-source summary (|sources| rows).
+    """
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("w", _mix_weight_col())
+    )
+    # integer division throughout (`div`, not `/`): double rounding must
+    # never leak into membership thresholds
+    k = counts.agg(F.min(F.expr("n_docs div w")).alias("k"))
+    rates = counts.crossJoin(F.broadcast(k)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(BUCKETS).cast("long"),
+            F.expr(f"(cast({BUCKETS} as bigint) * w * k) div n_docs"),
+        ).alias("rate_buckets"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate_buckets")), "source")
+        .where(_bucket("doc_id", MIX_SEED, BUCKETS) < F.col("rate_buckets"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "rate_buckets",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 #: pack_sequences: token budget per shard, and the doc-id range width of
 #: the distributed prefix-sum (each range's cumsum runs in parallel; the
 #: cross-range offsets are a |docs|/PACK_RANGE-row window — the classic
@@ -385,6 +451,30 @@ PIPELINE_ORACLES: dict[str, str] = {
             {' '.join(f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(STRATA_RATES.items()))}
             ELSE {STRATA_DEFAULT} END)
         ORDER BY doc_id
+    """,
+    "mixture_sample": f"""
+        WITH c AS (
+            SELECT source, count(*) AS n_docs,
+                   CASE {' '.join(f"WHEN source = '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))}
+                        ELSE {MIX_DEFAULT_WEIGHT} END AS w
+            FROM documents GROUP BY source
+        ),
+        kk AS (SELECT min(n_docs // w) AS k FROM c),
+        r AS (
+            SELECT source, n_docs,
+                   least({BUCKETS}::BIGINT, ({BUCKETS}::BIGINT * w * k) // n_docs)
+                     AS rate_buckets
+            FROM c, kk
+        ),
+        kept AS (
+            SELECT d.source, count(*) AS n_kept
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE {_bucket_sql('d.doc_id', MIX_SEED, BUCKETS)} < r.rate_buckets
+            GROUP BY d.source
+        )
+        SELECT r.source, r.n_docs, r.rate_buckets,
+               coalesce(kept.n_kept, 0) AS n_kept
+        FROM r LEFT JOIN kept USING (source) ORDER BY source
     """,
     "pack_sequences": f"""
         WITH t AS (SELECT doc_id, len({TOKENS_SQL}) AS n_tokens FROM documents),

@@ -264,6 +264,43 @@ INDEX_ORACLES: dict[str, str] = {
 }
 
 
+def _bm25_oracle() -> str:
+    from uw_hadoop_aglorithms_spark.operators.index import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOP,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+        {_TOKS_CTE},
+        tfq AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            WHERE term IN ({terms})
+            GROUP BY term, doc_id
+        ),
+        dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfq GROUP BY term)
+        SELECT tfq.doc_id,
+               round(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * ({BM25_K1} + 1)
+                   / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl))
+               ), 6) AS score,
+               count(*) AS n_terms
+        FROM tfq JOIN dft USING (term) JOIN dl ON dl.doc_id = tfq.doc_id, stats
+        GROUP BY tfq.doc_id
+        ORDER BY score DESC, tfq.doc_id
+        LIMIT {BM25_TOP}
+    """
+
+
+INDEX_ORACLES["bm25_rank"] = _bm25_oracle()
+
+
 # --- streaming batch forms (streaming/windows.py) ---------------------------
 
 #: Epoch-floor window start — identical to Spark's F.window() alignment for
@@ -304,6 +341,22 @@ STREAMING_ORACLES: dict[str, str] = {
     "event_count": f"""
         SELECT {_win(3600)} AS window_start, count(*) AS cnt
         FROM events
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+    # sliding 60/30: every event belongs to exactly two windows — its
+    # 30-min bucket and the one 30 min earlier (both cover ts since
+    # width = 2×slide); unnest replicates, then a plain tumbling count
+    "sliding_event_count": f"""
+        WITH starts AS (
+            SELECT unnest([
+                {_win(1800)},
+                {_win(1800)} - INTERVAL 30 MINUTE
+            ]) AS window_start
+            FROM events
+        )
+        SELECT window_start, count(*) AS cnt
+        FROM starts
         GROUP BY window_start
         ORDER BY window_start
     """,
@@ -1073,8 +1126,10 @@ def all_oracles() -> dict[str, str]:
     from uw_hadoop_aglorithms_spark.operators.pipeline import PIPELINE_ORACLES
 
     from uw_hadoop_aglorithms_spark.operators.graphstats import GRAPHSTATS_ORACLES
+    from uw_hadoop_aglorithms_spark.operators.sketches import SKETCH_ORACLES
 
     merged: dict[str, str] = {}
+    merged.update(SKETCH_ORACLES)
     merged.update(RELATIONAL_ORACLES)
     merged.update(GRAPHSTATS_ORACLES)
     merged.update(PIPELINE_ORACLES)

@@ -120,6 +120,37 @@ def stream_event_count_append(
     return spark.table(query_name).orderBy("window_start")
 
 
+def stream_sliding_event_count(
+    spark: SparkSession,
+    replay_dir: str,
+    checkpoint_dir: str,
+    minutes: int = 60,
+    slide: int = 30,
+    query_name: str = "stream_sliding_event_count",
+) -> DataFrame:
+    """Sliding windows (width > slide) as a real stream: each event joins
+    width/slide open windows; watermark bounds the open-window state."""
+    agg = (
+        _event_stream(spark, replay_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", f"{minutes} minutes", f"{slide} minutes").alias("w")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("window_start")
+
+
 def stream_geo_region_count(
     spark: SparkSession,
     replay_dir: str,

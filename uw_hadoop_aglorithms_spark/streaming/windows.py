@@ -41,6 +41,30 @@ def event_count(spark: SparkSession, sf_dir: str, minutes: int = 60) -> DataFram
     )
 
 
+def sliding_event_count(
+    spark: SparkSession, sf_dir: str, minutes: int = 60, slide: int = 30
+) -> DataFrame:
+    """T1 generalized to SLIDING windows (width 60 min, slide 30 min):
+    each event lands in width/slide = 2 overlapping windows. The
+    reference's windowed DStream supports this shape (window != slide)
+    but never instantiates it; Structured Streaming's F.window() does it
+    declaratively.
+
+    Scale: Spark expands each event into width/slide window replicas
+    map-side, then aggregates with partial combine — shuffle volume is
+    |windows × 2| partials, independent of event volume.
+    """
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(
+            F.window("ts", f"{minutes} minutes", f"{slide} minutes").alias("w")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+        .orderBy("window_start")
+    )
+
+
 def region_event_count(spark: SparkSession, sf_dir: str, minutes: int = 60) -> DataFrame:
     """T2: windowed counts per region tag (reference RegionEventCount.scala:
     85-98; `event_type` is the fixture's stand-in for the geo tag)."""
