@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from uw_hadoop_aglorithms_spark.operators import (
+    cluster,
     dedup,
     graph,
     graphstats,
@@ -112,6 +113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # int8 affine quantization + reconstruction-error stats
         "embed_quantize": similarity.embed_quantize,
+        # Lloyd's k-means with per-iteration centroid rounding — an
+        # ITERATIVE algorithm that is still fully value-hash oracle-
+        # checked (the generated CTE oracle replays every iteration)
+        "kmeans_clusters": cluster.kmeans_clusters,
         # Training-data pipeline: text analysis (token counting, quality
         # scoring, lang-ID, winnowing fingerprints)
         "doc_stats": textstats.doc_stats,

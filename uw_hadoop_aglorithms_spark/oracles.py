@@ -1125,11 +1125,13 @@ def all_oracles() -> dict[str, str]:
     """Merged oracle map across operator families (driver contract)."""
     from uw_hadoop_aglorithms_spark.operators.pipeline import PIPELINE_ORACLES
 
+    from uw_hadoop_aglorithms_spark.operators.cluster import CLUSTER_ORACLES
     from uw_hadoop_aglorithms_spark.operators.graphstats import GRAPHSTATS_ORACLES
     from uw_hadoop_aglorithms_spark.operators.sketches import SKETCH_ORACLES
 
     merged: dict[str, str] = {}
     merged.update(SKETCH_ORACLES)
+    merged.update(CLUSTER_ORACLES)
     merged.update(RELATIONAL_ORACLES)
     merged.update(GRAPHSTATS_ORACLES)
     merged.update(PIPELINE_ORACLES)
