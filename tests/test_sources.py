@@ -107,3 +107,19 @@ def test_jsonl_roundtrip(spark, tmp, table):
         (f.name, f.dataType) for f in src.schema.fields
     ]
     assert _rows(back) == _rows(src)
+
+
+@pytest.mark.parametrize("table", ["nation", "events", "embeddings"])
+def test_orc_roundtrip(spark, tmp, table):
+    """parquet -> ORC -> named-schema read == original, including
+    timestamps and float-array embedding columns."""
+    from uw_hadoop_aglorithms_spark.sources import orc
+
+    src = Catalog(spark, SF_TEST).table(table)
+    path = f"{tmp}/{table}_orc"
+    orc.write_orc(src, path)
+    back = orc.read_orc(spark, path, table)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in src.schema.fields
+    ]
+    assert _rows(back) == _rows(src)
