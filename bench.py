@@ -47,17 +47,26 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(entry_mod.queries().items()):
         samples = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
-            samples.append(time.perf_counter() - t0)
-            del rows
-            # per-query scratch caches (shingle sets, graph edges, …) must
-            # not accumulate across the run
+        # A failing query must cost ONLY its own timing, never the run:
+        # round 2 lost ALL bench data because one broken query aborted
+        # the loop before a single timing was emitted.
+        try:
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                rows = fn(spark, SF_DIR).collect()
+                samples.append(time.perf_counter() - t0)
+                del rows
+                # per-query scratch caches (shingle sets, graph edges, …)
+                # must not accumulate across the run
+                spark.catalog.clearCache()
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         # Release cross-query garbage OUTSIDE the timers: clearCache does
         # not free localCheckpoint RDDs or broadcasts — they die only when
         # their Python refs are collected and the ContextCleaner runs, so
@@ -72,7 +81,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
+        "n": REPS,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
     spark.stop()
 

@@ -54,17 +54,30 @@ class Catalog:
         return self._cache[name]
 
     def _load_events(self) -> DataFrame:
-        """`events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-        rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and truncate to
-        microseconds — integer `div`, not float division, because ~1.7e18 ns
-        exceeds double's 2^53 integer range. Truncation (not rounding)
-        matches DuckDB's TIMESTAMP_NS → TIMESTAMP conversion, keeping
-        oracle comparisons exact."""
+        """Normalize `events.ts` to session-TZ TIMESTAMP whatever the parquet
+        physical type is.
+
+        The testdata has shipped `ts` as both parquet TIMESTAMP(NANOS) —
+        which Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read as
+        a long — and plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ).
+        Branch on the dtype actually read instead of assuming one encoding:
+
+        - LongType (nanosAsLong fallback): truncate nanos → micros with
+          integer `div`, not float division, because ~1.7e18 ns exceeds
+          double's 2^53 integer range; truncation matches DuckDB's
+          TIMESTAMP_NS → TIMESTAMP conversion, keeping oracles exact.
+        - Any timestamp type (TIMESTAMP / TIMESTAMP_NTZ): cast to the
+          session-TZ TIMESTAMP declared in schemas.EVENTS and pass through.
+        """
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = self.spark.read.parquet(f"{self.sf_dir}/events.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLE_SCHEMAS:
