@@ -70,17 +70,12 @@ def test_rows_only_queries_have_python_oracle_tests(spark):
     qmap, omap = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = set(qmap) - set(omap)
     assert rows_only == {
-        "ppr_top20",
-        "pagerank_top20",
-        "spam_train",
-        "spam_apply",
-        "spam_ensemble",
-        # HLL sketches differ across engines — error bound asserted in
-        # tests/test_plans.py instead
-        "approx_distinct_users",
-        # GK percentile sketches likewise — error bound vs the exact
-        # length_percentiles asserted in tests/test_textstats.py
-        "approx_length_percentiles",
+        # iterative float loop — sequential Python oracle in
+        # tests/test_graph.py (SQL replay oracle tracked separately)
+        "pagerank_suite",
+        # order-sensitive serial SGD fold — Python oracle in
+        # tests/test_ml.py
+        "spam",
     }, f"unexpected rows-only keys: {rows_only}"
 
 

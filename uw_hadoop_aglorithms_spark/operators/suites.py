@@ -1,0 +1,553 @@
+"""Consolidated driver suites: one registry key per operator FAMILY.
+
+Why this module exists: the verify harness records a bounded number of
+CORRECTNESS rows per round (round 2 stopped at exactly 50, leaving 21
+registered queries unverified). Operator variants that share a table and a
+result shape are therefore merged into ONE registered query whose output
+carries a `variant` discriminator column — every underlying operator still
+executes, and the DuckDB oracle is the UNION ALL / JOIN of the per-variant
+oracles, so nothing loses value-hash verification; it just costs one
+driver row instead of four.
+
+Each suite's members remain independently importable and independently
+pytest-tested; this module only composes them for the driver contract.
+
+Scale note: a suite runs its members sequentially in one job each — it
+changes verification bookkeeping, not physical plans. Per-member plan
+properties (pushdown, broadcast, partial agg) are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.operators import (
+    dedup,
+    graphstats,
+    ml,
+    pipeline,
+    relational,
+    similarity,
+    text,
+    textstats,
+)
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+from uw_hadoop_aglorithms_spark.streaming import windows as stream_windows
+
+
+def _u(*parts: str) -> str:
+    """UNION ALL of oracle fragments (each already a full SELECT)."""
+    return "\nUNION ALL\n".join(parts)
+
+
+def _wrap(variant: str, sql: str, projection: str = "*", tag: str = "variant") -> str:
+    """Tag an existing oracle's rows with a variant discriminator."""
+    return f"SELECT '{variant}' AS {tag}, {projection} FROM (\n{sql}\n)"
+
+
+# --------------------------------------------------------------------------
+# relational: semi + anti join (J3/J4) share the orders projection
+# --------------------------------------------------------------------------
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti order filtering as one tagged result."""
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    semi = relational.semi_join_orders_with_shipments(spark, sf_dir)
+    anti = relational.anti_join_orders_without_shipments(spark, sf_dir)
+    return semi.select(F.lit("semi").alias("variant"), *cols).unionAll(
+        anti.select(F.lit("anti").alias("variant"), *cols)
+    )
+
+
+# --------------------------------------------------------------------------
+# relational: exact + HLL distinct counts in ONE aggregation pass.
+# The HLL sketch has no cross-engine oracle, but its ERROR BOUND does:
+# the Spark plan computes both forms and emits a boolean bound check the
+# DuckDB oracle asserts as TRUE — the approximate operator becomes
+# hash-verifiable without the oracle replaying the sketch.
+# --------------------------------------------------------------------------
+
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact countDistinct + approx_count_distinct(rsd=1%) per event_type;
+    `approx_within_5pct` certifies the sketch against the exact value
+    in-plan (HLL is deterministic for fixed data, so the flag is stable)."""
+    return (
+        Catalog(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_ap"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            (
+                F.abs(F.col("_ap") - F.col("n_users"))
+                <= 0.05 * F.col("n_users")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# text: word count with/without HAVING (A1/A3); PMI pairs vs stripes
+# (A13/A6 — same semantics, both physical strategies must agree)
+# --------------------------------------------------------------------------
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    allw = text.word_count(spark, sf_dir)
+    having = text.word_count_having(spark, sf_dir)
+    return allw.select(F.lit("all").alias("variant"), "word", "cnt").unionAll(
+        having.select(F.lit("min100").alias("variant"), "word", "cnt")
+    )
+
+
+def pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["w1", "w2", "pmi", "pair_docs"]
+    pairs = text.pmi_pairs(spark, sf_dir)
+    stripes = text.pmi_stripes(spark, sf_dir)
+    return pairs.select(F.lit("pairs").alias("variant"), *cols).unionAll(
+        stripes.select(F.lit("stripes").alias("variant"), *cols)
+    )
+
+
+# --------------------------------------------------------------------------
+# graph statistics: degree histogram + triangle census as (variant, k, v)
+# --------------------------------------------------------------------------
+
+def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg = graphstats.degree_distribution(spark, sf_dir).select(
+        F.lit("degree_hist").alias("variant"),
+        F.col("degree").cast("string").alias("k"),
+        F.col("n_vertices").cast("double").alias("v"),
+    )
+    tri = (
+        graphstats.triangle_count(spark, sf_dir)
+        .selectExpr(
+            "stack(5, "
+            "'n_vertices', CAST(n_vertices AS DOUBLE), "
+            "'n_edges', CAST(n_edges AS DOUBLE), "
+            "'n_wedges', CAST(n_wedges AS DOUBLE), "
+            "'n_triangles', CAST(n_triangles AS DOUBLE), "
+            "'clustering', clustering) AS (k, v)"
+        )
+        .select(F.lit("triangle").alias("variant"), "k", "v")
+    )
+    return deg.unionAll(tri)
+
+
+# --------------------------------------------------------------------------
+# ML: serial-SGD family (M2-M4) — rows-only (order-sensitive fold has no
+# SQL oracle); one key carries model weights and all three scoring modes
+# --------------------------------------------------------------------------
+
+def spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train = ml.spam_train(spark, sf_dir).select(
+        F.lit("train").alias("variant"),
+        F.col("feature").cast("long").alias("id"),
+        F.lit(None).cast("int").alias("label"),
+        F.col("weight").alias("score"),
+        F.lit(None).cast("string").alias("prediction"),
+    )
+    single = ml.spam_apply(spark, sf_dir).select(
+        F.lit("single").alias("variant"),
+        F.col("doc_id").alias("id"),
+        "label",
+        "score",
+        "prediction",
+    )
+    ens = ml.spam_ensemble(spark, sf_dir)
+    ens_avg = ens.select(
+        F.lit("ens_avg").alias("variant"),
+        F.col("doc_id").alias("id"),
+        "label",
+        F.col("score_avg").alias("score"),
+        F.col("prediction_avg").alias("prediction"),
+    )
+    ens_vote = ens.select(
+        F.lit("ens_vote").alias("variant"),
+        F.col("doc_id").alias("id"),
+        "label",
+        F.col("vote").cast("double").alias("score"),
+        F.col("prediction_vote").alias("prediction"),
+    )
+    return train.unionAll(single).unionAll(ens_avg).unionAll(ens_vote)
+
+
+# --------------------------------------------------------------------------
+# PageRank family (G1-G7): global top-20 (source = -1) + per-source
+# personalized top-20 in one tagged result
+# --------------------------------------------------------------------------
+
+def pagerank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uw_hadoop_aglorithms_spark.operators import graph
+
+    ppr = graph.ppr_top20(spark, sf_dir).select(
+        F.lit("ppr").alias("variant"), "source", "id", "rank", "pos"
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("id"))
+    pr = (
+        graph.pagerank_top20(spark, sf_dir)
+        .withColumn("pos", F.row_number().over(w))
+        .select(
+            F.lit("global").alias("variant"),
+            F.lit(-1).cast("long").alias("source"),
+            "id",
+            "rank",
+            "pos",
+        )
+    )
+    return ppr.unionAll(pr)
+
+
+# --------------------------------------------------------------------------
+# streaming (batch event-time form): all four window shapes (T1/T2/P5/P11)
+# --------------------------------------------------------------------------
+
+def window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag_null = F.lit(None).cast("string").alias("tag")
+    tum = stream_windows.event_count(spark, sf_dir).select(
+        F.lit("tumbling").alias("variant"), "window_start", tag_null, "cnt"
+    )
+    sli = stream_windows.sliding_event_count(spark, sf_dir).select(
+        F.lit("sliding").alias("variant"), "window_start", tag_null, "cnt"
+    )
+    reg = stream_windows.region_event_count(spark, sf_dir).select(
+        F.lit("region").alias("variant"),
+        "window_start",
+        F.col("event_type").alias("tag"),
+        "cnt",
+    )
+    geo = stream_windows.geo_region_count(spark, sf_dir).select(
+        F.lit("geo").alias("variant"),
+        "window_start",
+        F.col("region").alias("tag"),
+        "cnt",
+    )
+    return tum.unionAll(sli).unionAll(reg).unionAll(geo)
+
+
+# --------------------------------------------------------------------------
+# streaming: a REAL Structured Streaming run registered as a driver query.
+# The file-replay runner (12 micro-batches, AvailableNow) must reproduce
+# the batch tumbling-window counts bit-for-bit — stream ≡ batch is the
+# Dataflow-model property the reference asserts via its ManualClock test
+# (EventCount.scala:62-83); here the DuckDB batch oracle checks it.
+# --------------------------------------------------------------------------
+
+def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    replay = tempfile.mkdtemp(prefix="sbe_replay_")
+    ckpt = tempfile.mkdtemp(prefix="sbe_ckpt_")
+    runner.prepare_replay_dir(spark, sf_dir, replay)
+    return runner.stream_event_count(
+        spark, replay, ckpt, query_name="stream_batch_equiv_mem"
+    )
+
+
+# --------------------------------------------------------------------------
+# near-duplicate pair detection: all four algorithms as (algo, id_a, id_b,
+# score) — n-gram Jaccard (exact baseline), MinHash+LSH, SimHash banding,
+# embedding cosine (exact baseline)
+# --------------------------------------------------------------------------
+
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ng = dedup.ngram_jaccard_pairs(spark, sf_dir).select(
+        F.lit("ngram").alias("algo"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("jaccard").alias("score"),
+    )
+    mh = dedup.minhash_lsh_dedup(spark, sf_dir).select(
+        F.lit("minhash").alias("algo"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("jaccard").alias("score"),
+    )
+    sh = dedup.simhash_dedup(spark, sf_dir).select(
+        F.lit("simhash").alias("algo"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
+    co = dedup.embedding_cosine_dups(spark, sf_dir).select(
+        F.lit("cosine").alias("algo"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        F.col("cosine").alias("score"),
+    )
+    return ng.unionAll(mh).unionAll(sh).unionAll(co)
+
+
+# --------------------------------------------------------------------------
+# ANN top-k: brute-force baseline + LSH + IVF, identical schemas
+# --------------------------------------------------------------------------
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    out = None
+    for method, fn in (
+        ("brute", similarity.ann_brute_topk),
+        ("lsh", similarity.ann_lsh_topk),
+        ("ivf", similarity.ann_ivf_topk),
+    ):
+        part = fn(spark, sf_dir).select(F.lit(method).alias("method"), *cols)
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+# --------------------------------------------------------------------------
+# per-document text profile: stats × quality × repetition × lang-ID joined
+# on doc_id (lang-ID covers only the held-out split → left join).
+# At 100 TB the four members are all map-side over the same scan; the
+# doc_id equi-joins here are verification bookkeeping, not the scale path.
+# --------------------------------------------------------------------------
+
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = textstats.doc_stats(spark, sf_dir)
+    qs = textstats.quality_score(spark, sf_dir)
+    rep = textstats.repetition_score(spark, sf_dir)
+    li = textstats.lang_id(spark, sf_dir)
+    return (
+        ds.join(qs, "doc_id")
+        .join(rep, "doc_id")
+        .join(li, "doc_id", "left")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# length percentiles: exact + GK-sketch in one result; like distinct_users,
+# the sketch is certified in-plan against the exact form (GK is
+# deterministic for fixed data) and the oracle asserts the flag.
+# --------------------------------------------------------------------------
+
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = textstats.length_percentiles(spark, sf_dir)
+    approx = textstats.approx_length_percentiles(spark, sf_dir).select(
+        "lang", "ap50", "ap90", "ap99"
+    )
+    within = None
+    for q in (50, 90, 99):
+        ok = F.abs(F.col(f"ap{q}") - F.col(f"p{q}")) <= (
+            0.10 * F.col(f"p{q}") + F.lit(1.0)
+        )
+        within = ok if within is None else (within & ok)
+    return (
+        exact.join(approx, "lang")
+        .select(*exact.columns, within.alias("approx_ok"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic dataset assembly: hash sampling, split assignment,
+# stratified rebalancing, and domain-mixture reweighting as one tagged
+# result (all map-side hash arithmetic — the schema is a bookkeeping
+# union, not a changed plan)
+# --------------------------------------------------------------------------
+
+def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nl = F.lit(None).cast("long")
+    hs = pipeline.hash_sample(spark, sf_dir).select(
+        F.lit("hash").alias("variant"),
+        F.col("lang").alias("k1"),
+        F.col("source").alias("k2"),
+        F.col("doc_id").alias("n1"),
+        F.col("n_chars").alias("n2"),
+        nl.alias("n3"),
+    )
+    st = pipeline.stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("variant"),
+        F.col("lang").alias("k1"),
+        F.col("source").alias("k2"),
+        F.col("doc_id").alias("n1"),
+        nl.alias("n2"),
+        nl.alias("n3"),
+    )
+    sp = pipeline.split_assign(spark, sf_dir).select(
+        F.lit("split").alias("variant"),
+        F.col("split").alias("k1"),
+        F.col("lang").alias("k2"),
+        F.col("n_docs").alias("n1"),
+        F.col("total_chars").alias("n2"),
+        nl.alias("n3"),
+    )
+    mx = pipeline.mixture_sample(spark, sf_dir).select(
+        F.lit("mixture").alias("variant"),
+        F.col("source").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_docs").alias("n1"),
+        F.col("rate_buckets").alias("n2"),
+        F.col("n_kept").alias("n3"),
+    )
+    return hs.unionAll(st).unionAll(sp).unionAll(mx)
+
+
+# --------------------------------------------------------------------------
+# oracle composition (DuckDB side of every suite above)
+# --------------------------------------------------------------------------
+
+def _suite_oracles() -> dict[str, str]:
+    from uw_hadoop_aglorithms_spark.operators.graphstats import GRAPHSTATS_ORACLES
+    from uw_hadoop_aglorithms_spark.operators.pipeline import PIPELINE_ORACLES
+    from uw_hadoop_aglorithms_spark.oracles import (
+        DEDUP_ORACLES,
+        RELATIONAL_ORACLES,
+        SIMILARITY_ORACLES,
+        STREAMING_ORACLES,
+        TEXT_ORACLES,
+        TEXTSTATS_ORACLES,
+    )
+
+    tri = GRAPHSTATS_ORACLES["triangle_count"]
+    graph_stats_sql = f"""
+        WITH t AS ({tri})
+        {_wrap("degree_hist", GRAPHSTATS_ORACLES["degree_distribution"],
+               "CAST(degree AS VARCHAR) AS k, CAST(n_vertices AS DOUBLE) AS v")}
+        UNION ALL SELECT 'triangle', 'n_vertices', CAST(n_vertices AS DOUBLE) FROM t
+        UNION ALL SELECT 'triangle', 'n_edges', CAST(n_edges AS DOUBLE) FROM t
+        UNION ALL SELECT 'triangle', 'n_wedges', CAST(n_wedges AS DOUBLE) FROM t
+        UNION ALL SELECT 'triangle', 'n_triangles', CAST(n_triangles AS DOUBLE) FROM t
+        UNION ALL SELECT 'triangle', 'clustering', clustering FROM t
+    """
+
+    doc_profile_sql = f"""
+        WITH ds AS ({TEXTSTATS_ORACLES["doc_stats"]}),
+             qs AS ({TEXTSTATS_ORACLES["quality_score"]}),
+             rep AS ({TEXTSTATS_ORACLES["repetition_score"]}),
+             li AS ({TEXTSTATS_ORACLES["lang_id"]})
+        SELECT ds.doc_id, ds.n_chars_obs, ds.n_ws_tokens, ds.n_re_tokens,
+               ds.n_bpe_tokens, ds.n_distinct_tokens, ds.avg_token_len,
+               qs.stopword_ratio, qs.unique_ratio, qs.length_score, qs.quality,
+               rep.n_tokens, rep.dup_bigram_frac, rep.dup_trigram_frac,
+               rep.top_bigram_frac, rep.is_repetitive,
+               li.pred_lang, li.actual_lang, li.correct
+        FROM ds
+        JOIN qs USING (doc_id)
+        JOIN rep USING (doc_id)
+        LEFT JOIN li USING (doc_id)
+        ORDER BY ds.doc_id
+    """
+
+    return {
+        "semi_anti_join": _u(
+            _wrap("semi", RELATIONAL_ORACLES["semi_join"]),
+            _wrap("anti", RELATIONAL_ORACLES["anti_join"]),
+        ),
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events, TRUE AS approx_within_5pct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "word_count": _u(
+            _wrap("all", TEXT_ORACLES["word_count"]),
+            _wrap("min100", TEXT_ORACLES["word_count_having"]),
+        ),
+        "pmi": _u(
+            _wrap("pairs", TEXT_ORACLES["pmi_pairs"]),
+            _wrap("stripes", TEXT_ORACLES["pmi_stripes"]),
+        ),
+        "graph_stats": graph_stats_sql,
+        "window_counts": _u(
+            _wrap("tumbling", STREAMING_ORACLES["event_count"],
+                  "window_start, CAST(NULL AS VARCHAR) AS tag, cnt"),
+            _wrap("sliding", STREAMING_ORACLES["sliding_event_count"],
+                  "window_start, CAST(NULL AS VARCHAR) AS tag, cnt"),
+            _wrap("region", STREAMING_ORACLES["region_event_count"],
+                  "window_start, event_type AS tag, cnt"),
+            _wrap("geo", STREAMING_ORACLES["geo_region_count"],
+                  "window_start, region AS tag, cnt"),
+        ),
+        # the streaming run must equal the BATCH tumbling-window oracle
+        "stream_batch_equiv": STREAMING_ORACLES["event_count"],
+        "neardup_pairs": _u(
+            _wrap("ngram", DEDUP_ORACLES["ngram_jaccard"],
+                  "doc_a AS id_a, doc_b AS id_b, jaccard AS score", tag="algo"),
+            _wrap("minhash", DEDUP_ORACLES["minhash_lsh_dedup"],
+                  "doc_a AS id_a, doc_b AS id_b, jaccard AS score", tag="algo"),
+            _wrap("simhash", DEDUP_ORACLES["simhash_dedup"],
+                  "doc_a AS id_a, doc_b AS id_b, CAST(hamming AS DOUBLE) AS score",
+                  tag="algo"),
+            _wrap("cosine", DEDUP_ORACLES["embedding_cosine_dups"],
+                  "vec_a AS id_a, vec_b AS id_b, cosine AS score", tag="algo"),
+        ),
+        "ann_topk": _u(
+            _wrap("brute", SIMILARITY_ORACLES["ann_brute_topk"], tag="method"),
+            _wrap("lsh", SIMILARITY_ORACLES["ann_lsh_topk"], tag="method"),
+            _wrap("ivf", SIMILARITY_ORACLES["ann_ivf_topk"], tag="method"),
+        ),
+        "doc_profile": doc_profile_sql,
+        "length_percentiles": (
+            "SELECT *, TRUE AS approx_ok FROM (\n"
+            + TEXTSTATS_ORACLES["length_percentiles"]
+            + "\n)"
+        ),
+        "sampling_suite": _u(
+            _wrap("hash", PIPELINE_ORACLES["hash_sample"],
+                  "lang AS k1, source AS k2, doc_id AS n1, n_chars AS n2, "
+                  "CAST(NULL AS BIGINT) AS n3"),
+            _wrap("stratified", PIPELINE_ORACLES["stratified_sample"],
+                  "lang AS k1, source AS k2, doc_id AS n1, "
+                  "CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3"),
+            _wrap("split", PIPELINE_ORACLES["split_assign"],
+                  "split AS k1, lang AS k2, n_docs AS n1, total_chars AS n2, "
+                  "CAST(NULL AS BIGINT) AS n3"),
+            _wrap("mixture", PIPELINE_ORACLES["mixture_sample"],
+                  "source AS k1, CAST(NULL AS VARCHAR) AS k2, n_docs AS n1, "
+                  "rate_buckets AS n2, n_kept AS n3"),
+        ),
+    }
+
+
+SUITE_ORACLES: dict[str, str] = _suite_oracles()
+
+#: Registry keys subsumed by a suite — removed from queries()/oracle_sql()
+#: so every remaining key fits inside the driver's verification window.
+#: The members stay pytest-verified individually (tests/test_*).
+SUBSUMED: frozenset[str] = frozenset(
+    {
+        "semi_join",
+        "anti_join",
+        "approx_distinct_users",
+        "word_count_having",
+        "pmi_pairs",
+        "pmi_stripes",
+        "degree_distribution",
+        "triangle_count",
+        "ppr_top20",
+        "pagerank_top20",
+        "spam_train",
+        "spam_apply",
+        "spam_ensemble",
+        "event_count",
+        "sliding_event_count",
+        "region_event_count",
+        "geo_region_count",
+        "ngram_jaccard",
+        "minhash_lsh_dedup",
+        "simhash_dedup",
+        "embedding_cosine_dups",
+        "ann_brute_topk",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "doc_stats",
+        "quality_score",
+        "repetition_score",
+        "lang_id",
+        "approx_length_percentiles",
+        "hash_sample",
+        "split_assign",
+        "stratified_sample",
+        "mixture_sample",
+    }
+)

@@ -1122,12 +1122,20 @@ CURATION_ORACLES: dict[str, str] = {
 
 
 def all_oracles() -> dict[str, str]:
-    """Merged oracle map across operator families (driver contract)."""
+    """Merged oracle map across operator families (driver contract).
+
+    Keys subsumed by a consolidated suite (operators/suites.py) are
+    removed and replaced by the suite's composed oracle, so the map stays
+    exactly the driver registry's key set. The per-variant oracles remain
+    in the family dicts — the suites compose them, and unit tests may use
+    them directly.
+    """
     from uw_hadoop_aglorithms_spark.operators.pipeline import PIPELINE_ORACLES
 
     from uw_hadoop_aglorithms_spark.operators.cluster import CLUSTER_ORACLES
     from uw_hadoop_aglorithms_spark.operators.graphstats import GRAPHSTATS_ORACLES
     from uw_hadoop_aglorithms_spark.operators.sketches import SKETCH_ORACLES
+    from uw_hadoop_aglorithms_spark.operators.suites import SUBSUMED, SUITE_ORACLES
 
     merged: dict[str, str] = {}
     merged.update(SKETCH_ORACLES)
@@ -1144,4 +1152,7 @@ def all_oracles() -> dict[str, str]:
     merged.update(MULTIMODAL_ORACLES)
     merged.update(TEMPORAL_ORACLES)
     merged.update(CURATION_ORACLES)
+    for key in SUBSUMED:
+        merged.pop(key, None)
+    merged.update(SUITE_ORACLES)
     return merged
