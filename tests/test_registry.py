@@ -70,9 +70,6 @@ def test_rows_only_queries_have_python_oracle_tests(spark):
     qmap, omap = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = set(qmap) - set(omap)
     assert rows_only == {
-        # iterative float loop — sequential Python oracle in
-        # tests/test_graph.py (SQL replay oracle tracked separately)
-        "pagerank_suite",
         # order-sensitive serial SGD fold — Python oracle in
         # tests/test_ml.py
         "spam",

@@ -48,6 +48,14 @@ DEFAULT_ITERATIONS = 10
 #: durable parquet instead of executor memory (SURVEY.md §7 Phase 4).
 CHECKPOINT_EVERY = 5
 TOP_K = 20  # reference ExtractTopPersonalizedPageRankNodes.java default
+#: Per-iteration decimal rounding for the REGISTERED top-20 queries — the
+#: determinism contract that makes an iterative float loop value-hash
+#: checkable cross-engine (same trick as cluster.KM_ROUND): both engines
+#: round each iteration's state to 1e-8, which absorbs summation-order FP
+#: noise (~1e-16) so the replayed DuckDB oracle stays bit-identical. The
+#: raw `personalized_pagerank`/`pagerank` default to NO rounding and are
+#: validated against the sequential Python oracle instead.
+PR_ROUND = 8
 
 #: Target rows per shuffle partition inside the iteration loop. The loop
 #: runs ~3 tiny stages × `iterations`, so per-task overhead dominates —
@@ -145,6 +153,7 @@ def personalized_pagerank(
     alpha: float = ALPHA,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = CHECKPOINT_EVERY,
+    round_each: int | None = None,
 ) -> DataFrame:
     """Run multi-source PPR; returns (source, id, rank) — G3-G6.
 
@@ -188,13 +197,13 @@ def personalized_pagerank(
 
         return _ppr_loop(
             ranks, edges_deg, vdeg, src_df, iterations, alpha,
-            checkpoint_dir, checkpoint_every,
+            checkpoint_dir, checkpoint_every, round_each,
         )
 
 
 def _ppr_loop(
     ranks, edges_deg, vdeg, src_df, iterations, alpha,
-    checkpoint_dir=None, checkpoint_every=CHECKPOINT_EVERY,
+    checkpoint_dir=None, checkpoint_every=CHECKPOINT_EVERY, round_each=None,
 ):
     for i in range(iterations):
         # per-source mass that will survive the scatter = rank held by
@@ -216,26 +225,25 @@ def _ppr_loop(
         # gather (G4): sum incoming mass per (vertex, source)
         gathered = contribs.groupBy("id", "source").agg(F.sum("mass").alias("mass"))
         # reinstate zero-in-mass vertices, add teleport + dangling mass (G5)
+        rank_expr = (
+            F.lit(1 - alpha)
+            * (
+                F.coalesce(F.col("mass"), F.lit(0.0))
+                + F.when(
+                    F.col("id") == F.col("source"),
+                    F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0)),
+                ).otherwise(0.0)
+            )
+            + F.when(F.col("id") == F.col("source"), F.lit(alpha)).otherwise(0.0)
+        )
+        if round_each is not None:
+            # determinism contract for the SQL replay oracle (see PR_ROUND)
+            rank_expr = F.round(rank_expr, round_each)
         ranks = (
             vdeg.crossJoin(F.broadcast(src_df))
             .join(gathered, ["id", "source"], "left")
             .join(F.broadcast(totals), "source", "left")
-            .select(
-                "id",
-                "source",
-                (
-                    F.lit(1 - alpha)
-                    * (
-                        F.coalesce(F.col("mass"), F.lit(0.0))
-                        + F.when(
-                            F.col("id") == F.col("source"),
-                            F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0)),
-                        ).otherwise(0.0)
-                    )
-                    + F.when(F.col("id") == F.col("source"), F.lit(alpha)).otherwise(0.0)
-                ).alias("rank"),
-                "deg",
-            )
+            .select("id", "source", rank_expr.alias("rank"), "deg")
         )
         # materialize EVERY iteration (G6) — see _materialize for why,
         # and for the durable parquet mode used on a real cluster.
@@ -251,6 +259,7 @@ def pagerank(
     alpha: float = ALPHA,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = CHECKPOINT_EVERY,
+    round_each: int | None = None,
 ) -> DataFrame:
     """Uniform (non-personalized) PageRank — the reference's sequential
     oracle semantics (reference SequentialPageRank.java:100-117) as a
@@ -283,21 +292,21 @@ def pagerank(
                 .select(F.col("dst").alias("id"), (F.col("rank") / ranks.deg).alias("mass"))
             )
             gathered = contribs.groupBy("id").agg(F.sum("mass").alias("mass"))
+            rank_expr = (
+                F.lit(alpha / n)
+                + F.lit(1 - alpha)
+                * (
+                    F.coalesce(F.col("mass"), F.lit(0.0))
+                    + (F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0))) / n
+                )
+            )
+            if round_each is not None:
+                # determinism contract for the SQL replay oracle (PR_ROUND)
+                rank_expr = F.round(rank_expr, round_each)
             ranks = (
                 vdeg.join(gathered, "id", "left")
                 .crossJoin(F.broadcast(totals))
-                .select(
-                    "id",
-                    (
-                        F.lit(alpha / n)
-                        + F.lit(1 - alpha)
-                        * (
-                            F.coalesce(F.col("mass"), F.lit(0.0))
-                            + (F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0))) / n
-                        )
-                    ).alias("rank"),
-                    "deg",
-                )
+                .select("id", rank_expr.alias("rank"), "deg")
             )
             ranks = _materialize(ranks, i, checkpoint_dir, checkpoint_every)
 
@@ -305,9 +314,12 @@ def pagerank(
 
 
 def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 by uniform PageRank (rows-only driver check; the
-    sequential Python oracle lives in tests/test_graph.py)."""
-    ranks = pagerank(spark, sf_dir)
+    """Global top-20 by uniform PageRank. Runs with the per-iteration
+    PR_ROUND contract, so the iteration-replaying DuckDB oracle
+    (_pagerank_suite_oracle) value-hash-checks it; the UNROUNDED loop is
+    separately validated against the sequential Python oracle in
+    tests/test_graph.py."""
+    ranks = pagerank(spark, sf_dir, round_each=PR_ROUND)
     return (
         ranks.select("id", F.round("rank", 9).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("id"))
@@ -318,10 +330,11 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ppr_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 vertices per source by rank — G7 as a window rank, replacing
     the reference's mapper-side bounded priority queues + single reducer
-    (reference ExtractTopPersonalizedPageRankNodes.java:58-147)."""
+    (reference ExtractTopPersonalizedPageRankNodes.java:58-147). Runs
+    with the PR_ROUND per-iteration contract (see pagerank_top20)."""
     from pyspark.sql import Window
 
-    ranks = personalized_pagerank(spark, sf_dir)
+    ranks = personalized_pagerank(spark, sf_dir, round_each=PR_ROUND)
     w = Window.partitionBy("source").orderBy(F.col("rank").desc(), F.col("id"))
     return (
         ranks.withColumn("pos", F.row_number().over(w))
@@ -329,3 +342,113 @@ def ppr_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "id", F.round("rank", 6).alias("rank"), "pos")
         .orderBy("source", "pos")
     )
+
+
+# --- generated DuckDB replay oracle ------------------------------------------
+#
+# The same trick that made kmeans_clusters hash-checkable (cluster.py):
+# replay every iteration as a chained CTE, with BOTH engines rounding the
+# state to PR_ROUND decimals per iteration. Each arithmetic step mirrors
+# the Spark expression's operand order exactly; double ops on identical
+# inputs are IEEE-identical, and the per-iteration round() absorbs the
+# only nondeterminism (summation order, ~1e-16) far below the 1e-8 grid.
+
+
+def _pagerank_suite_oracle(
+    iters: int = DEFAULT_ITERATIONS,
+    alpha: float = ALPHA,
+    sources: tuple[int, ...] = DEFAULT_SOURCES,
+) -> str:
+    a = repr(alpha)       # '0.15'  — parses to the same double as F.lit
+    b = repr(1 - alpha)   # '0.85'  — Python-computed, mirrored exactly
+    src_vals = ", ".join(f"({s})" for s in sources)
+    parts = [
+        f"""WITH nc AS MATERIALIZED (SELECT max(c_custkey) + 1 AS n FROM customer),
+edges AS MATERIALIZED (
+    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+           CAST(l.l_suppkey + nc.n AS BIGINT) AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey, nc
+),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+verts AS MATERIALIZED (
+    SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+    UNION ALL SELECT CAST(s_suppkey + nc.n AS BIGINT) FROM supplier, nc
+),
+vdeg AS MATERIALIZED (
+    SELECT id, coalesce(deg, 0) AS deg
+    FROM verts LEFT JOIN outdeg ON verts.id = outdeg.src
+),
+nv AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+src(source) AS (VALUES {src_vals}),
+p_r0 AS MATERIALIZED (
+    SELECT id, CAST(source AS BIGINT) AS source,
+           CASE WHEN id = source THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS rank,
+           deg
+    FROM vdeg CROSS JOIN src
+),
+u_r0 AS MATERIALIZED (
+    SELECT id, 1.0::DOUBLE / nv.n AS rank, deg FROM vdeg, nv
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""p_t{i} AS MATERIALIZED (
+    SELECT source, sum(rank) AS m FROM p_r{i} WHERE deg > 0 GROUP BY source
+),
+p_g{i} AS MATERIALIZED (
+    SELECT e.dst AS id, r.source, sum(r.rank / r.deg) AS mass
+    FROM edges e JOIN p_r{i} r ON e.src = r.id
+    GROUP BY e.dst, r.source
+),
+p_r{i + 1} AS MATERIALIZED (
+    SELECT v.id, s.source,
+           round({b}::DOUBLE * (coalesce(g.mass, 0.0::DOUBLE)
+                 + CASE WHEN v.id = s.source
+                        THEN 1.0::DOUBLE - coalesce(t.m, 0.0::DOUBLE)
+                        ELSE 0.0::DOUBLE END)
+                 + CASE WHEN v.id = s.source
+                        THEN {a}::DOUBLE ELSE 0.0::DOUBLE END,
+                 {PR_ROUND}) AS rank,
+           v.deg
+    FROM vdeg v CROSS JOIN (SELECT CAST(source AS BIGINT) AS source FROM src) s
+    LEFT JOIN p_g{i} g ON g.id = v.id AND g.source = s.source
+    LEFT JOIN p_t{i} t ON t.source = s.source
+),
+u_t{i} AS MATERIALIZED (
+    SELECT sum(rank) AS m FROM u_r{i} WHERE deg > 0
+),
+u_g{i} AS MATERIALIZED (
+    SELECT e.dst AS id, sum(r.rank / r.deg) AS mass
+    FROM edges e JOIN u_r{i} r ON e.src = r.id
+    GROUP BY e.dst
+),
+u_r{i + 1} AS MATERIALIZED (
+    SELECT v.id,
+           round({a}::DOUBLE / nv.n
+                 + {b}::DOUBLE * (coalesce(g.mass, 0.0::DOUBLE)
+                   + (1.0::DOUBLE - coalesce(t.m, 0.0::DOUBLE)) / nv.n),
+                 {PR_ROUND}) AS rank,
+           v.deg
+    FROM vdeg v
+    LEFT JOIN u_g{i} g ON g.id = v.id
+    CROSS JOIN u_t{i} t CROSS JOIN nv
+)"""
+        )
+    final = f"""SELECT 'ppr' AS variant, source, id, round(rank, 6) AS rank, pos
+FROM (
+    SELECT source, id, rank,
+           row_number() OVER (PARTITION BY source ORDER BY rank DESC, id) AS pos
+    FROM p_r{iters}
+) WHERE pos <= {TOP_K}
+UNION ALL
+SELECT 'global' AS variant, CAST(-1 AS BIGINT) AS source, id, rank, pos
+FROM (
+    SELECT id, rank, row_number() OVER (ORDER BY rank DESC, id) AS pos
+    FROM (SELECT id, round(rank, 9) AS rank FROM u_r{iters})
+) WHERE pos <= {TOP_K}"""
+    return ",\n".join(parts) + "\n" + final
+
+
+GRAPH_ORACLES: dict[str, str] = {
+    "pagerank_suite": _pagerank_suite_oracle(),
+}

@@ -398,6 +398,7 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _suite_oracles() -> dict[str, str]:
+    from uw_hadoop_aglorithms_spark.operators.graph import GRAPH_ORACLES
     from uw_hadoop_aglorithms_spark.operators.graphstats import GRAPHSTATS_ORACLES
     from uw_hadoop_aglorithms_spark.operators.pipeline import PIPELINE_ORACLES
     from uw_hadoop_aglorithms_spark.oracles import (
@@ -458,6 +459,9 @@ def _suite_oracles() -> dict[str, str]:
             _wrap("stripes", TEXT_ORACLES["pmi_stripes"]),
         ),
         "graph_stats": graph_stats_sql,
+        # iteration-replaying CTE chain (graph.py) — the iterative float
+        # loop is value-hash checked via the PR_ROUND contract
+        "pagerank_suite": GRAPH_ORACLES["pagerank_suite"],
         "window_counts": _u(
             _wrap("tumbling", STREAMING_ORACLES["event_count"],
                   "window_start, CAST(NULL AS VARCHAR) AS tag, cnt"),
