@@ -249,9 +249,20 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = tempfile.mkdtemp(prefix="sbe_replay_")
     ckpt = tempfile.mkdtemp(prefix="sbe_ckpt_")
     runner.prepare_replay_dir(spark, sf_dir, replay)
-    return runner.stream_event_count(
-        spark, replay, ckpt, query_name="stream_batch_equiv_mem"
-    )
+    # The stateful agg repartitions to spark.sql.shuffle.partitions in
+    # EVERY micro-batch; the state (one row per event-time window) is
+    # tiny, so scope the conf down for the run — a fresh checkpoint pins
+    # the state layout per call, so this never conflicts across runs. On
+    # a real cluster the state is sized by the window count, not input
+    # rows, so a small fixed partition count is the right shape there too.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return runner.stream_event_count(
+            spark, replay, ckpt, query_name="stream_batch_equiv_mem"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # --------------------------------------------------------------------------
