@@ -101,7 +101,14 @@ def _gram_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines. The DuckDB oracle replicates the same combine
     (oracles._HASHED_CTE), so hash-level parity is preserved;
     distinctness is per hash pair (collisions ~n²/P per doc, mirrored
-    identically in the oracle)."""
+    identically in the oracle).
+
+    Deliberately NOT cached/memoized across the dedup members: the hash
+    arrays are wide (one long per distinct shingle), and materializing
+    them costs more than recomputing the fused whole-stage-codegen
+    pipeline per member (measured at sf0.1: caching sped the 4-member
+    suite ~5 s but slowed the clustering fixpoint ~6 s via cache-write
+    churn). Each member keeps its scan fused instead."""
     docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
     ts = tokens("text")
     th = F.transform(ts, lambda t: polyhash(t))

@@ -154,6 +154,7 @@ def personalized_pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = CHECKPOINT_EVERY,
     round_each: int | None = None,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Run multi-source PPR; returns (source, id, rank) — G3-G6.
 
@@ -162,7 +163,7 @@ def personalized_pagerank(
     where missing_s = 1 − Σ_v gathered mass for source s (dangling loss).
     Mass is conserved exactly: Σ_v p'(v) = 1 per source.
     """
-    vertices, edges = build_graph(spark, sf_dir)
+    vertices, edges = prebuilt if prebuilt is not None else build_graph(spark, sf_dir)
     edges = edges.cache()  # count() below materializes; edges_deg reuses
     scope = _loop_shuffle_partitions(spark, edges.count() * max(1, len(sources)))
 
@@ -260,6 +261,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = CHECKPOINT_EVERY,
     round_each: int | None = None,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Uniform (non-personalized) PageRank — the reference's sequential
     oracle semantics (reference SequentialPageRank.java:100-117) as a
@@ -267,7 +269,7 @@ def pagerank(
     dangling mass redistributed uniformly. Same scatter/gather/checkpoint
     machinery as the personalized variant, single rank slot.
     """
-    vertices, edges = build_graph(spark, sf_dir)
+    vertices, edges = prebuilt if prebuilt is not None else build_graph(spark, sf_dir)
     edges = edges.cache()  # count() below materializes; edges_deg reuses
     n = vertices.count()
 
@@ -313,13 +315,18 @@ def pagerank(
     return ranks.select("id", "rank")
 
 
-def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_top20(
+    spark: SparkSession,
+    sf_dir: str,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Global top-20 by uniform PageRank. Runs with the per-iteration
     PR_ROUND contract, so the iteration-replaying DuckDB oracle
     (_pagerank_suite_oracle) value-hash-checks it; the UNROUNDED loop is
     separately validated against the sequential Python oracle in
-    tests/test_graph.py."""
-    ranks = pagerank(spark, sf_dir, round_each=PR_ROUND)
+    tests/test_graph.py. `prebuilt` lets the suite share one graph build
+    across the global and personalized runs."""
+    ranks = pagerank(spark, sf_dir, round_each=PR_ROUND, prebuilt=prebuilt)
     return (
         ranks.select("id", F.round("rank", 9).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("id"))
@@ -327,14 +334,20 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ppr_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ppr_top20(
+    spark: SparkSession,
+    sf_dir: str,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Top-20 vertices per source by rank — G7 as a window rank, replacing
     the reference's mapper-side bounded priority queues + single reducer
     (reference ExtractTopPersonalizedPageRankNodes.java:58-147). Runs
     with the PR_ROUND per-iteration contract (see pagerank_top20)."""
     from pyspark.sql import Window
 
-    ranks = personalized_pagerank(spark, sf_dir, round_each=PR_ROUND)
+    ranks = personalized_pagerank(
+        spark, sf_dir, round_each=PR_ROUND, prebuilt=prebuilt
+    )
     w = Window.partitionBy("source").orderBy(F.col("rank").desc(), F.col("id"))
     return (
         ranks.withColumn("pos", F.row_number().over(w))

@@ -188,12 +188,14 @@ def pagerank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from uw_hadoop_aglorithms_spark.operators import graph
 
-    ppr = graph.ppr_top20(spark, sf_dir).select(
+    # one graph build (orders ⋈ lineitem distinct) serves both loops
+    prebuilt = graph.build_graph(spark, sf_dir)
+    ppr = graph.ppr_top20(spark, sf_dir, prebuilt=prebuilt).select(
         F.lit("ppr").alias("variant"), "source", "id", "rank", "pos"
     )
     w = Window.orderBy(F.col("rank").desc(), F.col("id"))
     pr = (
-        graph.pagerank_top20(spark, sf_dir)
+        graph.pagerank_top20(spark, sf_dir, prebuilt=prebuilt)
         .withColumn("pos", F.row_number().over(w))
         .select(
             F.lit("global").alias("variant"),
