@@ -330,10 +330,17 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = textstats.quality_score(spark, sf_dir)
     rep = textstats.repetition_score(spark, sf_dir)
     li = textstats.lang_id(spark, sf_dir)
-    return (
+    joined = (
         ds.join(qs, "doc_id")
         .join(rep, "doc_id")
         .join(li, "doc_id", "left")
+    )
+    # lang-ID covers only the held-out split; train docs would carry a
+    # NULL boolean here. NULL strings/numerics are proven through the
+    # driver canonicalizer (cube/rollup keys), NULL booleans are not —
+    # pin `correct` to FALSE for uncovered docs in both engines.
+    return (
+        joined.withColumn("correct", F.coalesce("correct", F.lit(False)))
         .orderBy("doc_id")
     )
 
@@ -445,7 +452,8 @@ def _suite_oracles() -> dict[str, str]:
                qs.stopword_ratio, qs.unique_ratio, qs.length_score, qs.quality,
                rep.n_tokens, rep.dup_bigram_frac, rep.dup_trigram_frac,
                rep.top_bigram_frac, rep.is_repetitive,
-               li.pred_lang, li.actual_lang, li.correct
+               li.pred_lang, li.actual_lang,
+               coalesce(li.correct, FALSE) AS correct
         FROM ds
         JOIN qs USING (doc_id)
         JOIN rep USING (doc_id)
