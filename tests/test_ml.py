@@ -1,22 +1,34 @@
 """Spam classifier vs a pure-Python sequential oracle (SURVEY.md §5.2).
 
-The oracle reimplements: instance derivation (crc32 features, label%2),
-the deterministic shuffle order (crc32 of doc_id), and the SGD fold with
-delta=0.002 — byte-for-byte the semantics of operators/ml.py, independently
-in plain Python over the raw parquet.
+The oracle reimplements: instance derivation (polyhash features, label%2),
+the deterministic shuffle order (universal-family hash of doc_id), and the
+SGD fold with delta=0.002 — byte-for-byte the semantics of operators/ml.py,
+independently in plain Python over the raw parquet.
 """
 
 from __future__ import annotations
 
 import math
 import re
-import zlib
 
 import duckdb
 import pytest
 
+from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params
 from uw_hadoop_aglorithms_spark.operators import ml
 from tests.conftest import SF_TEST
+
+
+def _polyhash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % P
+    return acc
+
+
+def _shuffle_key(doc_id: int) -> int:
+    a, b = hash_params(ml.SHUFFLE_MEMBER)
+    return ((doc_id % P) * a + b) % P
 
 
 def _python_instances():
@@ -31,17 +43,17 @@ def _python_instances():
     out = []
     for doc_id, text, label in docs:
         toks = [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
-        feats = sorted({zlib.crc32(t.encode()) % ml.FEATURE_SPACE for t in toks})
+        feats = sorted({_polyhash(t) % ml.FEATURE_SPACE for t in toks})
         out.append((doc_id, int(label), feats))
     return out
 
 
 def _python_train(insts):
     train = [(d, l, f) for d, l, f in insts if d % 5 != 0]
-    train.sort(key=lambda r: (zlib.crc32(str(r[0]).encode()), r[0]))
+    train.sort(key=lambda r: (_shuffle_key(r[0]), r[0]))
     w: dict[int, float] = {}
     for _, label, feats in train:
-        score = sum(w.get(f, 0.0) for f in feats)
+        score = round(sum(w.get(f, 0.0) for f in feats), ml.SCORE_ROUND)
         p = 1.0 / (1.0 + math.exp(-max(min(score, 709.0), -709.0)))
         g = (label - p) * ml.DELTA
         for f in feats:
@@ -79,3 +91,17 @@ def test_ensemble_vote_range(spark):
     for r in rows:
         assert r.vote in (-3, -1, 1, 3)
         assert r.prediction_vote == ("spam" if r.vote > 0 else "ham")
+
+
+def test_libm_exp_bit_identical_across_engines():
+    """The SQL replay oracle (_spam_oracle) relies on CPython and DuckDB
+    calling the same platform libm exp(): assert bit-equality over the
+    score range the fold can produce (|score| ≤ 709 after the clamp)."""
+    con = duckdb.connect()
+    xs = [0.0, 1e-9, -1e-9, 0.002, -0.5, 1.5, -3.25, 7.0, -42.0, 100.0,
+          -100.0, 708.9, -708.9, 709.0, -709.0, 0.1234567891234]
+    got = con.execute(
+        "SELECT list_transform($1::DOUBLE[], x -> exp(x))", [xs]
+    ).fetchone()[0]
+    for x, d in zip(xs, got):
+        assert math.exp(x) == d, f"exp({x}): python {math.exp(x)!r} != duckdb {d!r}"

@@ -65,15 +65,12 @@ def test_every_query_analyzes_and_matches_oracle_columns(spark, oracle_con):
 
 
 def test_rows_only_queries_have_python_oracle_tests(spark):
-    """Every key WITHOUT a DuckDB oracle must be justified: iterative or
-    order-sensitive, each covered by a sequential oracle in tests/."""
+    """Every registered key must have a DuckDB oracle: the iterative /
+    order-sensitive families (PageRank, k-means, serial SGD) are handled
+    by generated replay oracles under per-step rounding contracts."""
     qmap, omap = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = set(qmap) - set(omap)
-    assert rows_only == {
-        # order-sensitive serial SGD fold — Python oracle in
-        # tests/test_ml.py
-        "spam",
-    }, f"unexpected rows-only keys: {rows_only}"
+    assert rows_only == set(), f"unexpected rows-only keys: {rows_only}"
 
 
 def test_entry_is_registered_query_shape(spark):

@@ -11,14 +11,19 @@ majority vote across 3 models (ApplyEnsembleSpamClassifier.scala:47-73).
 Deviations (documented, SURVEY.md §2.12.5): the reference's `--shuffle`
 uses an UNSEEDED Random (TrainSpamClassifier.scala:35-37) — training order,
 and therefore the model, was irreproducible. Here the shuffle key is a
-content-derived hash (crc32 of doc_id), so the fold order is deterministic
-on any cluster layout — unlike F.rand(seed), whose values depend on
-partition assignment.
+deterministic universal-family hash of doc_id, so the fold order is
+deterministic on any cluster layout — unlike F.rand(seed), whose values
+depend on partition assignment.
 
 Instance derivation (FIXTURES.md): label = embeddings.label % 2 joined on
-doc_id; features = stable crc32 hashes of the doc's distinct tokens into a
-bounded space (the reference hashed byte 4-grams); train/test split by
-doc_id % 5.
+doc_id; features = engine-neutral polyhashes of the doc's distinct tokens
+into a bounded space (the reference hashed byte 4-grams); train/test split
+by doc_id % 5. The polyhash (functions/hashing.py) replaces the earlier
+crc32: DuckDB has no crc32, and with a hash both engines compute
+bit-identically the ENTIRE pipeline — sorted feature lists, explicit
+left-fold score sums, bit-equal libm exp — becomes replayable by a
+recursive-CTE SQL oracle (_spam_oracle), making even the order-sensitive
+serial SGD value-hash checkable.
 
 Scale notes: the trainer is *inherently* serial (order-sensitive fold —
 SURVEY.md §4.2): one partition, one Python pass, by design; it is the one
@@ -36,11 +41,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params, polyhash
 from uw_hadoop_aglorithms_spark.functions.text import tokens
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
 DELTA = 0.002  # learning rate, reference TrainSpamClassifier.scala:19
 FEATURE_SPACE = 10007  # bounded hash space (prime), overlapping sparse features
+#: Universal-hash family member for the deterministic training shuffle (O5).
+SHUFFLE_MEMBER = 11
+#: Decimal rounding of the per-step score before the sigmoid — the
+#: determinism contract that lets the SQL oracle replay the fold: the
+#: oracle regroups the same score sum by training step instead of by
+#: feature (mathematically equal, FP-order different by ~1e-15), and
+#: rounding to 1e-9 absorbs that regrouping noise so both engines feed
+#: the sigmoid the identical double. Semantic deviation from the
+#: reference fold is ≤ 5e-10 per step — far below DELTA.
+SCORE_ROUND = 9
 
 
 def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +66,7 @@ def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(
                 tokens("text"),
-                lambda w: (F.crc32(F.encode(w, "utf-8")) % FEATURE_SPACE).cast("int"),
+                lambda w: (polyhash(w) % FEATURE_SPACE).cast("int"),
             )
         )
     )
@@ -83,7 +99,7 @@ def _sgd_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     w: dict[int, float] = {}
     for pdf in batches:
         for feats, label in zip(pdf["features"], pdf["label"]):
-            score = sum(w.get(int(f), 0.0) for f in feats)
+            score = round(sum(w.get(int(f), 0.0) for f in feats), SCORE_ROUND)
             # clamp: exp overflow guard; reference relies on small scores
             p = 1.0 / (1.0 + math.exp(-max(min(score, 709.0), -709.0)))
             g = (float(label) - p) * DELTA
@@ -97,8 +113,12 @@ def _sgd_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def _train_on(inst: DataFrame) -> DataFrame:
     """Deterministic-order serial fold: content-hash shuffle → single
     partition → ordered pass (O5 seeded-shuffle + M2)."""
+    a, b = hash_params(SHUFFLE_MEMBER)
     ordered = (
-        inst.withColumn("shuffle_key", F.crc32(F.col("doc_id").cast("string")))
+        inst.withColumn(
+            "shuffle_key",
+            ((F.col("doc_id").cast("long") % P) * F.lit(a) + F.lit(b)) % F.lit(P),
+        )
         .repartition(1)
         .sortWithinPartitions("shuffle_key", "doc_id")
         .select("features", "label")
@@ -174,3 +194,137 @@ def spam_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- generated DuckDB replay oracle ------------------------------------------
+#
+# The serial SGD fold was the engine's last rows-only query. It becomes
+# value-hash checkable through three engine-neutral contracts:
+#   1. polyhash features + universal-family shuffle key — both engines
+#      derive bit-identical sorted feature lists and training order;
+#   2. SCORE_ROUND: the per-step score is rounded to 1e-9 before the
+#      sigmoid in both engines. The oracle computes the same score
+#      REGROUPED by training step (score_i = Σ_s g_s·|feats_i ∩ feats_s|,
+#      an O(N²) recursion over the gradient vector instead of an O(N·|w|)
+#      map rebuild) — mathematically equal, FP-order different by ~1e-15,
+#      absorbed by the rounding grid;
+#   3. libm exp() is bit-identical across CPython and DuckDB (both call
+#      the platform libm; asserted in tests/test_ml.py).
+# Given identical rounded scores, g_i is bit-identical, and each final
+# weight is the same left-fold of the same g's in the same step order.
+
+
+def _fold_sql(tag: str, train_cte: str) -> str:
+    """One recursive gradient-vector fold over numbered CTE `train_cte`."""
+    score = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(range(len(f.gs)), "
+        "j -> f.gs[j + 1] * (coalesce(o.ov, []::DOUBLE[]))[j + 1])), "
+        "(a, x) -> a + x)"
+    )
+    return f"""ov{tag} AS MATERIALIZED (
+    SELECT a.rn AS i,
+           list(len(list_intersect(a.feats, b.feats))::DOUBLE ORDER BY b.rn) AS ov
+    FROM {train_cte} a JOIN {train_cte} b ON b.rn < a.rn GROUP BY a.rn
+),
+fold{tag} AS (
+    SELECT 0::BIGINT AS i, []::DOUBLE[] AS gs
+    UNION ALL
+    SELECT i, list_append(gs,
+        (y - 1.0/(1.0 + exp(-(greatest(least(score_r, 709.0), -709.0)))))
+        * {DELTA!r}::DOUBLE) AS gs
+    FROM (
+        SELECT f.i + 1 AS i, f.gs AS gs, t.label::DOUBLE AS y,
+               round({score}, {SCORE_ROUND}) AS score_r
+        FROM fold{tag} f
+        JOIN {train_cte} t ON t.rn = f.i + 1
+        LEFT JOIN ov{tag} o ON o.i = t.rn
+    )
+),
+gsf{tag} AS MATERIALIZED (SELECT gs FROM fold{tag} ORDER BY i DESC LIMIT 1),
+w{tag} AS MATERIALIZED (
+    SELECT f AS feature,
+           list_reduce(list_prepend(0.0::DOUBLE, gl), (a, x) -> a + x) AS weight
+    FROM (
+        SELECT u.f, list(g.gs[u.rn] ORDER BY u.rn) AS gl
+        FROM (SELECT t.rn, unnest(t.feats) AS f FROM {train_cte} t) u, gsf{tag} g
+        GROUP BY u.f
+    )
+),
+sc{tag} AS MATERIALIZED (
+    SELECT u.doc_id, u.label, sum(coalesce(w.weight, 0.0::DOUBLE)) AS s
+    FROM (SELECT te.doc_id, te.label, unnest(te.feats) AS f FROM te) u
+    LEFT JOIN w{tag} w ON w.feature = u.f
+    GROUP BY u.doc_id, u.label
+)"""
+
+
+def _spam_oracle() -> str:
+    a, b = hash_params(SHUFFLE_MEMBER)
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), "
+        "t -> t <> '')"
+    )
+    ph = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(string_split(tk, ''), c -> ascii(c)::BIGINT)), "
+        f"(acc, c) -> (acc*31 + c) % {P})"
+    )
+    sk = f"((doc_id % {P}) * {a} + {b}) % {P}"
+    trains = [
+        ("", "doc_id % 5 <> 0"),
+        ("0", "doc_id % 5 <> 0 AND doc_id % 3 = 0"),
+        ("1", "doc_id % 5 <> 0 AND doc_id % 3 = 1"),
+        ("2", "doc_id % 5 <> 0 AND doc_id % 3 = 2"),
+    ]
+    tr_ctes = ",\n".join(
+        f"""tr{tag} AS MATERIALIZED (
+    SELECT doc_id, label, feats,
+           row_number() OVER (ORDER BY {sk}, doc_id) AS rn
+    FROM inst WHERE {cond}
+)"""
+        for tag, cond in trains
+    )
+    fold_ctes = ",\n".join(_fold_sql(tag, f"tr{tag}") for tag, _ in trains)
+    return f"""WITH RECURSIVE toks AS MATERIALIZED (
+    SELECT doc_id, {toks} AS ts FROM documents
+),
+inst AS MATERIALIZED (
+    SELECT t.doc_id, (e.label % 2)::INTEGER AS label,
+           list_sort(list_distinct(list_transform(t.ts,
+               tk -> ({ph} % {FEATURE_SPACE})::INTEGER))) AS feats
+    FROM toks t JOIN embeddings e ON e.vec_id = t.doc_id
+),
+{tr_ctes},
+te AS MATERIALIZED (
+    SELECT doc_id, label, feats FROM inst WHERE doc_id % 5 = 0
+),
+{fold_ctes},
+ens AS MATERIALIZED (
+    SELECT s0.doc_id, s0.label, s0.s AS s0, s1.s AS s1, s2.s AS s2
+    FROM sc0 s0 JOIN sc1 s1 USING (doc_id) JOIN sc2 s2 USING (doc_id)
+)
+SELECT 'train' AS variant, k::BIGINT AS id, NULL::INTEGER AS label,
+       round(v, 9) AS score, NULL::VARCHAR AS prediction
+FROM (SELECT unnest(map_keys(m)) AS k, unnest(map_values(m)) AS v FROM (
+      SELECT map_from_entries(list(struct_pack(k := feature, v := weight))) AS m
+      FROM w))
+UNION ALL
+SELECT 'single', doc_id, label, round(s, 9),
+       CASE WHEN s > 0 THEN 'spam' ELSE 'ham' END
+FROM sc
+UNION ALL
+SELECT 'ens_avg', doc_id, label, round((s0 + s1 + s2) / 3, 9),
+       CASE WHEN (s0 + s1 + s2) / 3 > 0 THEN 'spam' ELSE 'ham' END
+FROM ens
+UNION ALL
+SELECT 'ens_vote', doc_id, label,
+       (2 * ((s0 > 0)::INTEGER + (s1 > 0)::INTEGER + (s2 > 0)::INTEGER) - 3)::DOUBLE,
+       CASE WHEN 2 * ((s0 > 0)::INTEGER + (s1 > 0)::INTEGER + (s2 > 0)::INTEGER) - 3 > 0
+            THEN 'spam' ELSE 'ham' END
+FROM ens"""
+
+
+ML_ORACLES: dict[str, str] = {
+    "spam": _spam_oracle(),
+}

@@ -420,6 +420,7 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _suite_oracles() -> dict[str, str]:
     from uw_hadoop_aglorithms_spark.operators.graph import GRAPH_ORACLES
     from uw_hadoop_aglorithms_spark.operators.graphstats import GRAPHSTATS_ORACLES
+    from uw_hadoop_aglorithms_spark.operators.ml import ML_ORACLES
     from uw_hadoop_aglorithms_spark.operators.pipeline import PIPELINE_ORACLES
     from uw_hadoop_aglorithms_spark.oracles import (
         DEDUP_ORACLES,
@@ -483,6 +484,9 @@ def _suite_oracles() -> dict[str, str]:
         # iteration-replaying CTE chain (graph.py) — the iterative float
         # loop is value-hash checked via the PR_ROUND contract
         "pagerank_suite": GRAPH_ORACLES["pagerank_suite"],
+        # recursive gradient-vector fold (ml.py) — the serial SGD is
+        # value-hash checked via the SCORE_ROUND contract
+        "spam": ML_ORACLES["spam"],
         "window_counts": _u(
             _wrap("tumbling", STREAMING_ORACLES["event_count"],
                   "window_start, CAST(NULL AS VARCHAR) AS tag, cnt"),
