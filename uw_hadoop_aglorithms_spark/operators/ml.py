@@ -60,7 +60,13 @@ SCORE_ROUND = 9
 
 
 def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1: (doc_id, label, features array<int>) per FIXTURES.md."""
+    """M1: (doc_id, label, features array<int>) per FIXTURES.md.
+
+    The per-char polyhash fold is CPU-bound codegen work, so the scan is
+    spread across cores when (and only when) the input is under-parallel
+    — same rationale as the dedup shingle pipelines (plans/layout)."""
+    from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
+
     cat = Catalog(spark, sf_dir)
     feats = F.array_sort(
         F.array_distinct(
@@ -74,7 +80,8 @@ def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), (F.col("label") % 2).cast("int").alias("label")
     )
     return (
-        cat.documents.select("doc_id", feats.alias("features"))
+        spread_for_cpu(cat.documents, "doc_id")
+        .select("doc_id", feats.alias("features"))
         .join(labels, "doc_id")
         .select("doc_id", "label", "features")
     )
