@@ -47,7 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stopped at 50, leaving 21 keys unverified), so variant operators are
     consolidated into suite keys (operators/suites.py): every member still
     executes and is value-hash-checked via a `variant` discriminator
-    column; COVERAGE.md maps each SURVEY §2 id to its key. 49 keys total.
+    column; COVERAGE.md maps each SURVEY §2 id to its key. 50 keys total.
     """
     return {
         # Relational suite (SURVEY §2.2-§2.6, reference Spark/SparkSQL/Q1-Q7)
@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": temporal.user_sessions,
         "asof_last_order": temporal.asof_last_order,
         "range_join_nearby_events": temporal.range_join_nearby_events,
+        # Skew mitigation: 8-way salted fact ⋈ dim join, verified
+        # result-identical to the plain join by the oracle
+        "skew_salted_join": suites.skew_salted_join,
     }
 
 

@@ -414,6 +414,42 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# skew-mitigated join: the salted fact ⋈ dim join must produce EXACTLY the
+# plain join's result — the driver verifies the 100 TB skew machinery
+# (plans/skew.salted_join) against the unsalted SQL oracle.
+# --------------------------------------------------------------------------
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier via an 8-way salted broadcast join.
+
+    At lake scale a handful of hot suppliers would make one shuffle
+    partition a straggler; salting spreads each big-side key across 8
+    sub-keys and replicates the (small) dim side. Correctness contract:
+    salting is invisible in the result, which the plain-join DuckDB
+    oracle checks value-for-value.
+    """
+    from uw_hadoop_aglorithms_spark.plans.skew import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    big = cat.lineitem.select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    dim = cat.supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        salted_join(big, dim, on="l_suppkey")
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(revenue), 2).alias("revenue"),
+        )
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
 # oracle composition (DuckDB side of every suite above)
 # --------------------------------------------------------------------------
 
@@ -487,6 +523,13 @@ def _suite_oracles() -> dict[str, str]:
         # recursive gradient-vector fold (ml.py) — the serial SGD is
         # value-hash checked via the SCORE_ROUND contract
         "spam": ML_ORACLES["spam"],
+        # the salted join must be result-identical to the plain join
+        "skew_salted_join": """
+            SELECT s_name, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+            GROUP BY s_name ORDER BY s_name
+        """,
         "window_counts": _u(
             _wrap("tumbling", STREAMING_ORACLES["event_count"],
                   "window_start, CAST(NULL AS VARCHAR) AS tag, cnt"),
