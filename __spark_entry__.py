@@ -81,8 +81,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_suite": suites.pagerank_suite,
         # degree histogram + degree-ordered triangle census
         "graph_stats": suites.graph_stats,
-        # Spam classifier (SURVEY §2.9; order-sensitive serial SGD fold →
-        # rows-only, validated against a Python oracle in tests/test_ml.py)
+        # Spam classifier (SURVEY §2.9): order-sensitive serial SGD fold,
+        # value-hash checked via the recursive gradient-vector replay
+        # oracle (ml.SCORE_ROUND contract) + Python oracle in tests
         "spam": suites.spam,
         # Streaming analytics (SURVEY §2.10): all four window shapes in
         # batch event-time form…
