@@ -265,23 +265,70 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.unionAll(diff).orderBy("op", "c_custkey")
 
 
+def _per_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, user_id) → event count: the deduplicated level every
+    distinct-count form builds on. One shuffle with map-side partial
+    aggregation — the big reduction happens before any data moves."""
+    return (
+        Catalog(spark, sf_dir)
+        .events.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n_events_user"))
+    )
+
+
 def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count at scale: users and events per event_type.
 
-    count(DISTINCT) is absent from the reference (SURVEY.md §2.4 note);
-    Spark plans it as expand + two-phase aggregate, so the dedup happens
-    distributed on (event_type, user_id) before the final count — no
-    single-reducer bottleneck at 100 TB. approx_count_distinct (HLL) is
-    the cheaper alternative when exactness isn't required; it has no
-    cross-engine oracle (sketch implementations differ), so the exact
-    form is the registered query.
+    count(DISTINCT) is absent from the reference (SURVEY.md §2.4 note).
+    Expressed as an EXPLICIT two-level aggregation — dedup on
+    (event_type, user_id) with map-side partial agg, then a tiny per-type
+    count/sum — rather than countDistinct mixed with plain aggregates,
+    which Spark plans through a row-multiplying Expand (measured 6.8×
+    slower at sf0.1, BENCH_r03 vs r01; the Expand multiplies INPUT rows,
+    so the gap widens with event volume). No single-reducer bottleneck:
+    both levels shuffle on their group keys.
     """
     return (
-        Catalog(spark, sf_dir)
-        .events.groupBy("event_type")
+        _per_user_event_counts(spark, sf_dir)
+        .groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count("*").alias("n_events"),
+            F.count("*").alias("n_users"),
+            F.sum("n_events_user").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def distinct_users_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct_users + an in-plan certificate for the HLL sketch: the
+    same two-level plan also computes approx_count_distinct on the
+    DEDUPED level (HLL is multiplicity-insensitive, so the estimate is
+    identical to sketching the raw rows — and cheaper, since the sketch
+    sees one row per distinct user) and emits `approx_within_5pct`,
+    which the DuckDB oracle asserts TRUE. This is the registered form
+    (suites.distinct_users).
+
+    rsd=0.02 (2^12 registers): the 5% certificate bound is 2.5σ, and
+    Spark's HLL aggregation buffer is an UnsafeRow of m/6 longs, so
+    register count is pure fixed overhead in every partial/merge stage —
+    rsd=0.01's 2^14 buffer measured ~1 s of constant per-query cost at
+    sf0.1 for no extra certificate strength."""
+    return (
+        _per_user_event_counts(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events_user").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_ap"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            (
+                F.abs(F.col("_ap") - F.col("n_users"))
+                <= 0.05 * F.col("n_users")
+            ).alias("approx_within_5pct"),
         )
         .orderBy("event_type")
     )

@@ -61,36 +61,22 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# relational: exact + HLL distinct counts in ONE aggregation pass.
+# relational: exact + HLL distinct counts in ONE two-level aggregation.
 # The HLL sketch has no cross-engine oracle, but its ERROR BOUND does:
-# the Spark plan computes both forms and emits a boolean bound check the
+# the plan computes both forms and emits a boolean bound check the
 # DuckDB oracle asserts as TRUE — the approximate operator becomes
-# hash-verifiable without the oracle replaying the sketch.
+# hash-verifiable without the oracle replaying the sketch. The round-3
+# form mixed countDistinct with plain aggregates in one agg, which Spark
+# plans through a row-multiplying Expand (6.8× regression vs r1); the
+# relational module's two-level form avoids it.
 # --------------------------------------------------------------------------
 
 def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact countDistinct + approx_count_distinct(rsd=1%) per event_type;
-    `approx_within_5pct` certifies the sketch against the exact value
-    in-plan (HLL is deterministic for fixed data, so the flag is stable)."""
-    return (
-        Catalog(spark, sf_dir)
-        .events.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count("*").alias("n_events"),
-            F.approx_count_distinct("user_id", rsd=0.01).alias("_ap"),
-        )
-        .select(
-            "event_type",
-            "n_users",
-            "n_events",
-            (
-                F.abs(F.col("_ap") - F.col("n_users"))
-                <= 0.05 * F.col("n_users")
-            ).alias("approx_within_5pct"),
-        )
-        .orderBy("event_type")
-    )
+    """Exact two-level distinct count + HLL(rsd=2%) per event_type with
+    the in-plan `approx_within_5pct` certificate — composes
+    relational.distinct_users_certified (HLL is deterministic for fixed
+    data, so the flag is stable)."""
+    return relational.distinct_users_certified(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -141,8 +127,9 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ML: serial-SGD family (M2-M4) — rows-only (order-sensitive fold has no
-# SQL oracle); one key carries model weights and all three scoring modes
+# ML: serial-SGD family (M2-M4) — value-hash checked via the recursive
+# gradient-vector replay oracle (ML_ORACLES['spam'], ml.SCORE_ROUND
+# contract); one key carries model weights and all three scoring modes
 # --------------------------------------------------------------------------
 
 def spam(spark: SparkSession, sf_dir: str) -> DataFrame:
