@@ -59,7 +59,53 @@ def test_frame_sample_covers_stride(spark):
         assert 0 <= r.frame_hash < multimodal.P
 
 
-def test_decode_media_is_an_explicit_stub(spark):
+def test_decode_media_shapes_match_metadata(spark):
     mt = multimodal.media_table(spark, SF_TEST)
-    with pytest.raises(NotImplementedError, match="decode"):
-        multimodal.decode_media(mt)
+    meta = {r.doc_id: r.meta for r in mt.collect()}
+    rows = multimodal.decode_media(mt).collect()
+    assert {r.doc_id for r in rows} == meta.keys()
+    for r in rows:
+        m = meta[r.doc_id]
+        assert r.format == "synthetic/v1"
+        if r.media_type == "image":
+            assert r.shape == [m.height, m.width]
+        elif r.media_type == "audio":
+            assert r.shape == [m.n_samples]
+            assert all(-1.0 <= s < 1.0 for s in r.data)
+        else:
+            assert r.shape == [m.n_frames, multimodal.FRAME_BYTES]
+        assert len(r.data) == r.shape[0] * (r.shape[1] if len(r.shape) == 2 else 1)
+
+
+def test_decode_media_roundtrips_payload(spark):
+    """Re-encoding the decoded arrays must reproduce the payload bytes up
+    to the metadata-declared extent (the synthetic/v1 pad/truncate
+    contract): image/video store byte values exactly in doubles; audio's
+    (b-128)/128 mapping inverts exactly."""
+    mt = multimodal.media_table(spark, SF_TEST)
+    payloads = {r.doc_id: bytes(r.payload) for r in mt.collect()}
+    for r in multimodal.decode_media(mt).collect():
+        raw = payloads[r.doc_id]
+        n = len(r.data)
+        if r.media_type == "audio":
+            enc = bytes(round(s * 128.0 + 128.0) for s in r.data[: len(raw)])
+        else:
+            enc = bytes(int(v) for v in r.data[: len(raw)])
+        k = min(n, len(raw))
+        assert enc[:k] == raw[:k]
+        # beyond the payload, padding is exactly 0.0 (image/video: zero
+        # byte; audio: centered silence)
+        assert all(v == 0.0 for v in r.data[k:])
+
+
+def test_decode_media_rejects_real_formats(spark):
+    """Non-synthetic formats still raise: no media libs in this
+    container, and the error must be explicit, not a wrong decode."""
+    from pyspark.sql import functions as F
+
+    mt = multimodal.media_table(spark, SF_TEST).withColumn(
+        "meta",
+        F.col("meta").withField("format", F.lit("image/jpeg")),
+    )
+    with pytest.raises(Exception, match="image/jpeg"):
+        multimodal.decode_media(mt).collect()

@@ -137,18 +137,84 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
-    """Decode payloads into pixel/sample arrays — STUB.
+#: decode_media output: one typed array per payload, shape alongside so
+#: the flat `data` vector reconstructs the matrix (image: [h, w] row-major
+#: pixels; audio: [n_samples] floats in [-1, 1); video: [n_frames, 64]
+#: frame-major bytes). Doubles carry image/video byte values exactly.
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, format string,"
+    " shape array<int>, data array<double>"
+)
 
-    Real decoding needs PIL/libav, which this container does not ship.
-    The function exists to pin the API shape (payload+meta in, typed
-    array out); it raises until a decode backend is available.
+#: Audio sample mapping for synthetic/v1: byte b → (b - 128) / 128.0,
+#: exactly invertible (s * 128 + 128 is integral for every byte).
+_AUDIO_CENTER = 128.0
+
+
+def _decode_one(mtype: str, raw: bytes, meta: dict):
+    """synthetic/v1 codec: payload bytes → (shape, flat float64 array).
+
+    Deterministic pad/truncate to the metadata-declared extent: images
+    fill width×height row-major (zero-padded), audio covers n_samples,
+    video keeps the first n_frames full 64-byte frames (a tail shorter
+    than one frame is dropped, matching meta.n_frames' truncation).
     """
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "media decode requires an image/audio backend (PIL/libav); "
-            "not available in this environment — see multimodal.py docstring"
+    import numpy as np
+
+    b = np.frombuffer(raw, dtype=np.uint8)
+    if mtype == "image":
+        h, w = int(meta["height"]), int(meta["width"])
+        px = np.zeros(h * w, dtype=np.float64)
+        px[: min(b.size, h * w)] = b[: h * w]
+        return [h, w], px
+    if mtype == "audio":
+        n = int(meta["n_samples"])
+        s = np.zeros(n, dtype=np.float64)
+        s[: min(b.size, n)] = (b[:n] - _AUDIO_CENTER) / _AUDIO_CENTER
+        return [n], s
+    nf = int(meta["n_frames"])
+    fr = np.zeros(nf * FRAME_BYTES, dtype=np.float64)
+    take = min(b.size, nf * FRAME_BYTES)
+    fr[:take] = b[:take]
+    return [nf, FRAME_BYTES], fr
+
+
+def _decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, mtype, payload, meta in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
+        ):
+            fmt = meta["format"]
+            if fmt != "synthetic/v1":
+                # real codecs (JPEG/FLAC/H.264…) need PIL/libav — not in
+                # this container; the synthetic codec needs only numpy
+                raise NotImplementedError(
+                    f"media decode backend for format {fmt!r} not available"
+                    " (PIL/libav not shipped); only 'synthetic/v1' decodes"
+                )
+            shape, data = _decode_one(mtype, bytes(payload), meta)
+            out.append((int(doc_id), mtype, fmt, shape, data))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "media_type", "format", "shape", "data"]
         )
-    raise NotImplementedError("decode backend wiring not implemented")
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode payloads into typed pixel/sample/frame arrays.
+
+    The self-defined `synthetic/v1` codec (media_table) decodes with
+    numpy alone: image → width×height row-major pixel matrix, audio →
+    centered float samples in [-1, 1), video → n_frames×64 frame-major
+    byte matrix, each zero-padded/truncated to the metadata-declared
+    extent. Real container formats still raise NotImplementedError
+    (PIL/libav are not shipped here); the Spark-side shape — Arrow-
+    batched mapInPandas over BinaryType, map-side only, no payload
+    shuffle — is identical for both.
+
+    Round-trip contract (tests/test_multimodal.py): re-encoding the
+    arrays reproduces the payload bytes up to the declared extent.
+    """
+    return df.select("doc_id", "media_type", "payload", "meta").mapInPandas(
+        _decode_fn, schema=DECODED_SCHEMA
+    )
