@@ -103,6 +103,19 @@ def _materialize(
     lineage, reproducing the 2^k blowup (52 s vs 7 s at sf0.1 for
     K=5). Per-iteration materialization is load-bearing; keep it.
 
+    Measured alternatives (round 4, both rejected at sf0.1, same-session
+    A/B, n=3): (a) materializing `gathered` instead of the rebuilt state
+    with totals folded out of it (m = Σ gathered mass) — 13.4 s vs
+    10.4 s for ppr_top20: the lazy rebuild pushes its join stages into
+    every scatter job and AQE pays the extra stage-scheduling latency
+    ten times over; (b) pre-dividing rank/deg below the scatter exchange
+    with a deg>0 filter — 13.7 s vs 10.8 s: the filtered/projected side
+    looks small enough that AQE flips the scatter to a per-iteration
+    broadcast join, and ten driver round-trips cost more than the
+    narrower shuffle saves. The suite-level win that DID measure out is
+    running the two independent loops concurrently (suites.pagerank_
+    suite, ~27%).
+
     Default: localCheckpoint (executor-memory-pinned — fine locally,
     lost on executor failure). With `checkpoint_dir`, every
     `checkpoint_every`-th iteration writes the state to parquet and
