@@ -2,13 +2,25 @@
 
 Prints ONE JSON line:
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...},
+     "metrics": {"q1": {"shuffle_read": B, "shuffle_write": B,
+                        "input_bytes": B, "n_stages": K}, ...},
+     "peak_jvm_heap_bytes": B, "sf": 0.1}
 
 Timing protocol: one throwaway action first (JVM + codegen warm-up, not
 attributable to any query), then each query is executed once with a
 result-materializing action. Queries return small results by design
 (aggregates / top-k), so the action is collect(); row counts are sanity-
 checked to stay small.
+
+Shuffle protocol (BASELINE.md §Measurement protocol): per-query shuffle
+read/write and input bytes come from the Spark UI REST API
+(/api/v1/applications/<app>/stages), attributed by stage-id delta
+around the FIRST rep of each query (shuffle volume is plan-determined,
+so reps agree; the first rep also matches how a cold cluster run would
+read). Peak executor memory is the driver-JVM heap high-water mark from
+/executors — app-level, since a high-water mark cannot be reset between
+queries.
 """
 
 from __future__ import annotations
@@ -19,6 +31,7 @@ import os
 import re
 import sys
 import time
+import urllib.request
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
@@ -39,6 +52,67 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+class StageMetrics:
+    """Per-query shuffle/input bytes via the UI REST API, by stage delta.
+
+    Every call to ``delta()`` returns the stages completed since the last
+    call, summed. Fails soft: if the UI is disabled or a request errors,
+    metrics come back empty and the bench still runs (round-2 lesson:
+    nothing in this harness may abort the timing loop).
+    """
+
+    def __init__(self, spark):
+        self.base = None
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            if ui:
+                self.base = f"{ui}/api/v1/applications/{app}"
+        except Exception:
+            pass
+        self.seen: set[tuple[int, int]] = set()
+        if self.base:
+            for s in self._stages():
+                self.seen.add((s["stageId"], s["attemptId"]))
+
+    def _get(self, path: str):
+        with urllib.request.urlopen(f"{self.base}{path}", timeout=10) as r:
+            return json.load(r)
+
+    def _stages(self):
+        try:
+            return self._get("/stages?status=complete")
+        except Exception:
+            return []
+
+    def delta(self) -> dict[str, int]:
+        if not self.base:
+            return {}
+        out = {"shuffle_read": 0, "shuffle_write": 0, "input_bytes": 0, "n_stages": 0}
+        for s in self._stages():
+            key = (s["stageId"], s["attemptId"])
+            if key in self.seen:
+                continue
+            self.seen.add(key)
+            out["shuffle_read"] += s.get("shuffleReadBytes", 0)
+            out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+            out["input_bytes"] += s.get("inputBytes", 0)
+            out["n_stages"] += 1
+        return out
+
+    def peak_jvm_heap(self) -> int | None:
+        if not self.base:
+            return None
+        try:
+            peaks = [
+                e.get("peakMemoryMetrics", {}).get("JVMHeapMemory", 0)
+                for e in self._get("/executors")
+            ]
+            return max(peaks) if peaks else None
+        except Exception:
+            return None
+
+
 def main() -> None:
     spark = get_spark("uw-hadoop-aglorithms-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,18 +121,24 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
     timings: dict[str, float] = {}
+    metrics: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
+    tracker = StageMetrics(spark)
     for name, fn in sorted(entry_mod.queries().items()):
         samples = []
         # A failing query must cost ONLY its own timing, never the run:
         # round 2 lost ALL bench data because one broken query aborted
         # the loop before a single timing was emitted.
         try:
-            for _ in range(REPS):
+            for rep in range(REPS):
                 t0 = time.perf_counter()
                 rows = fn(spark, SF_DIR).collect()
                 samples.append(time.perf_counter() - t0)
                 del rows
+                if rep == 0:
+                    m = tracker.delta()
+                    if m:
+                        metrics[name] = m
                 # per-query scratch caches (shingle sets, graph edges, …)
                 # must not accumulate across the run
                 spark.catalog.clearCache()
@@ -67,6 +147,9 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
+        # re-baseline the stage set so later reps / failed queries don't
+        # leak their stages into the next query's first-rep delta
+        tracker.delta()
         # Release cross-query garbage OUTSIDE the timers: clearCache does
         # not free localCheckpoint RDDs or broadcasts — they die only when
         # their Python refs are collected and the ContextCleaner runs, so
@@ -83,6 +166,11 @@ def main() -> None:
         "sf": sf_from_dir(SF_DIR),
         "n": REPS,
     }
+    if metrics:
+        result["metrics"] = metrics
+    peak = tracker.peak_jvm_heap()
+    if peak is not None:
+        result["peak_jvm_heap_bytes"] = peak
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
