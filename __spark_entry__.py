@@ -141,9 +141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": temporal.user_sessions,
         "asof_last_order": temporal.asof_last_order,
         "range_join_nearby_events": temporal.range_join_nearby_events,
-        # Skew mitigation: 8-way salted fact ⋈ dim join, verified
-        # result-identical to the plain join by the oracle
-        "skew_salted_join": suites.skew_salted_join,
+        # Physical-layout + skew toolbox end-to-end: salted join
+        # (result-identical to plain), bucketed exchange-free join, and
+        # date-partition-pruned read, with in-plan certificates the
+        # oracle asserts TRUE
+        "layout_suite": suites.layout_suite,
     }
 
 

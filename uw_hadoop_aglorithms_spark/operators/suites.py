@@ -431,39 +431,111 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# skew-mitigated join: the salted fact ⋈ dim join must produce EXACTLY the
-# plain join's result — the driver verifies the 100 TB skew machinery
-# (plans/skew.salted_join) against the unsalted SQL oracle.
+# physical-layout + skew machinery, end-to-end, one tagged result
+# (variant, k, n, v, cert) — the 100 TB storage/shuffle toolbox proven by
+# the driver, not just by pytest plan assertions:
+#   salted:   8-way salted fact ⋈ dim revenue rollup; salting must be
+#             result-invisible, which the plain-join oracle checks.
+#   bucketed: orders ⋈ customer through same-bucketed catalog tables with
+#             auto-broadcast off; cert = the join plan reads bucketed
+#             scans and contains NO Exchange (the pay-the-shuffle-once-
+#             at-write-time argument), and the result equals the plain
+#             join oracle.
+#   pruned:   date-partitioned lake write + one-day read; cert = the dt
+#             predicate landed in PartitionFilters (directory pruning,
+#             not scan-and-discard), result equals the oracle's WHERE.
 # --------------------------------------------------------------------------
 
-def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue per supplier via an 8-way salted broadcast join.
+def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join + bucketed exchange-free join + partition-pruned read.
 
-    At lake scale a handful of hot suppliers would make one shuffle
-    partition a straggler; salting spreads each big-side key across 8
-    sub-keys and replicates the (small) dim side. Correctness contract:
-    salting is invisible in the result, which the plain-join DuckDB
-    oracle checks value-for-value.
+    Executes inside the builder (the stream_batch_equiv pattern): the
+    plan certificates and the scoped broadcast conf must bind to the
+    plan that actually ran, not to whatever conf holds when a caller
+    later collects. Scratch catalog tables and the lake dir are removed
+    in finally; the returned frame re-wraps the handful of result rows.
     """
+    import shutil
+    import tempfile
+
+    from uw_hadoop_aglorithms_spark.plans import bucketing
     from uw_hadoop_aglorithms_spark.plans.skew import salted_join
+    from uw_hadoop_aglorithms_spark.sources import lake as lake_mod
 
     cat = Catalog(spark, sf_dir)
-    big = cat.lineitem.select(
-        "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    dim = cat.supplier.select(
-        F.col("s_suppkey").alias("l_suppkey"), "s_name"
-    )
+    rows: list[tuple] = []
+
+    # --- salted: result-identity is the whole contract (cert=True) ----
+    big = cat.lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
+    dim = cat.supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    return (
+    salted = (
         salted_join(big, dim, on="l_suppkey")
         .groupBy("s_name")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.round(F.sum(revenue), 2).alias("revenue"),
-        )
-        .orderBy("s_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum(revenue), 2).alias("v"))
     )
+    rows += [("salted", r.s_name, r.n, r.v, True) for r in salted.collect()]
+
+    # --- bucketed: exchange-free co-located join -----------------------
+    bucketing.write_bucketed(
+        cat.orders.select("o_custkey", "o_totalprice"),
+        "layout_orders_b", "o_custkey",
+    )
+    bucketing.write_bucketed(
+        cat.customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "layout_customer_b", "o_custkey",
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.bucketed_join(
+            spark, "layout_orders_b", "layout_customer_b", "o_custkey"
+        )
+        # certificate on the bare join: bucketed scans, zero Exchange
+        # (the aggregation ABOVE the join legitimately shuffles its 5
+        # groups, so the cert must bind below it)
+        jplan = joined._jdf.queryExecution().executedPlan().toString()
+        b_cert = ("Bucketed: true" in jplan) and ("Exchange" not in jplan)
+        b_agg = joined.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("v"),
+        )
+        rows += [
+            ("bucketed", r.c_mktsegment, r.n, r.v, b_cert)
+            for r in b_agg.collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS layout_orders_b")
+        spark.sql("DROP TABLE IF EXISTS layout_customer_b")
+
+    # --- pruned: one-day read touches one dt directory -----------------
+    lake_dir = tempfile.mkdtemp(prefix="layout_lake_")
+    try:
+        lake_mod.write_date_partitioned(
+            cat.events.select("ts", "event_type"), f"{lake_dir}/events"
+        )
+        day = cat.events.agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd").alias("d")
+        ).first().d
+        df_day = lake_mod.read_day(spark, f"{lake_dir}/events", day)
+        pplan = df_day._jdf.queryExecution().executedPlan().toString()
+        pf = (
+            pplan.split("PartitionFilters: [")[1].split("]")[0]
+            if "PartitionFilters: [" in pplan
+            else ""
+        )
+        p_cert = "dt" in pf
+        p_agg = df_day.groupBy("event_type").agg(F.count("*").alias("n"))
+        rows += [
+            ("pruned", r.event_type, r.n, None, p_cert) for r in p_agg.collect()
+        ]
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+    return spark.createDataFrame(
+        rows, "variant string, k string, n long, v double, cert boolean"
+    ).orderBy("variant", "k")
 
 
 # --------------------------------------------------------------------------
@@ -540,12 +612,25 @@ def _suite_oracles() -> dict[str, str]:
         # recursive gradient-vector fold (ml.py) — the serial SGD is
         # value-hash checked via the SCORE_ROUND contract
         "spam": ML_ORACLES["spam"],
-        # the salted join must be result-identical to the plain join
-        "skew_salted_join": """
-            SELECT s_name, count(*) AS n_items,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        # salted/bucketed layouts must be result-identical to the plain
+        # joins; the plan certificates (no Exchange below the bucketed
+        # join, dt in PartitionFilters) are asserted TRUE by the oracle
+        "layout_suite": """
+            SELECT 'salted' AS variant, s_name AS k, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS v,
+                   TRUE AS cert
             FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
-            GROUP BY s_name ORDER BY s_name
+            GROUP BY s_name
+            UNION ALL
+            SELECT 'bucketed', c_mktsegment, count(*),
+                   round(sum(o_totalprice), 2), TRUE
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            UNION ALL
+            SELECT 'pruned', event_type, count(*), CAST(NULL AS DOUBLE), TRUE
+            FROM events
+            WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+            GROUP BY event_type
         """,
         "window_counts": _u(
             _wrap("tumbling", STREAMING_ORACLES["event_count"],
