@@ -36,6 +36,49 @@ def test_stream_event_count_equals_batch(spark, replay):
     assert stream == batch
 
 
+def test_scrambled_replay_still_equals_batch(spark):
+    """Out-of-order arrival (whole time ranges scrambled) must reconcile
+    to the same final counts — the stateful agg's late-merge path, which
+    a perfectly-sorted replay never exercises. This is the suite key's
+    replay mode (suites.stream_batch_equiv)."""
+    d = tempfile.mkdtemp(prefix="replay_scram_")
+    runner.prepare_replay_dir(spark, SF_TEST, f"{d}/events", order="scrambled")
+    batch = {
+        (r.window_start, r.cnt)
+        for r in windows.event_count(spark, SF_TEST).collect()
+    }
+    stream = {
+        (r.window_start, r.cnt)
+        for r in runner.stream_event_count(
+            spark, f"{d}/events", f"{d}/cp_scram"
+        ).collect()
+    }
+    assert stream == batch
+
+
+def test_scrambled_replay_is_deterministic_and_unordered(spark):
+    """The scrambled order is a fixed permutation: two preparations give
+    identical mtime sequences, and the sequence differs from time order
+    (otherwise the variant tests nothing)."""
+    import os
+
+    def mtimes(d):
+        runner.prepare_replay_dir(spark, SF_TEST, f"{d}/events", order="scrambled")
+        parts = sorted(
+            f
+            for f in os.listdir(f"{d}/events")
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        return [os.path.getmtime(os.path.join(f"{d}/events", f)) for f in parts]
+
+    a = mtimes(tempfile.mkdtemp(prefix="scram_a_"))
+    b = mtimes(tempfile.mkdtemp(prefix="scram_b_"))
+    order_a = [i for _, i in sorted(zip(a, range(len(a))))]
+    order_b = [i for _, i in sorted(zip(b, range(len(b))))]
+    assert order_a == order_b, "scramble permutation must be deterministic"
+    assert order_a != sorted(order_a), "scramble must actually reorder files"
+
+
 def test_stream_sliding_event_count_equals_batch(spark, replay):
     batch = {
         (r.window_start, r.cnt)

@@ -258,16 +258,22 @@ def window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the batch tumbling-window counts bit-for-bit — stream ≡ batch is the
 # Dataflow-model property the reference asserts via its ManualClock test
 # (EventCount.scala:62-83); here the DuckDB batch oracle checks it.
+# The replay files arrive in a deterministically SCRAMBLED order (whole
+# time ranges out of sequence), so every micro-batch exercises the
+# stateful aggregation's out-of-order merge path — strictly harder than
+# the reference's perfectly-sorted replay. The ordered replay and the
+# append-mode watermark-drop semantics stay covered in tests/
+# test_streaming.py.
 # --------------------------------------------------------------------------
 
 def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from uw_hadoop_aglorithms_spark.streaming import runner
 
     replay = tempfile.mkdtemp(prefix="sbe_replay_")
     ckpt = tempfile.mkdtemp(prefix="sbe_ckpt_")
-    runner.prepare_replay_dir(spark, sf_dir, replay)
     # The stateful agg repartitions to spark.sql.shuffle.partitions in
     # EVERY micro-batch; the state (one row per event-time window) is
     # tiny, so scope the conf down for the run — a fresh checkpoint pins
@@ -277,11 +283,25 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        return runner.stream_event_count(
+        runner.prepare_replay_dir(spark, sf_dir, replay, order="scrambled")
+        out = runner.stream_event_count(
             spark, replay, ckpt, query_name="stream_batch_equiv_mem"
         )
+        rows = [(r.window_start, r.cnt) for r in out.collect()]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the memory sink registers a temp view and the replay/checkpoint
+        # dirs are per-call scratch — bench runs this REPS times, so they
+        # must not accumulate
+        try:
+            spark.catalog.dropTempView("stream_batch_equiv_mem")
+        except Exception:
+            pass
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "window_start timestamp, cnt long"
+    ).orderBy("window_start")
 
 
 # --------------------------------------------------------------------------

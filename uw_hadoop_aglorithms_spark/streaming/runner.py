@@ -23,12 +23,23 @@ REPLAY_FILES = 12
 WATERMARK = "60 minutes"
 
 
-def prepare_replay_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
-    """Split `events` into time-ranged files so the file source replays them
-    in (approximately) event-time order — the reference's sorted part-file
-    directory (EventCount.scala:108-118). Reading through the Catalog also
-    normalizes the nanos `ts` to a micros TimestampType, so the replay dir
-    is plain streaming-readable parquet."""
+#: Deterministic permutation seed for order="scrambled" replays.
+SCRAMBLE_SEED = 0x5BE
+
+
+def prepare_replay_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, order: str = "time"
+) -> str:
+    """Split `events` into time-ranged files for file-source replay.
+
+    order="time": replay in event-time order — the reference's sorted
+    part-file directory (EventCount.scala:108-118). order="scrambled":
+    a DETERMINISTIC permutation of the same range files, so whole time
+    ranges arrive out of order and every micro-batch exercises the
+    stateful aggregation's late-merge path (the arrival pattern a
+    multi-source lake ingest actually produces). Reading through the
+    Catalog also normalizes the nanos `ts` to a micros TimestampType,
+    so the replay dir is plain streaming-readable parquet."""
     from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
     (
@@ -40,14 +51,19 @@ def prepare_replay_dir(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     )
     # The file source replays in modification-time order, but the range
     # partitions are written by parallel tasks in arbitrary mtime order.
-    # Re-stamp mtimes to follow the part index (= ts range order) so the
-    # replay is event-time ordered like the reference's sorted part files.
+    # Re-stamp mtimes to follow the part index (= ts range order), or a
+    # seeded permutation of it for the scrambled-arrival variant.
     import os
+    import random
     import time
 
     parts = sorted(
         f for f in os.listdir(out_dir) if f.startswith("part-") and not f.endswith(".crc")
     )
+    if order == "scrambled":
+        random.Random(SCRAMBLE_SEED).shuffle(parts)
+    elif order != "time":
+        raise ValueError(f"order must be 'time' or 'scrambled', got {order!r}")
     base = time.time() - len(parts)
     for i, name in enumerate(parts):
         os.utime(os.path.join(out_dir, name), (base + i, base + i))
