@@ -40,6 +40,32 @@ def vhash(cols, rows):
     lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
+def lineset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return {"|".join(norm(r[i]) for i in order) for r in rows}
+
+def divergence_report(name, scols, srows, dcols, drows, limit=5):
+    """On hash mismatch: which variant/rows diverge first. Makes a
+    rounding-grid boundary tie (ml.SCORE_ROUND / graph.PR_ROUND notes)
+    distinguishable from a real bug: a tie shows one value off by
+    exactly one grid step in one variant, a bug shows broad diffs."""
+    s, d = lineset(scols, srows), lineset(dcols, drows)
+    only_s, only_d = sorted(s - d), sorted(d - s)
+    vi = next((i for i, c in enumerate(sorted(scols)) if c in ("variant", "algo", "method")), None)
+    if vi is not None:
+        per = {}
+        for side, lines in (("spark", only_s), ("oracle", only_d)):
+            for ln in lines:
+                v = ln.split("|")[vi]
+                per.setdefault(v, [0, 0])[0 if side == "spark" else 1] += 1
+        print(f"  {name} divergence by variant: " +
+              ", ".join(f"{v}(spark:{a},oracle:{b})" for v, (a, b) in sorted(per.items())))
+    for side, lines in (("spark-only", only_s), ("oracle-only", only_d)):
+        for ln in lines[:limit]:
+            print(f"  {name} {side}: {ln}")
+    if len(only_s) > limit or len(only_d) > limit:
+        print(f"  {name} … {len(only_s)} spark-only / {len(only_d)} oracle-only rows total")
+
 qmap, omap = E.queries(), E.oracle_sql()
 results = {}
 for name, fn in sorted(qmap.items()):
@@ -61,6 +87,8 @@ for name, fn in sorted(qmap.items()):
                      "schema_match": ok_schema, "hash_match": ok_hash}
     flag = "OK " if (ok_count and ok_schema and ok_hash) else "FAIL"
     print(f"{name}: {flag} rows={len(srows)}/{len(drows)} schema={ok_schema} hash={sh}=={dh}:{ok_hash}")
+    if ok_schema and not ok_hash:
+        divergence_report(name, scols, srows, dcols, drows)
 
 bad = [k for k, v in results.items() if not all(v.get(f, True) for f in ("count_match", "schema_match", "hash_match"))]
 print(json.dumps({"failed": bad}))

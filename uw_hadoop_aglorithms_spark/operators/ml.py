@@ -53,9 +53,19 @@ SHUFFLE_MEMBER = 11
 #: determinism contract that lets the SQL oracle replay the fold: the
 #: oracle regroups the same score sum by training step instead of by
 #: feature (mathematically equal, FP-order different by ~1e-15), and
-#: rounding to 1e-9 absorbs that regrouping noise so both engines feed
-#: the sigmoid the identical double. Semantic deviation from the
-#: reference fold is ≤ 5e-10 per step — far below DELTA.
+#: rounding to 1e-9 makes both engines feed the sigmoid the identical
+#: double WHENEVER the unrounded values sit away from a 0.5e-9 grid
+#: boundary. Residual risk, stated honestly: rounding is tie-fragile.
+#: A score within ~1e-15 of a grid boundary can round differently
+#: across engines (Spark HALF_UP via BigDecimal, DuckDB's
+#: multiply-round-divide), flipping one gradient and cascading through
+#: the fold to a full hash mismatch. The probability per step is
+#: ~(regroup noise / grid) ≈ 1e-6, and current testdata passes at every
+#: SF; on a boundary tie the failure mode is a loud hash mismatch, and
+#: tools/driver_sim.py prints the per-variant first-divergence report
+#: that distinguishes a tie (one weight off by exactly one 1e-9 step,
+#: then cascade) from a real bug. Semantic deviation from the reference
+#: fold is ≤ 5e-10 per step — far below DELTA.
 SCORE_ROUND = 9
 
 
