@@ -1,0 +1,128 @@
+"""One-off sf1-scale stress of the fixpoint loops (VERDICT r3 item 8).
+
+There is no driver-generated sf1 fixture, so this harness materializes a
+10× replica of the sf0.1 tables the three loops read (keys shifted per
+replica so the graph becomes 10 disjoint copies; document TEXTS are kept
+identical across replicas ON PURPOSE — every doc gains 9 twins, which
+makes the LSH buckets hot and the near-dup components 10× deeper, the
+skew/stress shape a real lake exhibits with boilerplate). It then runs
+
+    pagerank_suite, dedup_clusters, kmeans_clusters
+
+against the replica dir and reports wall-clock, the partition count the
+state-sized heuristic picked, and driver RSS before/after — confirming
+the loops neither under-partition nor materialize state on the driver
+at 10× bench scale. Results go into SCALING.md §"sf1 stress".
+
+Usage: python tools/stress_sf1.py  (writes scratch under /tmp)
+"""
+
+from __future__ import annotations
+
+import os
+import resource
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+
+def rss_mb() -> int:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+
+def build_replica_dir(spark) -> str:
+    out = tempfile.mkdtemp(prefix="stress_sf1_")
+    rep = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+
+    def write(name, df):
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    supp = spark.read.parquet(f"{SRC}/supplier.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    n_cust = cust.agg(F.max("c_custkey")).first()[0] + 1
+    n_supp = supp.agg(F.max("s_suppkey")).first()[0] + 1
+    n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+
+    write("customer", cust.crossJoin(rep).withColumn(
+        "c_custkey", F.col("c_custkey") + F.col("rep") * n_cust).drop("rep"))
+    write("supplier", supp.crossJoin(rep).withColumn(
+        "s_suppkey", F.col("s_suppkey") + F.col("rep") * n_supp).drop("rep"))
+    write("orders", orders.crossJoin(rep)
+          .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * n_ord)
+          .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * n_cust)
+          .drop("rep"))
+    write("lineitem", li.crossJoin(rep)
+          .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * n_ord)
+          .withColumn("l_suppkey", F.col("l_suppkey") + F.col("rep") * n_supp)
+          .drop("rep"))
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    # texts intentionally identical across replicas: 9 exact twins per doc
+    write("documents", docs.crossJoin(rep).withColumn(
+        "doc_id", F.col("doc_id") + F.col("rep") * n_doc).drop("rep"))
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    id_col = "vec_id"
+    n_emb = emb.agg(F.max(id_col)).first()[0] + 1
+    write("embeddings", emb.crossJoin(rep).withColumn(
+        id_col, F.col(id_col) + F.col("rep") * n_emb).drop("rep"))
+
+    # untouched small tables some Catalog paths expect
+    for t in ("region", "nation", "part", "events"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> None:
+    spark = get_spark("stress-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    d = build_replica_dir(spark)
+    print(f"replica dir built in {time.perf_counter() - t0:.1f}s at {d}")
+
+    from uw_hadoop_aglorithms_spark.operators import cluster, dedup, graph, suites
+
+    # what does the state-sized heuristic pick at 10×?
+    _, edges = graph.build_graph(spark, d)
+    n_edges = edges.count()
+    pr_parts = graph._loop_shuffle_partitions(spark, n_edges * 3).n
+    print(f"graph edges: {n_edges}  -> loop shuffle partitions: {pr_parts}")
+
+    results = {}
+    for name, fn in (
+        ("pagerank_suite", suites.pagerank_suite),
+        ("dedup_clusters", dedup.dedup_clusters),
+        ("kmeans_clusters", cluster.kmeans_clusters),
+    ):
+        before = rss_mb()
+        t0 = time.perf_counter()
+        rows = fn(spark, d).collect()
+        dt = time.perf_counter() - t0
+        results[name] = (round(dt, 1), len(rows), before, rss_mb())
+        print(f"{name}: {dt:.1f}s rows={len(rows)} driver_rss {before}->{rss_mb()}MB")
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    shutil.rmtree(d, ignore_errors=True)
+    print("RESULTS", results)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
