@@ -230,26 +230,33 @@ def pagerank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tag_null = F.lit(None).cast("string").alias("tag")
-    tum = stream_windows.event_count(spark, sf_dir).select(
-        F.lit("tumbling").alias("variant"), "window_start", tag_null, "cnt"
+    """All four window shapes collected CONCURRENTLY (pagerank_suite
+    trick; ~0.8 s → ~0.4 s at sf0.1). Window counts are bounded by the
+    time range, not input volume, so the re-wrap is bookkeeping."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def grab(fn, tag_col):
+        return [
+            (r.window_start, r[tag_col] if tag_col else None, int(r.cnt))
+            for r in fn(spark, sf_dir).collect()
+        ]
+
+    specs = (
+        ("tumbling", stream_windows.event_count, None),
+        ("sliding", stream_windows.sliding_event_count, None),
+        ("region", stream_windows.region_event_count, "event_type"),
+        ("geo", stream_windows.geo_region_count, "region"),
     )
-    sli = stream_windows.sliding_event_count(spark, sf_dir).select(
-        F.lit("sliding").alias("variant"), "window_start", tag_null, "cnt"
+    with ThreadPoolExecutor(4) as pool:
+        futs = {v: pool.submit(grab, fn, tc) for v, fn, tc in specs}
+        rows = [
+            (v, w, t, c)
+            for v, _, _ in specs
+            for (w, t, c) in futs[v].result()
+        ]
+    return spark.createDataFrame(
+        rows, "variant string, window_start timestamp, tag string, cnt long"
     )
-    reg = stream_windows.region_event_count(spark, sf_dir).select(
-        F.lit("region").alias("variant"),
-        "window_start",
-        F.col("event_type").alias("tag"),
-        "cnt",
-    )
-    geo = stream_windows.geo_region_count(spark, sf_dir).select(
-        F.lit("geo").alias("variant"),
-        "window_start",
-        F.col("region").alias("tag"),
-        "cnt",
-    )
-    return tum.unionAll(sli).unionAll(reg).unionAll(geo)
 
 
 # --------------------------------------------------------------------------
@@ -349,16 +356,33 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cols = ["query_id", "neighbor_id", "cosine", "rank"]
-    out = None
-    for method, fn in (
-        ("brute", similarity.ann_brute_topk),
-        ("lsh", similarity.ann_lsh_topk),
-        ("ivf", similarity.ann_ivf_topk),
-    ):
-        part = fn(spark, sf_dir).select(F.lit(method).alias("method"), *cols)
-        out = part if out is None else out.unionAll(part)
-    return out
+    """Brute/LSH/IVF top-k run CONCURRENTLY from driver threads (the
+    pagerank_suite trick; measured ~3.5 s → ~2.0 s at sf0.1). Top-k
+    lists are bounded output (|queries| × k), so the collect/re-wrap is
+    verification bookkeeping; the members stay individually lazy."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def grab(fn):
+        return [
+            (int(r.query_id), int(r.neighbor_id), float(r.cosine), int(r.rank))
+            for r in fn(spark, sf_dir).collect()
+        ]
+
+    with ThreadPoolExecutor(3) as pool:
+        futs = {
+            "brute": pool.submit(grab, similarity.ann_brute_topk),
+            "lsh": pool.submit(grab, similarity.ann_lsh_topk),
+            "ivf": pool.submit(grab, similarity.ann_ivf_topk),
+        }
+        rows = [
+            (m, q, nb, c, rk)
+            for m in ("brute", "lsh", "ivf")
+            for (q, nb, c, rk) in futs[m].result()
+        ]
+    return spark.createDataFrame(
+        rows,
+        "method string, query_id long, neighbor_id long, cosine double, rank int",
+    )
 
 
 # --------------------------------------------------------------------------
