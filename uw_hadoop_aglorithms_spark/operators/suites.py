@@ -280,13 +280,36 @@ def window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_streaming.py.
 # --------------------------------------------------------------------------
 
+#: Session-scoped scrambled replay dirs, one per sf_dir (ADVICE r3: the
+#: replay copy is immutable input, so re-preparing it per call only
+#: churned /tmp; atexit removes them when the process ends).
+_SBE_REPLAY: dict[str, str] = {}
+
+
+def _sbe_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    d = _SBE_REPLAY.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="sbe_replay_")
+        runner.prepare_replay_dir(spark, sf_dir, d, order="scrambled")
+        _SBE_REPLAY[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
     from uw_hadoop_aglorithms_spark.streaming import runner
 
-    replay = tempfile.mkdtemp(prefix="sbe_replay_")
+    replay = _sbe_replay_dir(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix="sbe_ckpt_")
     # The stateful agg repartitions to spark.sql.shuffle.partitions in
     # EVERY micro-batch; the state (one row per event-time window) is
@@ -297,21 +320,19 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        runner.prepare_replay_dir(spark, sf_dir, replay, order="scrambled")
         out = runner.stream_event_count(
             spark, replay, ckpt, query_name="stream_batch_equiv_mem"
         )
         rows = [(r.window_start, r.cnt) for r in out.collect()]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        # the memory sink registers a temp view and the replay/checkpoint
-        # dirs are per-call scratch — bench runs this REPS times, so they
-        # must not accumulate
+        # the memory sink registers a temp view and the checkpoint is
+        # per-call scratch — bench runs this REPS times, so neither may
+        # accumulate
         try:
             spark.catalog.dropTempView("stream_batch_equiv_mem")
         except Exception:
             pass
-        shutil.rmtree(replay, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(
         rows, "window_start timestamp, cnt long"
@@ -400,23 +421,47 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = textstats.doc_stats(spark, sf_dir)
-    qs = textstats.quality_score(spark, sf_dir)
-    rep = textstats.repetition_score(spark, sf_dir)
-    li = textstats.lang_id(spark, sf_dir)
-    joined = (
-        ds.join(qs, "doc_id")
-        .join(rep, "doc_id")
-        .join(li, "doc_id", "left")
-    )
-    # lang-ID covers only the held-out split; train docs would carry a
-    # NULL boolean here. NULL strings/numerics are proven through the
-    # driver canonicalizer (cube/rollup keys), NULL booleans are not —
-    # pin `correct` to FALSE for uncovered docs in both engines.
-    return (
-        joined.withColumn("correct", F.coalesce("correct", F.lit(False)))
-        .orderBy("doc_id")
-    )
+    """Four per-doc profiles collected CONCURRENTLY and stitched on the
+    driver (pagerank_suite trick; the doc_id joins here were always
+    verification bookkeeping — at scale the members are map-side over
+    one scan). lang-ID covers only the held-out split, so uncovered
+    docs carry pred/actual NULL and `correct` pinned FALSE in both
+    engines (NULL booleans don't survive the driver canonicalizer)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(4) as pool:
+        f_ds = pool.submit(lambda: textstats.doc_stats(spark, sf_dir).collect())
+        f_qs = pool.submit(lambda: textstats.quality_score(spark, sf_dir).collect())
+        f_rep = pool.submit(lambda: textstats.repetition_score(spark, sf_dir).collect())
+        f_li = pool.submit(lambda: textstats.lang_id(spark, sf_dir).collect())
+        ds = {r.doc_id: r for r in f_ds.result()}
+        qs = {r.doc_id: r for r in f_qs.result()}
+        rep = {r.doc_id: r for r in f_rep.result()}
+        li = {r.doc_id: r for r in f_li.result()}
+
+    rows = []
+    for doc_id in sorted(ds):
+        d, q, p = ds[doc_id], qs[doc_id], rep[doc_id]
+        lg = li.get(doc_id)
+        rows.append((
+            doc_id, d.n_chars_obs, d.n_ws_tokens, d.n_re_tokens,
+            d.n_bpe_tokens, d.n_distinct_tokens, d.avg_token_len,
+            q.stopword_ratio, q.unique_ratio, q.length_score, q.quality,
+            p.n_tokens, p.dup_bigram_frac, p.dup_trigram_frac,
+            p.top_bigram_frac, p.is_repetitive,
+            lg.pred_lang if lg else None,
+            lg.actual_lang if lg else None,
+            bool(lg.correct) if lg else False,
+        ))
+    return spark.createDataFrame(rows, (
+        "doc_id long, n_chars_obs long, n_ws_tokens int, n_re_tokens int,"
+        " n_bpe_tokens int, n_distinct_tokens int, avg_token_len double,"
+        " stopword_ratio double, unique_ratio double, length_score double,"
+        " quality double, n_tokens long, dup_bigram_frac double,"
+        " dup_trigram_frac double, top_bigram_frac double,"
+        " is_repetitive boolean, pred_lang string, actual_lang string,"
+        " correct boolean"
+    ))
 
 
 # --------------------------------------------------------------------------
