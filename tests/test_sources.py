@@ -109,6 +109,39 @@ def test_jsonl_roundtrip(spark, tmp, table):
     assert _rows(back) == _rows(src)
 
 
+@pytest.mark.parametrize("table", ["nation", "orders", "events", "documents"])
+def test_csv_roundtrip(spark, tmp, table):
+    """parquet -> headered CSV -> named-schema read == original,
+    including micros timestamps and quoted free-text columns. (Array
+    columns are out of scope for CSV — embeddings stay Parquet/ORC.)"""
+    from uw_hadoop_aglorithms_spark.sources import csv as csv_src
+
+    src = Catalog(spark, SF_TEST).table(table)
+    path = f"{tmp}/{table}_csv"
+    csv_src.write_csv(src, path)
+    back = csv_src.read_csv(spark, path, table)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in src.schema.fields
+    ]
+    assert _rows(back) == _rows(src)
+
+
+def test_csv_failfast_on_malformed(spark, tmp):
+    """A 100 TB ingest must fail loudly on a corrupt row, not null it:
+    the named-schema CSV reader runs FAILFAST."""
+    bad = f"{tmp}/bad_csv"
+    import os
+
+    os.makedirs(bad, exist_ok=True)
+    with open(f"{bad}/part-00000.csv", "w") as f:
+        f.write("n_nationkey,n_name,n_regionkey,n_comment\n")
+        f.write("not_a_number,FRANCE,1,ok\n")
+    from uw_hadoop_aglorithms_spark.sources import csv as csv_src
+
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        csv_src.read_csv(spark, bad, "nation").collect()
+
+
 @pytest.mark.parametrize("table", ["nation", "events", "embeddings"])
 def test_orc_roundtrip(spark, tmp, table):
     """parquet -> ORC -> named-schema read == original, including
