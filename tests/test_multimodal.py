@@ -98,6 +98,50 @@ def test_decode_media_roundtrips_payload(spark):
         assert all(v == 0.0 for v in r.data[k:])
 
 
+def test_decode_one_property_roundtrip():
+    """Generative check of the pure codec (no Spark): for arbitrary
+    payload bytes and extents, decode pads/truncates to the declared
+    shape and re-encoding reproduces the payload prefix exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from uw_hadoop_aglorithms_spark.operators.multimodal import (
+        FRAME_BYTES,
+        _decode_one,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.binary(max_size=400),
+        st.sampled_from(["image", "audio", "video"]),
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+    )
+    def check(raw, mtype, a, b):
+        meta = {
+            "height": a, "width": b,
+            "n_samples": a * b,
+            "n_frames": a,
+        }
+        shape, data = _decode_one(mtype, raw, meta)
+        n = shape[0] * (shape[1] if len(shape) == 2 else 1)
+        assert len(data) == n
+        if mtype == "image":
+            assert shape == [a, b]
+        elif mtype == "audio":
+            assert shape == [a * b]
+        else:
+            assert shape == [a, FRAME_BYTES]
+        k = min(n, len(raw))
+        if mtype == "audio":
+            enc = bytes(round(s * 128.0 + 128.0) for s in data[:k])
+        else:
+            enc = bytes(int(v) for v in data[:k])
+        assert enc == raw[:k]
+        assert all(v == 0.0 for v in data[k:])
+
+    check()
+
+
 def test_decode_media_rejects_real_formats(spark):
     """Non-synthetic formats still raise: no media libs in this
     container, and the error must be explicit, not a wrong decode."""
