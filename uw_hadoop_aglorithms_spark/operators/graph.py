@@ -181,13 +181,15 @@ def personalized_pagerank(
     Mass is conserved exactly: Σ_v p'(v) = 1 per source.
     """
     vertices, edges = prebuilt if prebuilt is not None else build_graph(spark, sf_dir)
-    edges = edges.cache()  # count() below materializes; edges_deg reuses
+    edges = edges.cache()  # count() below materializes; outdeg/edges_adj reuse
     scope = _loop_shuffle_partitions(spark, edges.count() * max(1, len(sources)))
 
     with scope as n_parts:
         outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        edges_deg = edges.join(outdeg, "src").select("src", "dst", "deg")
-        edges_deg = edges_deg.repartition(n_parts, F.col("src")).cache()
+        # deg rides in the rank STATE (vdeg below), so the edge cache is the
+        # bare (src, dst) adjacency — one long column fewer pinned and
+        # shipped through every scatter join.
+        edges_adj = edges.repartition(n_parts, F.col("src")).cache()
 
         # (id, deg) for every vertex, deg=0 for dangling — joined back each
         # iteration when reinstating zero-in-mass vertices, so `deg` rides in
@@ -214,13 +216,13 @@ def personalized_pagerank(
         )
 
         return _ppr_loop(
-            ranks, edges_deg, vdeg, src_df, iterations, alpha,
+            ranks, edges_adj, vdeg, src_df, iterations, alpha,
             checkpoint_dir, checkpoint_every, round_each,
         )
 
 
 def _ppr_loop(
-    ranks, edges_deg, vdeg, src_df, iterations, alpha,
+    ranks, edges_adj, vdeg, src_df, iterations, alpha,
     checkpoint_dir=None, checkpoint_every=CHECKPOINT_EVERY, round_each=None,
 ):
     for i in range(iterations):
@@ -233,7 +235,7 @@ def _ppr_loop(
         )
         # scatter (G3): each vertex ships rank/deg along its out-edges
         contribs = (
-            edges_deg.join(ranks, edges_deg.src == ranks.id)
+            edges_adj.join(ranks, edges_adj.src == ranks.id)
             .select(
                 F.col("dst").alias("id"),
                 "source",
@@ -287,13 +289,13 @@ def pagerank(
     machinery as the personalized variant, single rank slot.
     """
     vertices, edges = prebuilt if prebuilt is not None else build_graph(spark, sf_dir)
-    edges = edges.cache()  # count() below materializes; edges_deg reuses
+    edges = edges.cache()  # count() below materializes; outdeg/edges_adj reuse
     n = vertices.count()
 
     with _loop_shuffle_partitions(spark, edges.count()) as n_parts:
         outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        edges_deg = edges.join(outdeg, "src").select("src", "dst", "deg")
-        edges_deg = edges_deg.repartition(n_parts, F.col("src")).cache()
+        # bare (src, dst) adjacency — deg rides in the rank state instead
+        edges_adj = edges.repartition(n_parts, F.col("src")).cache()
         vdeg = (
             vertices.join(outdeg, vertices.id == outdeg.src, "left")
             .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
@@ -307,7 +309,7 @@ def pagerank(
         for i in range(iterations):
             totals = ranks.filter(F.col("deg") > 0).select(F.sum("rank").alias("m"))
             contribs = (
-                edges_deg.join(ranks, edges_deg.src == ranks.id)
+                edges_adj.join(ranks, edges_adj.src == ranks.id)
                 .select(F.col("dst").alias("id"), (F.col("rank") / ranks.deg).alias("mass"))
             )
             gathered = contribs.groupBy("id").agg(F.sum("mass").alias("mass"))

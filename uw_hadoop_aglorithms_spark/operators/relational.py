@@ -341,9 +341,11 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     + two-phase dedup, so memory is O(groups), independent of user
     cardinality — the 100 TB form of COUNT(DISTINCT).
 
-    Registered rows-only: HLL sketch implementations differ across
-    engines, so there is no cross-engine value oracle. The error bound
-    vs the exact count (rsd=1%) is asserted in tests/test_plans.py.
+    Not registered directly: HLL sketch implementations differ across
+    engines, so the raw estimate has no cross-engine value oracle. The
+    registered form is distinct_users_certified, which computes the HLL
+    on the deduped level and hash-checks an in-plan error-bound flag;
+    the error bound here (rsd=1%) is asserted in tests/test_plans.py.
     """
     return (
         Catalog(spark, sf_dir)
