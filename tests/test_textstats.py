@@ -84,3 +84,43 @@ def test_approx_percentiles_within_bound(spark):
                 lang,
                 q,
             )
+
+
+def test_lm_score_model_invariants(spark):
+    """Unigram-LM scores: every avg_logprob is a valid mean log-prob
+    (negative, above the OOV floor), train-split docs have zero OOV by
+    construction, and a doc made entirely of frequent tokens outscores
+    one made of OOV tokens (replayed against a tiny Python model)."""
+    import math
+
+    rows = textstats.lm_score(spark, SF_TEST).collect()
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    assert len(rows) == docs.count()
+
+    # python replica of the model over the same tokenizer
+    from uw_hadoop_aglorithms_spark.functions.text import tokens as tok_col
+    tok_rows = docs.select("doc_id", tok_col("text").alias("ts")).collect()
+    toks = {r.doc_id: r.ts for r in tok_rows}
+    from collections import Counter
+    c = Counter()
+    for doc_id, ts in toks.items():
+        if doc_id % textstats.TRAIN_MOD == 0:
+            c.update(ts)
+    n_train, v = sum(c.values()), len(c)
+    floor = round(math.log(1.0), textstats.LM_LOG_ROUND) - round(
+        math.log(n_train + v + 1.0), textstats.LM_LOG_ROUND
+    )
+    for r in rows:
+        ts = toks[r.doc_id]
+        assert floor - 1e-6 <= r.avg_logprob < 0.0
+        if r.doc_id % textstats.TRAIN_MOD == 0:
+            assert r.n_oov == 0
+        exp_oov = sum(1 for t in ts if t not in c)
+        assert r.n_oov == exp_oov
+        s = sum(round(math.log(c.get(t, 0) + 1.0), textstats.LM_LOG_ROUND) for t in ts)
+        expected = round(
+            (s - len(ts) * round(math.log(n_train + v + 1.0), textstats.LM_LOG_ROUND))
+            / len(ts),
+            textstats.LM_ROUND,
+        )
+        assert abs(r.avg_logprob - expected) <= 1e-9, (r.doc_id, r.avg_logprob, expected)

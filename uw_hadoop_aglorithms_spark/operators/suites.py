@@ -421,7 +421,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four per-doc profiles collected CONCURRENTLY and stitched on the
+    """Five per-doc profiles collected CONCURRENTLY and stitched on the
     driver (pagerank_suite trick; the doc_id joins here were always
     verification bookkeeping — at scale the members are map-side over
     one scan). lang-ID covers only the held-out split, so uncovered
@@ -429,20 +429,23 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (NULL booleans don't survive the driver canonicalizer)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(4) as pool:
+    with ThreadPoolExecutor(5) as pool:
         f_ds = pool.submit(lambda: textstats.doc_stats(spark, sf_dir).collect())
         f_qs = pool.submit(lambda: textstats.quality_score(spark, sf_dir).collect())
         f_rep = pool.submit(lambda: textstats.repetition_score(spark, sf_dir).collect())
         f_li = pool.submit(lambda: textstats.lang_id(spark, sf_dir).collect())
+        f_lm = pool.submit(lambda: textstats.lm_score(spark, sf_dir).collect())
         ds = {r.doc_id: r for r in f_ds.result()}
         qs = {r.doc_id: r for r in f_qs.result()}
         rep = {r.doc_id: r for r in f_rep.result()}
         li = {r.doc_id: r for r in f_li.result()}
+        lm = {r.doc_id: r for r in f_lm.result()}
 
     rows = []
     for doc_id in sorted(ds):
         d, q, p = ds[doc_id], qs[doc_id], rep[doc_id]
         lg = li.get(doc_id)
+        lmr = lm.get(doc_id)
         rows.append((
             doc_id, d.n_chars_obs, d.n_ws_tokens, d.n_re_tokens,
             d.n_bpe_tokens, d.n_distinct_tokens, d.avg_token_len,
@@ -452,6 +455,8 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             lg.pred_lang if lg else None,
             lg.actual_lang if lg else None,
             bool(lg.correct) if lg else False,
+            lmr.n_oov if lmr else 0,
+            lmr.avg_logprob if lmr else 0.0,
         ))
     return spark.createDataFrame(rows, (
         "doc_id long, n_chars_obs long, n_ws_tokens int, n_re_tokens int,"
@@ -460,7 +465,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " quality double, n_tokens long, dup_bigram_frac double,"
         " dup_trigram_frac double, top_bigram_frac double,"
         " is_repetitive boolean, pred_lang string, actual_lang string,"
-        " correct boolean"
+        " correct boolean, n_oov long, avg_logprob double"
     ))
 
 
@@ -677,18 +682,22 @@ def _suite_oracles() -> dict[str, str]:
         WITH ds AS ({TEXTSTATS_ORACLES["doc_stats"]}),
              qs AS ({TEXTSTATS_ORACLES["quality_score"]}),
              rep AS ({TEXTSTATS_ORACLES["repetition_score"]}),
-             li AS ({TEXTSTATS_ORACLES["lang_id"]})
+             li AS ({TEXTSTATS_ORACLES["lang_id"]}),
+             lm AS ({TEXTSTATS_ORACLES["lm_score"]})
         SELECT ds.doc_id, ds.n_chars_obs, ds.n_ws_tokens, ds.n_re_tokens,
                ds.n_bpe_tokens, ds.n_distinct_tokens, ds.avg_token_len,
                qs.stopword_ratio, qs.unique_ratio, qs.length_score, qs.quality,
                rep.n_tokens, rep.dup_bigram_frac, rep.dup_trigram_frac,
                rep.top_bigram_frac, rep.is_repetitive,
                li.pred_lang, li.actual_lang,
-               coalesce(li.correct, FALSE) AS correct
+               coalesce(li.correct, FALSE) AS correct,
+               coalesce(lm.n_oov, 0) AS n_oov,
+               coalesce(lm.avg_logprob, 0e0) AS avg_logprob
         FROM ds
         JOIN qs USING (doc_id)
         JOIN rep USING (doc_id)
         LEFT JOIN li USING (doc_id)
+        LEFT JOIN lm USING (doc_id)
         ORDER BY ds.doc_id
     """
 
@@ -823,6 +832,7 @@ SUBSUMED: frozenset[str] = frozenset(
         "quality_score",
         "repetition_score",
         "lang_id",
+        "lm_score",
         "approx_length_percentiles",
         "hash_sample",
         "split_assign",

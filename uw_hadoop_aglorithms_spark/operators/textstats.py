@@ -351,6 +351,74 @@ def approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: lm_score determinism contract: per-term logs rounded to 1e-9 before
+#: the per-doc sum, final mean rounded to 1e-6 — absorbs cross-engine
+#: summation-order noise (~1e-13 absolute for 100-token docs) and any
+#: 1-ulp ln() divergence between the JVM and libm, with the same
+#: tie-at-grid-boundary residual risk as graph.PR_ROUND / ml.SCORE_ROUND.
+LM_LOG_ROUND = 9
+LM_ROUND = 6
+
+
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: average token log-probability under an
+    add-one-smoothed unigram model trained on the doc_id % TRAIN_MOD == 0
+    split — the perplexity-filter family (CCNet/KenLM-style corpus
+    filtering) reduced to its SQL-expressible core. Low avg_logprob =
+    unusual token distribution = candidate for filtering; n_oov counts
+    token occurrences unseen in training.
+
+    Model: p(t) = (c(t) + 1) / (N + V + 1), c(t) = 0 for OOV (the +1 in
+    the denominator reserves mass for the single unseen-token class).
+
+    Plan shape: one explode → (doc, term) tf counts [shuffle, map-side
+    partials]; train counts reuse that grouping's output [term shuffle];
+    N and V are a 1-row aggregate broadcast back; the score join keys on
+    term (vocabulary-sized right side — AQE broadcasts it when it fits)
+    and one per-doc aggregate finishes. Nothing is driver-side and every
+    shuffle is high-cardinality-keyed — linear in corpus bytes at 100 TB.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    train = (
+        tf.filter(F.col("doc_id") % TRAIN_MOD == 0)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("c"))
+    )
+    scalars = train.agg(
+        F.sum("c").alias("n_train"), F.count("*").alias("v")
+    )
+    rlog = lambda x: F.round(F.log(x), LM_LOG_ROUND)  # noqa: E731
+    per_doc = (
+        tf.join(train, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(
+                F.when(F.col("c").isNull(), F.col("tf")).otherwise(F.lit(0))
+            ).cast("long").alias("n_oov"),
+            F.sum(F.col("tf") * rlog(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))).alias("s"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            "n_oov",
+            F.round(
+                (F.col("s") - F.col("n_tok") * rlog(F.col("n_train") + F.col("v") + F.lit(1.0)))
+                / F.col("n_tok"),
+                LM_ROUND,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by TF-IDF (tf * ln(N/df)).
 

@@ -910,6 +910,8 @@ from uw_hadoop_aglorithms_spark.operators.textstats import (
     FP_W,
     LANG_NGRAM,
     LEN_SATURATION,
+    LM_LOG_ROUND,
+    LM_ROUND,
     PROFILE_K,
     REP_DUP_MAX,
     REP_TOP_MAX,
@@ -955,6 +957,31 @@ TEXTSTATS_ORACLES: dict[str, str] = {
                {W_LEN} * length_score + {W_STOP} * (1.0 - stopword_ratio)
                  + {W_DIV} * unique_ratio AS quality
         FROM m ORDER BY doc_id
+    """,
+    # same LM_LOG_ROUND/LM_ROUND contract as the Spark plan: per-term
+    # ln rounded to 1e-9 before the per-doc sum, mean rounded to 1e-6
+    "lm_score": f"""
+        WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(ts) AS term FROM t)
+            GROUP BY doc_id, term
+        ),
+        tc AS (
+            SELECT term, sum(tf) AS c FROM tf
+            WHERE doc_id % {TRAIN_MOD} = 0 GROUP BY term
+        ),
+        sc AS (SELECT sum(c) AS n_train, count(*) AS v FROM tc),
+        agg AS (
+            SELECT doc_id, sum(tf) AS n_tok,
+                   sum(CASE WHEN c IS NULL THEN tf ELSE 0 END) AS n_oov,
+                   sum(tf * round(ln(coalesce(c, 0) + 1.0), {LM_LOG_ROUND})) AS s
+            FROM tf LEFT JOIN tc USING (term) GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n_oov AS BIGINT) AS n_oov,
+               round((s - n_tok * round(ln(n_train + v + 1.0), {LM_LOG_ROUND}))
+                     / n_tok, {LM_ROUND}) AS avg_logprob
+        FROM agg, sc ORDER BY doc_id
     """,
     "lang_id": f"""
         WITH d AS (SELECT doc_id, lang, {_CHAR_NGRAMS_SQL} AS grams FROM documents),
