@@ -1,0 +1,70 @@
+"""BPE vocabulary induction vs a sequential pure-Python oracle."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from uw_hadoop_aglorithms_spark.functions.text import tokens
+from uw_hadoop_aglorithms_spark.operators import bpe
+from tests.conftest import SF_TEST
+
+
+def _python_bpe(word_freq: dict[str, int], n_merges: int):
+    """Classic sequential BPE (Sennrich et al.): overlapping pair counts,
+    argmax with (count desc, left asc, right asc) tie-break, greedy
+    left-to-right non-overlapping merge."""
+    state = {w: tuple(w) + (bpe.EOW,) for w in word_freq}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += word_freq[w]
+        if not pc:
+            break
+        (l, r), pf = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, l, r, pf))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = tuple(out)
+    return merges, state
+
+
+def test_bpe_matches_sequential_oracle(spark):
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    wf = Counter()
+    for row in docs.select(tokens("text").alias("ts")).collect():
+        wf.update(row.ts)
+
+    exp_merges, exp_state = _python_bpe(dict(wf), bpe.N_MERGES)
+    got_merges, st = bpe.bpe_train(spark, SF_TEST)
+    assert got_merges == exp_merges
+
+    # final distributed state equals the sequential state, word by word
+    got_state = {}
+    for r in st.collect():
+        got_state.setdefault(r.w, {})[r.pos] = r.sym
+    for w, syms in exp_state.items():
+        got = tuple(got_state[w][i] for i in range(len(got_state[w])))
+        assert got == syms, (w, got, syms)
+
+    # registered form: merge rows in step order + top-vocab rows
+    rows = bpe.bpe_vocab(spark, SF_TEST).collect()
+    mrows = [r for r in rows if r.variant.startswith("bpe_merge_")]
+    assert [
+        (int(r.variant[-2:]), *r.word.split("+", 1), r.cnt) for r in mrows
+    ] == exp_merges
+    vf = Counter()
+    for w, syms in exp_state.items():
+        for s in syms:
+            vf[s] += wf[w]
+    exp_vocab = sorted(vf.items(), key=lambda kv: (-kv[1], kv[0]))[: bpe.VOCAB_TOP]
+    vrows = [r for r in rows if r.variant == "bpe_vocab"]
+    assert sorted(((r.word, r.cnt) for r in vrows), key=lambda kv: (-kv[1], kv[0])) == exp_vocab

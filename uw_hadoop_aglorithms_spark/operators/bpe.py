@@ -1,0 +1,240 @@
+"""Byte-pair-encoding vocabulary induction (beyond-reference capability).
+
+Tokenizer training is the step a training-data pipeline runs between
+corpus curation and sequence packing; the reference stops at word
+counting (reference MapReduce/Counting/WordCount.java:53-66). This
+module learns the first N_MERGES BPE merge rules (Sennrich et al.,
+ACL'16) from the corpus word counts.
+
+Distributed formulation: BPE operates on the DISTINCT-WORD count table,
+never the corpus — corpus size only affects the initial word count (one
+explode + one groupBy, the word_count shape). The symbol state is kept
+RELATIONAL as (word, freq, pos, sym) rows rather than per-word arrays,
+so every step is vectorized window/aggregate work with no interpreted
+per-element lambdas:
+
+  pair counts    lead(sym) over (partition by word order by pos),
+                 then groupBy (sym, nxt) weighted by word freq;
+  best pair      global argmax with a total deterministic order
+                 (count desc, left asc, right asc) — a 1-row collect
+                 per merge, bounded model state like cluster.py's
+                 centroids;
+  greedy merge   classic BPE replaces occurrences left-to-right without
+                 overlap. Overlapping matches exist only inside runs of
+                 one repeated symbol, where greedy takes the 1st, 3rd,
+                 5th… match of the run — so `greedy = match AND (streak
+                 length ending here is odd)`, with the streak length a
+                 running max window over the last non-match position.
+                 The following row of a merged pair is consumed
+                 (lag(greedy)), and positions renumber with row_number.
+
+Everything is integer/string arithmetic — the DuckDB oracle (a
+generated chained-CTE replay of the same expressions, the cluster.py
+pattern) agrees bit-for-bit with no rounding contract.
+
+At 100 TB: the state is vocabulary-sized (|distinct words| × avg word
+length rows), orders of magnitude smaller than the corpus; the per-merge
+stages shuffle only that state, sized by _loop_shuffle_partitions, and
+the loop materializes per iteration exactly like the PageRank loop
+(graph._materialize rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uw_hadoop_aglorithms_spark.functions.text import TOKENS_SQL, tokens
+from uw_hadoop_aglorithms_spark.operators.graph import _loop_shuffle_partitions
+from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+#: Merge rules to learn; bounded model state (one rule per iteration).
+N_MERGES = 10
+#: End-of-word marker appended as its own symbol (Sennrich et al. §3.2);
+#: '<'/'>' are outside the tokenizer's [a-z0-9'] alphabet, so the marker
+#: and the '+' rule separator in the suite encoding never collide.
+EOW = "</w>"
+#: Final-vocabulary rows reported (by summed frequency desc, symbol asc).
+VOCAB_TOP = 20
+
+
+def word_symbol_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial BPE state: (w, freq, pos, sym) — one row per character of
+    each distinct word plus the EOW marker row."""
+    words = (
+        Catalog(spark, sf_dir)
+        .documents.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = F.expr(
+        f"array_append(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '{EOW}')"
+    )
+    return words.select(
+        "w", "freq", F.posexplode(syms).alias("pos", "sym")
+    ).select("w", "freq", F.col("pos").cast("long").alias("pos"), "sym")
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn `n_merges` merge rules; returns (merges, final_state).
+
+    merges = [(step, left, right, pair_weight), ...] in learned order;
+    final_state is the (w, freq, pos, sym) frame after all merges.
+    """
+    wnd = Window.partitionBy("w").orderBy("pos")
+    cum = wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merges: list[tuple[int, str, str, int]] = []
+
+    with _loop_shuffle_partitions(spark, 1) as n_parts:
+        st = (
+            word_symbol_state(spark, sf_dir)
+            .repartition(n_parts, "w")
+            .localCheckpoint(eager=True)
+        )
+        for step in range(1, n_merges + 1):
+            paired = st.withColumn("nxt", F.lead("sym").over(wnd))
+            best = (
+                paired.filter(F.col("nxt").isNotNull())
+                .groupBy("sym", "nxt")
+                .agg(F.sum("freq").alias("pf"))
+                .orderBy(F.col("pf").desc(), "sym", "nxt")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right, pf = best[0].sym, best[0].nxt, int(best[0].pf)
+            merges.append((step, left, right, pf))
+
+            marked = paired.withColumn(
+                "match",
+                F.coalesce(
+                    (F.col("sym") == left) & (F.col("nxt") == right), F.lit(False)
+                ),
+            )
+            # streak of consecutive matches ending here; greedy = odd
+            last_stop = F.max(
+                F.when(~F.col("match"), F.col("pos"))
+            ).over(cum)
+            streak = F.col("pos") - F.coalesce(last_stop, F.lit(-1))
+            st = (
+                marked.withColumn("greedy", F.col("match") & (streak % 2 == 1))
+                .withColumn(
+                    "consumed",
+                    F.coalesce(F.lag("greedy").over(wnd), F.lit(False)),
+                )
+                .filter(~F.col("consumed"))
+                .select(
+                    "w",
+                    "freq",
+                    (F.row_number().over(wnd) - 1).cast("long").alias("pos"),
+                    F.when(
+                        F.col("greedy"), F.concat("sym", "nxt")
+                    ).otherwise(F.col("sym")).alias("sym"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+    return merges, st
+
+
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form (word_count suite member): the learned merge
+    rules plus the final top-VOCAB_TOP symbol vocabulary, encoded in the
+    suite's (variant, word, cnt) schema — merge step k as variant
+    'bpe_merge_0k' with word 'left+right', vocabulary rows as
+    'bpe_vocab' with the summed symbol frequency."""
+    merges, st = bpe_train(spark, sf_dir)
+    mdf = spark.createDataFrame(
+        merges, "step int, left string, right string, weight long"
+    ).select(
+        F.format_string("bpe_merge_%02d", "step").alias("variant"),
+        F.concat_ws("+", "left", "right").alias("word"),
+        F.col("weight").alias("cnt"),
+    )
+    vocab = (
+        st.groupBy("sym")
+        .agg(F.sum("freq").alias("vf"))
+        .orderBy(F.col("vf").desc(), "sym")
+        .limit(VOCAB_TOP)
+        .select(
+            F.lit("bpe_vocab").alias("variant"),
+            F.col("sym").alias("word"),
+            F.col("vf").alias("cnt"),
+        )
+    )
+    return mdf.unionAll(vocab)
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle: generated chained-CTE replay (cluster.py pattern). Pure
+# integer/string arithmetic — bit-identical, no rounding contract.
+# --------------------------------------------------------------------------
+
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    ctes = [
+        f"""wc AS (
+            SELECT term AS w, count(*) AS freq
+            FROM (SELECT unnest({TOKENS_SQL}) AS term FROM documents)
+            GROUP BY w
+        )""",
+        f"""st0 AS (
+            SELECT w, freq, CAST(i - 1 AS BIGINT) AS pos,
+                   CASE WHEN i <= length(w) THEN substr(w, i, 1)
+                        ELSE '{EOW}' END AS sym
+            FROM wc, unnest(range(1, length(w) + 2)) AS t(i)
+        )""",
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        ctes.append(f"""pc{k} AS (
+            SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS pf
+            FROM (SELECT sym, freq,
+                         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                  FROM st{p})
+            WHERE nxt IS NOT NULL GROUP BY 1, 2
+        )""")
+        ctes.append(f"""best{k} AS (
+            SELECT l, r, pf FROM pc{k} ORDER BY pf DESC, l, r LIMIT 1
+        )""")
+        ctes.append(f"""mk{k} AS (
+            SELECT s.w, s.freq, s.pos, s.sym, s.nxt,
+                   coalesce(s.sym = b.l AND s.nxt = b.r, FALSE) AS match
+            FROM (SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                  FROM st{p}) s, best{k} b
+        )""")
+        ctes.append(f"""g{k} AS (
+            SELECT *, match AND ((pos - coalesce(
+                       max(CASE WHEN NOT match THEN pos END) OVER (
+                           PARTITION BY w ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING), -1)) % 2 = 1) AS greedy
+            FROM mk{k}
+        )""")
+        ctes.append(f"""st{k} AS (
+            SELECT w, freq,
+                   CAST(row_number() OVER (PARTITION BY w ORDER BY pos) - 1
+                        AS BIGINT) AS pos,
+                   CASE WHEN greedy THEN sym || nxt ELSE sym END AS sym
+            FROM (SELECT *, coalesce(lag(greedy) OVER (
+                                PARTITION BY w ORDER BY pos), FALSE) AS consumed
+                  FROM g{k})
+            WHERE NOT consumed
+        )""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'bpe_merge_{k:02d}' AS variant, l || '+' || r AS word,"
+        f" pf AS cnt FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+        {merge_rows}
+        UNION ALL
+        SELECT 'bpe_vocab' AS variant, sym AS word, CAST(vf AS BIGINT) AS cnt
+        FROM (SELECT sym, sum(freq) AS vf FROM st{n_merges}
+              GROUP BY sym ORDER BY vf DESC, sym LIMIT {VOCAB_TOP})
+    """
+
+
+BPE_ORACLES: dict[str, str] = {"bpe_vocab": _bpe_oracle()}

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.operators import (
+    bpe,
     dedup,
     graphstats,
     ml,
@@ -85,10 +86,15 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3 word counting plus BPE vocabulary induction (round 4): the
+    merge rules and final top symbols ride the same (variant, word, cnt)
+    schema — merge step k as 'bpe_merge_0k' with word 'left+right'."""
     allw = text.word_count(spark, sf_dir)
     having = text.word_count_having(spark, sf_dir)
-    return allw.select(F.lit("all").alias("variant"), "word", "cnt").unionAll(
-        having.select(F.lit("min100").alias("variant"), "word", "cnt")
+    return (
+        allw.select(F.lit("all").alias("variant"), "word", "cnt")
+        .unionAll(having.select(F.lit("min100").alias("variant"), "word", "cnt"))
+        .unionAll(bpe.bpe_vocab(spark, sf_dir))
     )
 
 
@@ -714,6 +720,10 @@ def _suite_oracles() -> dict[str, str]:
         "word_count": _u(
             _wrap("all", TEXT_ORACLES["word_count"]),
             _wrap("min100", TEXT_ORACLES["word_count_having"]),
+            # generated chained-CTE replay of the BPE merge loop —
+            # all-integer/string arithmetic, bit-identical (subquery-
+            # wrapped: a WITH can't sit bare inside the UNION ALL chain)
+            f"SELECT variant, word, cnt FROM (\n{bpe.BPE_ORACLES['bpe_vocab']}\n)",
         ),
         "pmi": _u(
             _wrap("pairs", TEXT_ORACLES["pmi_pairs"]),
