@@ -75,7 +75,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi": suites.pmi,
         # Inverted index + boolean retrieval (SURVEY §2.7/§2.6)
         "inverted_index": index.inverted_index,
-        "boolean_retrieval": index.boolean_retrieval,
+        # boolean + positional phrase + proximity retrieval (round 4:
+        # the positional index extends the reference's boolean-only SO1-SO3)
+        "boolean_retrieval": suites.retrieval_suite,
         "bm25_rank": index.bm25_rank,
         # PageRank family (SURVEY §2.8): global + personalized top-20
         "pagerank_suite": suites.pagerank_suite,

@@ -39,3 +39,42 @@ def test_boolean_retrieval_set_semantics(spark):
     got = {r.doc_id for r in index.eval_postfix(tf, "spark join AND filter OR").collect()}
     assert got == expected
     assert got, "fixture should match at least one document"
+
+
+def test_phrase_and_proximity_match_python_scan(spark):
+    """Positional retrieval vs a direct Python scan of the token
+    streams: phrase occurrence counts and within-window pair counts
+    agree doc by doc."""
+    from uw_hadoop_aglorithms_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    toks = {
+        r.doc_id: r.ts
+        for r in docs.select("doc_id", tokens("text").alias("ts")).collect()
+    }
+
+    terms = index.PHRASE_QUERY.split()
+    exp_phrase = {}
+    for d, ts in toks.items():
+        n = sum(
+            1
+            for i in range(len(ts) - len(terms) + 1)
+            if ts[i : i + len(terms)] == terms
+        )
+        if n:
+            exp_phrase[d] = n
+    got = {r.doc_id: r.matches for r in index.phrase_search(spark, SF_TEST).collect()}
+    assert got == exp_phrase
+
+    x, y = index.PROX_TERMS
+    exp_prox = {}
+    for d, ts in toks.items():
+        px = [i for i, t in enumerate(ts) if t == x]
+        py = [i for i, t in enumerate(ts) if t == y]
+        n = sum(1 for a in px for b in py if abs(a - b) <= index.PROX_WINDOW)
+        if n:
+            exp_prox[d] = n
+    got = {
+        r.doc_id: r.matches for r in index.proximity_search(spark, SF_TEST).collect()
+    }
+    assert got == exp_prox

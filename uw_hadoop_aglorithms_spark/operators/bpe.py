@@ -174,13 +174,17 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    # every st{k} is consumed twice (next pair count + next merge), so the
+    # CTEs must be MATERIALIZED or DuckDB's inlining re-executes the whole
+    # chain per reference — the same 2^k lineage blowup the Spark loop
+    # solves with localCheckpoint (graph._materialize rationale)
     ctes = [
-        f"""wc AS (
+        f"""wc AS MATERIALIZED (
             SELECT term AS w, count(*) AS freq
             FROM (SELECT unnest({TOKENS_SQL}) AS term FROM documents)
             GROUP BY w
         )""",
-        f"""st0 AS (
+        f"""st0 AS MATERIALIZED (
             SELECT w, freq, CAST(i - 1 AS BIGINT) AS pos,
                    CASE WHEN i <= length(w) THEN substr(w, i, 1)
                         ELSE '{EOW}' END AS sym
@@ -196,7 +200,7 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
                   FROM st{p})
             WHERE nxt IS NOT NULL GROUP BY 1, 2
         )""")
-        ctes.append(f"""best{k} AS (
+        ctes.append(f"""best{k} AS MATERIALIZED (
             SELECT l, r, pf FROM pc{k} ORDER BY pf DESC, l, r LIMIT 1
         )""")
         ctes.append(f"""mk{k} AS (
@@ -212,7 +216,7 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
                            ROWS UNBOUNDED PRECEDING), -1)) % 2 = 1) AS greedy
             FROM mk{k}
         )""")
-        ctes.append(f"""st{k} AS (
+        ctes.append(f"""st{k} AS MATERIALIZED (
             SELECT w, freq,
                    CAST(row_number() OVER (PARTITION BY w ORDER BY pos) - 1
                         AS BIGINT) AS pos,

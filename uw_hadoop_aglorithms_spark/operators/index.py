@@ -107,6 +107,81 @@ def eval_postfix(tf: DataFrame, query: str = DEFAULT_QUERY) -> DataFrame:
     return stack[0]
 
 
+#: Positional retrieval demo queries: an exact phrase that occurs
+#: multiple times in several fixture docs, and a term pair with a
+#: position window (both verified non-trivial on the testdata).
+PHRASE_QUERY = "slow hash batch"
+PROX_TERMS = ("spark", "filter")
+PROX_WINDOW = 4
+
+
+def positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, pos) — the positional index the reference's
+    (docno, tf) postings stop short of (BuildInvertedIndexCompressed
+    .java:106-137 stores frequencies only). Written to Parquet this is
+    the on-disk positional index; term filters push down exactly like
+    the tf postings."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+        .select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def phrase_search(
+    spark: SparkSession, sf_dir: str, phrase: str = PHRASE_QUERY
+) -> DataFrame:
+    """Exact-phrase retrieval: (doc_id, matches) where matches counts
+    phrase occurrences. Each phrase term contributes one term-filtered
+    postings frame with positions SHIFTED to the phrase start, so the
+    whole phrase is an equi-join chain on (doc_id, pos) — pushed-down
+    term filters bound each side by that term's posting list, never the
+    corpus, and AQE broadcasts rare-term sides. Shuffle keys are
+    (doc_id, pos) — high-cardinality, skew-free."""
+    terms = phrase.split()
+    pp = positional_postings(spark, sf_dir)
+    matches = pp.where(F.col("term") == terms[0]).select("doc_id", "pos")
+    for i, t in enumerate(terms[1:], 1):
+        nxt = pp.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        matches = matches.join(nxt, ["doc_id", "pos"])
+    return (
+        matches.groupBy("doc_id")
+        .agg(F.count("*").alias("matches"))
+        .orderBy("doc_id")
+    )
+
+
+def proximity_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, str] = PROX_TERMS,
+    window: int = PROX_WINDOW,
+) -> DataFrame:
+    """Proximity retrieval: pairs of the two terms within `window`
+    token positions, counted per document. The doc_id equi-join bounds
+    candidates by per-doc posting lengths (tiny for real vocabularies);
+    pathological per-doc repetition would call for the banded interval
+    join (operators/temporal.range_join machinery) — not the common
+    case for a term pair."""
+    pp = positional_postings(spark, sf_dir)
+    a = pp.where(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = pp.where(F.col("term") == terms[1]).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .where(F.abs(F.col("pa") - F.col("pb")) <= window)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("matches"))
+        .orderBy("doc_id")
+    )
+
+
 #: BM25 ranking constants (Robertson/Sparck-Jones defaults) and the
 #: ranked-retrieval demo query (the boolean query's terms, bag-of-words).
 BM25_K1 = 1.2

@@ -108,6 +108,33 @@ def pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# retrieval: boolean + positional phrase + proximity as one tagged result
+# (variant, doc_id, matches, preview) — round 4 widens the reference's
+# boolean-only retrieval (SO1-SO3) with the positional-index queries
+# --------------------------------------------------------------------------
+
+def retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uw_hadoop_aglorithms_spark.operators import index
+
+    prev = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.substring("text", 1, index.PREVIEW_CHARS).alias("preview")
+    )
+    boolean = index.boolean_retrieval(spark, sf_dir).select(
+        F.lit("boolean").alias("variant"),
+        "doc_id",
+        F.lit(1).cast("long").alias("matches"),
+        "preview",
+    )
+    phrase = index.phrase_search(spark, sf_dir).join(prev, "doc_id").select(
+        F.lit("phrase").alias("variant"), "doc_id", "matches", "preview"
+    )
+    prox = index.proximity_search(spark, sf_dir).join(prev, "doc_id").select(
+        F.lit("proximity").alias("variant"), "doc_id", "matches", "preview"
+    )
+    return boolean.unionAll(phrase).unionAll(prox)
+
+
+# --------------------------------------------------------------------------
 # graph statistics: degree histogram + triangle census as (variant, k, v)
 # --------------------------------------------------------------------------
 
@@ -665,11 +692,30 @@ def _suite_oracles() -> dict[str, str]:
     from uw_hadoop_aglorithms_spark.operators.pipeline import PIPELINE_ORACLES
     from uw_hadoop_aglorithms_spark.oracles import (
         DEDUP_ORACLES,
+        INDEX_ORACLES,
         RELATIONAL_ORACLES,
         SIMILARITY_ORACLES,
         STREAMING_ORACLES,
         TEXT_ORACLES,
         TEXTSTATS_ORACLES,
+    )
+    from uw_hadoop_aglorithms_spark.operators.index import PREVIEW_CHARS
+
+    def _with_preview(sql: str) -> str:
+        return (
+            f"SELECT m.doc_id, m.matches,"
+            f" substring(d.text, 1, {PREVIEW_CHARS}) AS preview"
+            f" FROM (\n{sql}\n) m JOIN documents d USING (doc_id)"
+        )
+
+    retrieval_sql = _u(
+        _wrap(
+            "boolean",
+            INDEX_ORACLES["boolean_retrieval"],
+            "doc_id, CAST(1 AS BIGINT) AS matches, preview",
+        ),
+        _wrap("phrase", _with_preview(INDEX_ORACLES["phrase_search"])),
+        _wrap("proximity", _with_preview(INDEX_ORACLES["proximity_search"])),
     )
 
     tri = GRAPHSTATS_ORACLES["triangle_count"]
@@ -730,6 +776,9 @@ def _suite_oracles() -> dict[str, str]:
             _wrap("stripes", TEXT_ORACLES["pmi_stripes"]),
         ),
         "graph_stats": graph_stats_sql,
+        # boolean + positional phrase + proximity retrieval (overrides
+        # the standalone boolean-only oracle at merge time)
+        "boolean_retrieval": retrieval_sql,
         # iteration-replaying CTE chain (graph.py) — the iterative float
         # loop is value-hash checked via the PR_ROUND contract
         "pagerank_suite": GRAPH_ORACLES["pagerank_suite"],
@@ -843,6 +892,8 @@ SUBSUMED: frozenset[str] = frozenset(
         "repetition_score",
         "lang_id",
         "lm_score",
+        "phrase_search",
+        "proximity_search",
         "approx_length_percentiles",
         "hash_sample",
         "split_assign",

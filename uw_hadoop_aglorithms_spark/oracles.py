@@ -300,6 +300,49 @@ def _bm25_oracle() -> str:
 
 INDEX_ORACLES["bm25_rank"] = _bm25_oracle()
 
+#: positional postings CTE: (doc_id, pos, term), 0-based positions like
+#: Spark's posexplode
+_POS_CTE = f"""{_TOKS_CTE},
+    p AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+        FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+    )"""
+
+
+def _phrase_oracle() -> str:
+    from uw_hadoop_aglorithms_spark.operators.index import PHRASE_QUERY
+
+    terms = PHRASE_QUERY.split()
+    joins = "".join(
+        f"\n            JOIN (SELECT doc_id, pos - {i} AS pos FROM p"
+        f" WHERE term = '{t}') p{i} USING (doc_id, pos)"
+        for i, t in enumerate(terms[1:], 1)
+    )
+    return f"""{_POS_CTE},
+        m AS (
+            SELECT p0.doc_id, p0.pos
+            FROM (SELECT doc_id, pos FROM p WHERE term = '{terms[0]}') p0{joins}
+        )
+        SELECT doc_id, count(*) AS matches FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _proximity_oracle() -> str:
+    from uw_hadoop_aglorithms_spark.operators.index import PROX_TERMS, PROX_WINDOW
+
+    return f"""{_POS_CTE}
+        SELECT doc_id, count(*) AS matches
+        FROM (SELECT doc_id, pos FROM p WHERE term = '{PROX_TERMS[0]}') a
+        JOIN (SELECT doc_id, pos FROM p WHERE term = '{PROX_TERMS[1]}') b
+          USING (doc_id)
+        WHERE abs(a.pos - b.pos) <= {PROX_WINDOW}
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+INDEX_ORACLES["phrase_search"] = _phrase_oracle()
+INDEX_ORACLES["proximity_search"] = _proximity_oracle()
+
 
 # --- streaming batch forms (streaming/windows.py) ---------------------------
 
