@@ -257,3 +257,34 @@ def test_geo_region_tag(spark):
     )
     got = [r.region for r in df.select(region_tag(F.col("lon"), F.col("lat")).alias("region")).collect()]
     assert got == ["goldman", "citigroup", None]
+
+
+def test_stream_user_sessions_matches_batch_closed_sessions(spark, replay):
+    """Streaming sessionization (append mode) emits exactly the batch
+    sessions whose close (last event + gap) the final watermark passed;
+    every emitted row matches the batch row, and all clearly-closed
+    sessions are present."""
+    import datetime
+
+    from uw_hadoop_aglorithms_spark.operators import temporal
+
+    batch = {
+        (r.user_id, r.session_start, r.last_ts, r.n_events)
+        for r in temporal.user_sessions(spark, SF_TEST).collect()
+    }
+    emitted = {
+        (r.user_id, r.session_start, r.last_ts, r.n_events)
+        for r in runner.stream_user_sessions(
+            spark, f"{replay}/events", f"{replay}/cp_sessions"
+        ).collect()
+    }
+    assert emitted, "watermark should close at least one session"
+    assert emitted <= batch
+
+    max_ts = max(r[2] for r in batch)
+    cutoff = max_ts - datetime.timedelta(minutes=60)  # runner.WATERMARK
+    gap = datetime.timedelta(seconds=temporal.SESSION_GAP_S)
+    surely_closed = {
+        r for r in batch if r[2] + gap < cutoff - datetime.timedelta(seconds=1)
+    }
+    assert surely_closed <= emitted

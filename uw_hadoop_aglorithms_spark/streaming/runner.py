@@ -258,6 +258,51 @@ def stream_range_join(
     return spark.table(query_name).distinct().orderBy("purchase_id", "other_id")
 
 
+def stream_user_sessions(
+    spark: SparkSession,
+    replay_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_user_sessions",
+) -> DataFrame:
+    """Sessionization as a real stream: the streaming form of
+    operators/temporal.user_sessions (same 30-minute session_window).
+
+    APPEND mode emits a session exactly once, when the watermark passes
+    its close (last event + gap) — so state holds only OPEN sessions per
+    user and is evicted at emission: unbounded event volume, bounded
+    state. The trailing sessions (close newer than final watermark stay
+    in state and are NOT emitted — the test asserts emitted rows equal
+    the batch sessionization restricted to watermark-closed sessions.
+    """
+    from uw_hadoop_aglorithms_spark.operators.temporal import SESSION_GAP_S
+
+    agg = (
+        _event_stream(spark, replay_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("user_id", "session_start")
+
+
 def stream_region_event_count(
     spark: SparkSession,
     replay_dir: str,
