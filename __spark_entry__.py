@@ -103,7 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # connected components over the near-dup pair graph
         "dedup_clusters": dedup.dedup_clusters,
         # test-set decontamination: token-8-gram overlap vs held-out docs
-        "decontaminate": dedup.decontaminate,
+        # — exact index semi-join AND the broadcast Bloom-bitmap scale
+        # mechanism, both hash-checked (FPs are deterministic)
+        "decontaminate": suites.decontaminate_suite,
         # ANN: brute-force baseline + LSH + IVF, all oracle-checked
         "ann_topk": suites.ann_topk,
         # int8 affine quantization + reconstruction-error stats

@@ -155,6 +155,58 @@ def test_decontaminate_matches_python_oracle(spark):
     assert got, "fixture should contain contaminated training docs"
 
 
+def test_bloom_decontaminate_superset_no_false_negatives(spark):
+    """The Bloom filter has no false negatives: every doc the exact
+    index semi-join flags must appear in the bloom report with an
+    equal-or-larger shared-gram count (extra = deterministic FPs)."""
+    exact = {
+        r.doc_id: r.n_shared_ngrams
+        for r in dedup.decontaminate(spark, SF_TEST).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_shared_ngrams
+        for r in dedup.decontaminate_bloom(spark, SF_TEST).collect()
+    }
+    assert exact, "fixture should contain contaminated training docs"
+    for doc_id, n in exact.items():
+        assert bloom.get(doc_id, 0) >= n, doc_id
+
+
+def test_bloom_bitmap_is_bounded_state(spark):
+    """The filter's word count is capped by BLOOM_BITS/BLOOM_WORD_BITS
+    regardless of corpus size — the property that makes it the 100 TB
+    broadcast mechanism."""
+    docs = dedup.spread_for_cpu(
+        dedup.Catalog(spark, SF_TEST).documents, "doc_id"
+    )
+    sh = dedup._token_ngram_hashes(docs)
+    probes = (
+        sh.filter(F.col("doc_id") % dedup.DECON_TEST_MOD == 0)
+        .select("gh")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        dedup._bloom_pos(F.col("gh"), i)
+                        for i in range(dedup.BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+    )
+    n_words = (
+        probes.select(
+            F.floor(F.col("pos") / dedup.BLOOM_WORD_BITS).alias("w")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_words <= -(-dedup.BLOOM_BITS // dedup.BLOOM_WORD_BITS)
+    mx = probes.agg(F.max("pos"), F.min("pos")).collect()[0]
+    assert 0 <= mx[1] and mx[0] < dedup.BLOOM_BITS
+
+
 def test_dedup_clusters_match_union_find(spark):
     """Cluster ids must equal a sequential union-find over the same
     MinHash pair graph, with the component minimum as canonical id."""

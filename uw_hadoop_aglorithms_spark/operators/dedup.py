@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from uw_hadoop_aglorithms_spark.functions.hashing import P, polyhash, uhash
+from uw_hadoop_aglorithms_spark.functions.hashing import P, bucket, polyhash, uhash
 from uw_hadoop_aglorithms_spark.functions.text import tokens
 from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
@@ -427,6 +427,92 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(F.col("doc_id") % DECON_TEST_MOD != 0)
         .join(test_sh, "gh")
         .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+#: Bloom-filter decontamination: m-bit filter over held-out gram hashes.
+#: Sized so the bench-scale gram load stays ≈0.2 bits-per-hash-fn
+#: (sf0.1 ≈ 300k held-out grams × 3 fns / 4.2M bits → FP ≈ 0.7%); a
+#: deployment sizes m to its eval corpus. 62-bit words keep every
+#: `1 << (pos % 62)` shift ≤ 2^61 — inside int64 in Spark AND inside
+#: DuckDB's overflow-checked `<<`.
+BLOOM_BITS = 1 << 22
+BLOOM_WORD_BITS = 62
+BLOOM_K = 3
+#: uhash family members 211..213 (MinHash uses 0..15, SimHash 101).
+BLOOM_SEED = 211
+
+
+def _bloom_pos(gh, i: int):
+    return bucket(gh, BLOOM_SEED + i, BLOOM_BITS)
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a broadcast Bloom bitmap (Bloom, CACM 1970;
+    the mechanism CCNet/Dolma-style pipelines use for eval-overlap
+    filtering at scale).
+
+    Same report as `decontaminate` (training docs sharing a token 8-gram
+    with the held-out split, gram counts per doc) but a different scale
+    mechanism: the held-out side collapses to a FIXED-SIZE bit array
+    (BLOOM_BITS/64 ≈ 0.5 MB) instead of a distinct-hash join side. At
+    100 TB the semi-join's build side grows with the eval corpus and
+    must broadcast or shuffle it per train gram; the bitmap stays ~MB
+    regardless, and the train side is a pure map-side filter — the
+    corpus is never shuffled at all until the per-doc count aggregate
+    of the (tiny) contaminated subset.
+
+    Counts include the filter's false positives — which are
+    DETERMINISTIC (engine-neutral `bucket` positions), so the DuckDB
+    oracle reproduces them bit-for-bit; no false negatives, so every
+    `decontaminate` row appears here with an equal-or-larger count
+    (property-tested in tests/test_dedup.py).
+    """
+    docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+    sh = _token_ngram_hashes(docs)
+    w = F.lit(BLOOM_WORD_BITS)
+    # build: held-out distinct grams → k probe positions → 62-bit words
+    probes = (
+        sh.filter(F.col("doc_id") % DECON_TEST_MOD == 0)
+        .select("gh")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("gh"), i) for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+    )
+    bitmap = (
+        probes.select(
+            F.floor(F.col("pos") / w).cast("long").alias("widx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    # probe: k broadcast joins on word index, all-bits-set required.
+    # Inner-join semantics are exactly the filter: a word index absent
+    # from the bitmap has no bits set, so the gram correctly drops out.
+    cur = sh.filter(F.col("doc_id") % DECON_TEST_MOD != 0)
+    for i in range(BLOOM_K):
+        cur = cur.withColumn(f"p{i}", _bloom_pos(F.col("gh"), i))
+        bm = bitmap.select(
+            F.col("widx").alias(f"w{i}"), F.col("bits").alias(f"b{i}")
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % {BLOOM_WORD_BITS} AS INT))"
+        )
+        cur = cur.join(
+            F.broadcast(bm),
+            F.floor(F.col(f"p{i}") / w).cast("long") == F.col(f"w{i}"),
+        ).filter(F.col(f"b{i}").bitwiseAND(mask) != 0)
+    return (
+        cur.groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))
         .orderBy("doc_id")
     )

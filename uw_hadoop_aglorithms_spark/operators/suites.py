@@ -378,6 +378,20 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding cosine (exact baseline)
 # --------------------------------------------------------------------------
 
+def decontaminate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both decontamination mechanisms as one tagged report (round 4):
+    'index' = the inverted-index semi-join (exact), 'bloom' = the
+    broadcast Bloom-bitmap filter (the 100 TB mechanism; counts include
+    its deterministic false positives — each variant is hash-checked
+    against its own oracle, and bloom ⊇ index is property-tested)."""
+    cols = ["doc_id", "n_shared_ngrams"]
+    idx = dedup.decontaminate(spark, sf_dir)
+    blm = dedup.decontaminate_bloom(spark, sf_dir)
+    return idx.select(F.lit("index").alias("variant"), *cols).unionAll(
+        blm.select(F.lit("bloom").alias("variant"), *cols)
+    )
+
+
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four near-dup detectors run CONCURRENTLY from driver threads
     (the pagerank_suite trick): each member is an independent fused-scan
@@ -828,6 +842,10 @@ def _suite_oracles() -> dict[str, str]:
             _wrap("cosine", DEDUP_ORACLES["embedding_cosine_dups"],
                   "vec_a AS id_a, vec_b AS id_b, cosine AS score", tag="algo"),
         ),
+        "decontaminate": _u(
+            _wrap("index", DEDUP_ORACLES["decontaminate"]),
+            _wrap("bloom", DEDUP_ORACLES["decontaminate_bloom"]),
+        ),
         "ann_topk": _u(
             _wrap("brute", SIMILARITY_ORACLES["ann_brute_topk"], tag="method"),
             _wrap("lsh", SIMILARITY_ORACLES["ann_lsh_topk"], tag="method"),
@@ -884,6 +902,7 @@ SUBSUMED: frozenset[str] = frozenset(
         "minhash_lsh_dedup",
         "simhash_dedup",
         "embedding_cosine_dups",
+        "decontaminate_bloom",
         "ann_brute_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",

@@ -502,6 +502,10 @@ TEMPORAL_ORACLES: dict[str, str] = {
 from uw_hadoop_aglorithms_spark.functions.hashing import polyhash_sql, uhash_sql
 from uw_hadoop_aglorithms_spark.operators.dedup import (
     BANDS,
+    BLOOM_BITS,
+    BLOOM_K,
+    BLOOM_SEED,
+    BLOOM_WORD_BITS,
     COSINE_THRESHOLD,
     DECON_NGRAM,
     DECON_TEST_MOD,
@@ -513,6 +517,7 @@ from uw_hadoop_aglorithms_spark.operators.dedup import (
     SIMHASH_BITS,
     SIMHASH_MEMBER,
 )
+from uw_hadoop_aglorithms_spark.functions.hashing import bucket_sql
 from uw_hadoop_aglorithms_spark.functions.hashing import P as _P
 
 #: Distinct word-bigram shingles per document (mirrors dedup._grams).
@@ -609,6 +614,30 @@ def _fold_sum(items: str) -> str:
     return f"list_reduce(list_prepend(0.0::DOUBLE, {items}), (acc, x) -> acc + x)"
 
 
+#: Distinct token-8-gram hashes per doc (mirrors
+#: dedup._token_ngram_hashes): the chain ends with sh(doc_id, gh).
+_DECON_SH_CTE = f"""toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, list_transform(ts, t -> {polyhash_sql('t')}) AS hs
+            FROM toks
+        ),
+        gr AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(hs) - {DECON_NGRAM - 1}, 0) + 1),
+                       i -> list_reduce(
+                           list_prepend(0::BIGINT, hs[i:i + {DECON_NGRAM - 1}]),
+                           (a, h) -> (a * 31 + h) % {_P}))) AS gs
+            FROM th
+        ),
+        sh AS (SELECT doc_id, unnest(gs) AS gh FROM gr)"""
+
+
 DEDUP_ORACLES: dict[str, str] = {
     "exact_dedup": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -635,30 +664,42 @@ DEDUP_ORACLES: dict[str, str] = {
         ORDER BY doc_a, doc_b
     """,
     "decontaminate": f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
-                               t -> t <> '') AS ts
-            FROM documents
-        ),
-        th AS (
-            SELECT doc_id, list_transform(ts, t -> {polyhash_sql('t')}) AS hs
-            FROM toks
-        ),
-        gr AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                       range(1, greatest(len(hs) - {DECON_NGRAM - 1}, 0) + 1),
-                       i -> list_reduce(
-                           list_prepend(0::BIGINT, hs[i:i + {DECON_NGRAM - 1}]),
-                           (a, h) -> (a * 31 + h) % {_P}))) AS gs
-            FROM th
-        ),
-        sh AS (SELECT doc_id, unnest(gs) AS gh FROM gr),
+        WITH {_DECON_SH_CTE},
         test AS (SELECT DISTINCT gh FROM sh WHERE doc_id % {DECON_TEST_MOD} = 0)
         SELECT doc_id, count(*) AS n_shared_ngrams
         FROM sh JOIN test USING (gh)
         WHERE doc_id % {DECON_TEST_MOD} <> 0
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    # Bloom-bitmap decontamination: same report, the broadcast-filter
+    # scale mechanism (deterministic FPs — mirrored exactly; see
+    # dedup.decontaminate_bloom). Membership = the k probe joins all
+    # find their bit set; MATERIALIZED sh because it feeds both sides.
+    "decontaminate_bloom": f"""
+        WITH {_DECON_SH_CTE.replace("sh AS (", "sh AS MATERIALIZED (", 1)},
+        bm AS (
+            SELECT pos // {BLOOM_WORD_BITS} AS widx,
+                   bit_or(1::BIGINT << (pos % {BLOOM_WORD_BITS})::INT) AS bits
+            FROM (
+                SELECT unnest([{", ".join(
+                    bucket_sql("gh", BLOOM_SEED + i, BLOOM_BITS)
+                    for i in range(BLOOM_K))}]) AS pos
+                FROM (SELECT DISTINCT gh FROM sh
+                      WHERE doc_id % {DECON_TEST_MOD} = 0)
+            ) GROUP BY widx
+        ),
+        tr AS (
+            SELECT doc_id, {", ".join(
+                f"{bucket_sql('gh', BLOOM_SEED + i, BLOOM_BITS)} AS p{i}"
+                for i in range(BLOOM_K))}
+            FROM sh WHERE doc_id % {DECON_TEST_MOD} <> 0
+        )
+        SELECT doc_id, count(*) AS n_shared_ngrams
+        FROM tr
+        {" ".join(
+            f"JOIN bm b{i} ON b{i}.widx = tr.p{i} // {BLOOM_WORD_BITS} "
+            f"AND (b{i}.bits & (1::BIGINT << (tr.p{i} % {BLOOM_WORD_BITS})::INT)) <> 0"
+            for i in range(BLOOM_K))}
         GROUP BY doc_id ORDER BY doc_id
     """,
     "minhash_lsh_dedup": _minhash_lsh_sql(),
