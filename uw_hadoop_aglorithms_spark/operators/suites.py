@@ -393,12 +393,13 @@ def decontaminate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The four near-dup detectors run CONCURRENTLY from driver threads
+    """The six near-dup detectors run CONCURRENTLY from driver threads
     (the pagerank_suite trick): each member is an independent fused-scan
     DAG that deliberately shares no cached state (dedup._gram_hash_sets
-    note), and a UNION of the four executes its AQE stages sequentially
-    enough that ~38% of the suite's wall-clock is scheduler idle time
-    (measured at sf0.1, same-session A/B, n=3: ~11.4 s → ~7.0 s).
+    note), and a UNION of the members executes its AQE stages
+    sequentially enough that ~38% of the suite's wall-clock is scheduler
+    idle time (measured at sf0.1, same-session A/B, n=3: ~11.4 s →
+    ~7.0 s for the first four members).
     The pair lists are duplicate-detection OUTPUT (bounded by the actual
     near-dup rate), so collecting and re-wrapping them is verification
     bookkeeping, not a scale constraint — each member stays individually
@@ -409,16 +410,18 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = fn(spark, sf_dir).collect()
         return [(int(r[a]), int(r[b]), cast(r[s])) for r in rows]
 
-    with ThreadPoolExecutor(4) as pool:
+    with ThreadPoolExecutor(6) as pool:
         futs = {
             "ngram": pool.submit(grab, dedup.ngram_jaccard_pairs, "doc_a", "doc_b", "jaccard"),
             "minhash": pool.submit(grab, dedup.minhash_lsh_dedup, "doc_a", "doc_b", "jaccard"),
             "simhash": pool.submit(grab, dedup.simhash_dedup, "doc_a", "doc_b", "hamming"),
             "cosine": pool.submit(grab, dedup.embedding_cosine_dups, "vec_a", "vec_b", "cosine"),
+            "winnow": pool.submit(grab, dedup.winnow_dup_pairs, "doc_a", "doc_b", "n_shared"),
+            "semantic": pool.submit(grab, dedup.semantic_dedup_pairs, "vec_a", "vec_b", "cosine"),
         }
         rows = [
             (algo, a, b, s)
-            for algo in ("ngram", "minhash", "simhash", "cosine")
+            for algo in ("ngram", "minhash", "simhash", "cosine", "winnow", "semantic")
             for (a, b, s) in futs[algo].result()
         ]
     return spark.createDataFrame(
@@ -841,6 +844,11 @@ def _suite_oracles() -> dict[str, str]:
                   tag="algo"),
             _wrap("cosine", DEDUP_ORACLES["embedding_cosine_dups"],
                   "vec_a AS id_a, vec_b AS id_b, cosine AS score", tag="algo"),
+            _wrap("winnow", DEDUP_ORACLES["winnow_dup_pairs"],
+                  "doc_a AS id_a, doc_b AS id_b, "
+                  "CAST(n_shared AS DOUBLE) AS score", tag="algo"),
+            _wrap("semantic", DEDUP_ORACLES["semantic_dedup_pairs"],
+                  "vec_a AS id_a, vec_b AS id_b, cosine AS score", tag="algo"),
         ),
         "decontaminate": _u(
             _wrap("index", DEDUP_ORACLES["decontaminate"]),
@@ -902,6 +910,8 @@ SUBSUMED: frozenset[str] = frozenset(
         "minhash_lsh_dedup",
         "simhash_dedup",
         "embedding_cosine_dups",
+        "winnow_dup_pairs",
+        "semantic_dedup_pairs",
         "decontaminate_bloom",
         "ann_brute_topk",
         "ann_lsh_topk",

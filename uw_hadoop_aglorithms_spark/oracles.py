@@ -739,6 +739,72 @@ DEDUP_ORACLES: dict[str, str] = {
 }
 
 
+def _winnow_pairs_sql() -> str:
+    """Cross-doc winnowing match: the doc_fingerprint oracle feeds a
+    DF-capped fp self-join (mirrors dedup.winnow_dup_pairs)."""
+    from uw_hadoop_aglorithms_spark.operators.dedup import (
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+    )
+
+    return f"""
+        WITH fps AS ({TEXTSTATS_ORACLES["doc_fingerprint"]}),
+        rare AS (
+            SELECT doc_id, fp FROM (
+                SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+                FROM fps
+            ) WHERE df <= {WINNOW_MAX_DF}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM rare a JOIN rare b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _semantic_dedup_sql() -> str:
+    """SemDeDup: the k-means oracle's CTE prefix (identical trained
+    codebook in both engines), multi-probe assignment, within-cell
+    cosine (mirrors dedup.semantic_dedup_pairs)."""
+    from uw_hadoop_aglorithms_spark.operators.cluster import (
+        KM_ITERS,
+        _dist_sql,
+        kmeans_prefix_sql,
+    )
+    from uw_hadoop_aglorithms_spark.operators.dedup import SEM_PROBES
+
+    d = _dist_sql("e.v", "cf.v")
+    dot = _fold_sum(
+        "list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])"
+    )
+    return f"""
+        {kmeans_prefix_sql()},
+        probed AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, cf.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {d}, cf.cid
+                       ) AS rn
+                FROM e, c{KM_ITERS} cf
+            ) WHERE rn <= {SEM_PROBES}
+        ),
+        n AS (
+            SELECT vec_id, cid, v,
+                   sqrt({_fold_sum('list_transform(v, x -> x * x)')}) AS nrm
+            FROM probed
+        )
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {dot} / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {dot} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """
+
+
 # --- multimodal plumbing (operators/multimodal.py) --------------------------
 # The media table derives payloads from ASCII text (bytes == chars), so
 # the byte-level features the Pandas UDFs compute are expressible over
@@ -1230,6 +1296,12 @@ CURATION_ORACLES: dict[str, str] = {
         ORDER BY d.lang, d.source
     """,
 }
+
+
+# Registered here (after TEXTSTATS_ORACLES exists — the winnow oracle
+# composes the doc_fingerprint CTE); both ride the neardup suite key.
+DEDUP_ORACLES["winnow_dup_pairs"] = _winnow_pairs_sql()
+DEDUP_ORACLES["semantic_dedup_pairs"] = _semantic_dedup_sql()
 
 
 def all_oracles() -> dict[str, str]:
