@@ -105,3 +105,46 @@ def test_libm_exp_bit_identical_across_engines():
     ).fetchone()[0]
     for x, d in zip(xs, got):
         assert math.exp(x) == d, f"exp({x}): python {math.exp(x)!r} != duckdb {d!r}"
+
+
+def _python_batch_gd(insts):
+    """Pure-Python replay of the batch-GD design: algebraic sigmoid +
+    dyadic quantization — every value must be BIT-identical to Spark's
+    (no rounding contract, by construction)."""
+    train = [(d, l, f) for d, l, f in insts if d % 5 != 0]
+    test = [(d, l, f) for d, l, f in insts if d % 5 == 0]
+    eta_n = ml.GD_ETA / len(train)
+    w: dict[int, float] = {}
+    for _ in range(ml.GD_ITERS):
+        dw: dict[int, float] = {}
+        for _, label, feats in train:
+            s = sum(w.get(f, 0.0) for f in feats)  # exact: dyadic terms
+            p = 0.5 * (1.0 + s / (1.0 + abs(s)))
+            g = math.floor((label - p) * eta_n * ml.GD_Q + 0.5) / ml.GD_Q
+            for f in feats:
+                dw[f] = dw.get(f, 0.0) + g  # exact
+        for f, d in dw.items():
+            w[f] = w.get(f, 0.0) + d  # exact
+    scores = {
+        d: sum(w.get(f, 0.0) for f in feats) for d, _, feats in test
+    }
+    return w, scores
+
+
+def test_batch_gd_bit_identical_to_python_replay(spark):
+    """The distributed full-batch GD must match the sequential Python
+    replay BIT-FOR-BIT (==, not approx): the dyadic-quantization design
+    claims order-independent exact arithmetic, so any engine or any
+    aggregation order must produce identical doubles."""
+    w_py, s_py = _python_batch_gd(_python_instances())
+    rows = ml.spam_batch_gd(spark, SF_TEST).collect()
+    w_sp = {int(r.id): r.score for r in rows if r.kind == "w"}
+    s_sp = {int(r.id): r.score for r in rows if r.kind == "score"}
+    assert w_sp == w_py
+    assert s_sp == s_py
+    # and the weights really are exact multiples of 2^-40
+    for v in w_sp.values():
+        assert v * ml.GD_Q == math.floor(v * ml.GD_Q)
+    for r in rows:
+        if r.kind == "score":
+            assert r.prediction == ("spam" if r.score > 0 else "ham")

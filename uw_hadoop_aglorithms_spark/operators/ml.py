@@ -213,6 +213,123 @@ def spam_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- distributed full-batch gradient descent (beyond-reference) --------------
+#
+# The reference's trainer is INHERENTLY serial (order-sensitive online
+# SGD); at 100 TB that single ordered pass is the pipeline's one
+# non-parallel stage. Batch GD is the distributed counterpart: each
+# iteration's gradient is a corpus-wide AGGREGATE (explode → broadcast
+# weight join → two partial-agg shuffles), so the expensive side scales
+# out with executors while the model stays bounded driver state — the
+# same shape as cluster.kmeans_clusters' codebook. Deterministic and
+# oracle-replayable because each iteration's state passes through the
+# rounding contracts below (vs the serial fold's per-STEP contract).
+
+#: Full-batch GD: iterations, learning rate, and the DETERMINISM design.
+#: Unlike the serial fold's decimal-rounding contract (tie-fragile, see
+#: SCORE_ROUND), batch GD is built so every cross-engine value is
+#: BIT-IDENTICAL with zero residual tie risk:
+#:  - per-doc gradients are quantized to the dyadic 2^-40 grid
+#:    (floor(g·2^40 + 0.5)/2^40 — scaling by a power of two is exact in
+#:    IEEE, so the quantizer itself is bit-deterministic in any engine);
+#:  - weights are then exact multiples of 2^-40, so every Σ (per-doc
+#:    score, per-feature Δw, weight update) is EXACT integer arithmetic
+#:    in the 53-bit mantissa — order-independent, no rounding contract
+#:    needed on any aggregate (exactness envelope: |Σ| < 2^13, vs the
+#:    hard bounds |Δw| ≤ η and |w| ≤ GD_ITERS·η ≤ 1.5 per feature);
+#:  - the link is the ALGEBRAIC sigmoid σ̃(x) = 0.5·(1 + x/(1+|x|)):
+#:    every op is correctly-rounded IEEE (no libm exp), so p is
+#:    bit-identical across Spark, CPython and DuckDB by construction.
+#:    σ̃ is a standard fast-sigmoid surrogate — same sign, same
+#:    monotonicity, gradient direction unchanged.
+GD_ITERS = 3
+GD_ETA = 0.5
+#: Dyadic quantization step (2^-40 ≈ 9.1e-13).
+GD_Q = float(1 << 40)
+
+
+def spam_batch_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch logistic-surrogate GD on the train split + held-out
+    scoring.
+
+    Returns (kind, id, label, score, prediction): kind='w' rows carry
+    the model (id=feature, score=weight), kind='score' rows the held-out
+    predictions — the spam suite tags them as batch_gd_w / batch_gd.
+
+    Per iteration: score = Σ w[f] per doc (broadcast join, partial-agg
+    shuffle on doc_id), gradient g_d = (y − σ̃(score))·η/n map-side, then
+    dw_f = Σ_d g_d (partial-agg shuffle on feature, ≤ FEATURE_SPACE
+    rows) collected into the bounded driver model. No step touches the
+    corpus twice and nothing driver-side grows with the data.
+    """
+    inst = instances(spark, sf_dir)
+    train = (
+        _train_split(inst)
+        .select("doc_id", "label", F.explode("features").alias("feature"))
+        .cache()
+    )
+    n = _train_split(inst).count()
+    eta_n = GD_ETA / n
+
+    w: dict[int, float] = {}
+    for _ in range(GD_ITERS):
+        if w:
+            wdf = spark.createDataFrame(
+                sorted(w.items()), "feature int, weight double"
+            )
+            joined = train.join(F.broadcast(wdf), "feature", "left")
+            contrib = F.coalesce(F.col("weight"), F.lit(0.0))
+        else:
+            joined, contrib = train, F.lit(0.0)
+        # weights are exact 2^-40 multiples → the sum is exact, no round
+        scored = joined.groupBy("doc_id", "label").agg(
+            F.sum(contrib).alias("s")
+        )
+        # algebraic sigmoid: correctly-rounded IEEE ops only
+        p = 0.5 * (1.0 + F.col("s") / (1.0 + F.abs(F.col("s"))))
+        g = (F.col("label") - p) * F.lit(eta_n)
+        # dyadic quantize: floor(g·2^40 + 0.5)/2^40, exact IEEE steps
+        grads = scored.select(
+            "doc_id",
+            (
+                F.floor(g * F.lit(GD_Q) + F.lit(0.5)).cast("double") / F.lit(GD_Q)
+            ).alias("g"),
+        )
+        upd = (
+            train.join(grads, "doc_id")
+            .groupBy("feature")
+            .agg(F.sum("g").alias("dw"))  # exact: dyadic terms, |Σ| ≤ η
+            .collect()
+        )
+        for r in upd:
+            w[r.feature] = w.get(r.feature, 0.0) + r.dw  # exact
+
+    wdf = spark.createDataFrame(sorted(w.items()), "feature int, weight double")
+    scores = (
+        _test_split(inst)
+        .select("doc_id", "label", F.explode("features").alias("feature"))
+        .join(F.broadcast(wdf), "feature", "left")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("s"))
+    )
+    train.unpersist()
+    w_rows = wdf.select(
+        F.lit("w").alias("kind"),
+        F.col("feature").cast("long").alias("id"),
+        F.lit(None).cast("int").alias("label"),
+        F.col("weight").alias("score"),
+        F.lit(None).cast("string").alias("prediction"),
+    )
+    s_rows = scores.select(
+        F.lit("score").alias("kind"),
+        F.col("doc_id").alias("id"),
+        "label",
+        F.col("s").alias("score"),
+        F.when(F.col("s") > 0, "spam").otherwise("ham").alias("prediction"),
+    )
+    return w_rows.unionAll(s_rows)
+
+
 # --- generated DuckDB replay oracle ------------------------------------------
 #
 # The serial SGD fold was the engine's last rows-only query. It becomes
@@ -276,6 +393,52 @@ sc{tag} AS MATERIALIZED (
 )"""
 
 
+def _batch_gd_sql() -> str:
+    """Chained-CTE replay of the full-batch GD iterations (mirrors
+    spam_batch_gd step for step — exact by the dyadic-quantization
+    design, so NO aggregate carries a rounding contract)."""
+    eta = f"({GD_ETA!r} / (SELECT count(*) FROM tr))"
+    q = f"{GD_Q!r}"
+    parts = [
+        """bg_tr AS MATERIALIZED (
+    SELECT doc_id, label, unnest(feats) AS feature FROM inst WHERE doc_id % 5 <> 0
+),
+bgw0 AS (SELECT NULL::INTEGER AS feature, NULL::DOUBLE AS weight WHERE false)"""
+    ]
+    for i in range(1, GD_ITERS + 1):
+        parts.append(
+            f"""bgs{i} AS MATERIALIZED (
+    SELECT t.doc_id, t.label, sum(coalesce(w.weight, 0.0::DOUBLE)) AS s
+    FROM bg_tr t LEFT JOIN bgw{i - 1} w ON w.feature = t.feature
+    GROUP BY t.doc_id, t.label
+),
+bgg{i} AS (
+    SELECT doc_id,
+           floor((label - 0.5 * (1.0 + s / (1.0 + abs(s)))) * {eta} * {q} + 0.5)
+             / {q} AS g
+    FROM bgs{i}
+),
+bgd{i} AS (
+    SELECT t.feature, sum(g.g) AS dw
+    FROM bg_tr t JOIN bgg{i} g USING (doc_id) GROUP BY t.feature
+),
+bgw{i} AS MATERIALIZED (
+    SELECT coalesce(w.feature, d.feature) AS feature,
+           coalesce(w.weight, 0.0::DOUBLE) + coalesce(d.dw, 0.0::DOUBLE) AS weight
+    FROM bgw{i - 1} w FULL JOIN bgd{i} d ON w.feature = d.feature
+)"""
+        )
+    parts.append(
+        f"""bg_sc AS MATERIALIZED (
+    SELECT u.doc_id, u.label, sum(coalesce(w.weight, 0.0::DOUBLE)) AS s
+    FROM (SELECT te.doc_id, te.label, unnest(te.feats) AS feature FROM te) u
+    LEFT JOIN bgw{GD_ITERS} w ON w.feature = u.feature
+    GROUP BY u.doc_id, u.label
+)"""
+    )
+    return ",\n".join(parts)
+
+
 def _spam_oracle() -> str:
     a, b = hash_params(SHUFFLE_MEMBER)
     toks = (
@@ -317,6 +480,7 @@ te AS MATERIALIZED (
     SELECT doc_id, label, feats FROM inst WHERE doc_id % 5 = 0
 ),
 {fold_ctes},
+{_batch_gd_sql()},
 ens AS MATERIALIZED (
     SELECT s0.doc_id, s0.label, s0.s AS s0, s1.s AS s1, s2.s AS s2
     FROM sc0 s0 JOIN sc1 s1 USING (doc_id) JOIN sc2 s2 USING (doc_id)
@@ -339,7 +503,14 @@ SELECT 'ens_vote', doc_id, label,
        (2 * ((s0 > 0)::INTEGER + (s1 > 0)::INTEGER + (s2 > 0)::INTEGER) - 3)::DOUBLE,
        CASE WHEN 2 * ((s0 > 0)::INTEGER + (s1 > 0)::INTEGER + (s2 > 0)::INTEGER) - 3 > 0
             THEN 'spam' ELSE 'ham' END
-FROM ens"""
+FROM ens
+UNION ALL
+SELECT 'batch_gd_w', feature::BIGINT, NULL::INTEGER, weight, NULL::VARCHAR
+FROM bgw{GD_ITERS}
+UNION ALL
+SELECT 'batch_gd', doc_id, label, s,
+       CASE WHEN s > 0 THEN 'spam' ELSE 'ham' END
+FROM bg_sc"""
 
 
 ML_ORACLES: dict[str, str] = {

@@ -166,27 +166,34 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def spam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model weights + all three scoring modes, with the three members
-    collected CONCURRENTLY (pagerank_suite trick): the suite runs five
-    single-partition serial folds in total (train, apply's retrain, 3
-    ensemble shards) — deliberately order-sensitive single tasks that
-    sequential execution strings end-to-end while 31 cores idle.
-    Overlapping them measured 3.2 s → 2.0 s at sf0.1 (A/B, n=3). Model
-    weights and held-out scores are bounded output, so the re-wrap is
-    bookkeeping."""
+    """Model weights + all three scoring modes + the distributed
+    full-batch GD counterpart, with the four members collected
+    CONCURRENTLY (pagerank_suite trick): the serial side runs five
+    single-partition order-sensitive folds (train, apply's retrain, 3
+    ensemble shards) that sequential execution strings end-to-end while
+    31 cores idle — overlapping them measured 3.2 s → 2.0 s at sf0.1
+    (A/B, n=3) — and batch GD's aggregate iterations overlap the folds.
+    Model weights and held-out scores are bounded output, so the
+    re-wrap is bookkeeping."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(3) as pool:
+    with ThreadPoolExecutor(4) as pool:
         f_train = pool.submit(lambda: ml.spam_train(spark, sf_dir).collect())
         f_apply = pool.submit(lambda: ml.spam_apply(spark, sf_dir).collect())
         f_ens = pool.submit(lambda: ml.spam_ensemble(spark, sf_dir).collect())
-        train_rows, apply_rows, ens_rows = (
-            f_train.result(), f_apply.result(), f_ens.result()
+        f_gd = pool.submit(lambda: ml.spam_batch_gd(spark, sf_dir).collect())
+        train_rows, apply_rows, ens_rows, gd_rows = (
+            f_train.result(), f_apply.result(), f_ens.result(), f_gd.result()
         )
 
     rows = [
         ("train", int(r.feature), None, float(r.weight), None)
         for r in train_rows
+    ]
+    rows += [
+        ("batch_gd_w" if r.kind == "w" else "batch_gd",
+         int(r.id), r.label, float(r.score), r.prediction)
+        for r in gd_rows
     ]
     rows += [
         ("single", int(r.doc_id), int(r.label), float(r.score), r.prediction)
@@ -693,6 +700,44 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
 
+    # --- zorder: Morton-clustered copy concentrates a 2-D box query ----
+    # (plans/zorder.py, round-4: promoted from pytest-only to driver-
+    # verified). A ~5%-wide user band over ALL time: on a time-sorted
+    # layout every file holds every user; on the z-ordered copy the
+    # band's rows land in FEW files. cert = the band's matching rows
+    # touch strictly fewer than all files (the comparative time-sorted
+    # assert stays in tests/test_zorder.py); result rows must equal the
+    # oracle's plain WHERE — layout is result-invisible.
+    from uw_hadoop_aglorithms_spark.plans.zorder import write_zordered
+
+    z_dir = tempfile.mkdtemp(prefix="layout_z_")
+    try:
+        n_zfiles = 16
+        ev = cat.events.select("ts", "event_type", "user_id")
+        # floor() in BOTH engines: Spark cast("long") truncates while
+        # DuckDB CAST rounds — floor is the engine-neutral form
+        band = cat.events.agg(
+            F.floor(F.percentile("user_id", F.lit(0.40))).alias("lo"),
+            F.floor(F.percentile("user_id", F.lit(0.45))).alias("hi"),
+        ).first()
+        minute = (F.unix_timestamp("ts") / 60).cast("long")
+        write_zordered(
+            ev, f"{z_dir}/events", F.col("user_id"), minute, n_files=n_zfiles
+        )
+        zread = spark.read.parquet(f"{z_dir}/events").where(
+            (F.col("user_id") >= band.lo) & (F.col("user_id") <= band.hi)
+        )
+        z_files = (
+            zread.select(F.input_file_name().alias("f")).distinct().count()
+        )
+        z_cert = z_files < n_zfiles
+        z_agg = zread.groupBy("event_type").agg(F.count("*").alias("n"))
+        rows += [
+            ("zorder", r.event_type, r.n, None, z_cert) for r in z_agg.collect()
+        ]
+    finally:
+        shutil.rmtree(z_dir, ignore_errors=True)
+
     return spark.createDataFrame(
         rows, "variant string, k string, n long, v double, cert boolean"
     ).orderBy("variant", "k")
@@ -820,6 +865,14 @@ def _suite_oracles() -> dict[str, str]:
             SELECT 'pruned', event_type, count(*), CAST(NULL AS DOUBLE), TRUE
             FROM events
             WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+            GROUP BY event_type
+            UNION ALL
+            SELECT 'zorder', event_type, count(*), CAST(NULL AS DOUBLE), TRUE
+            FROM events
+            WHERE user_id >= (SELECT floor(quantile_cont(user_id, 0.40))
+                              FROM events)
+              AND user_id <= (SELECT floor(quantile_cont(user_id, 0.45))
+                              FROM events)
             GROUP BY event_type
         """,
         "window_counts": _u(
