@@ -93,7 +93,7 @@ def main() -> None:
     d = build_replica_dir(spark)
     print(f"replica dir built in {time.perf_counter() - t0:.1f}s at {d}")
 
-    from uw_hadoop_aglorithms_spark.operators import cluster, dedup, graph, suites
+    from uw_hadoop_aglorithms_spark.operators import cluster, dedup, graph, ml, suites
 
     # what does the state-sized heuristic pick at 10×?
     _, edges = graph.build_graph(spark, d)
@@ -102,10 +102,22 @@ def main() -> None:
     print(f"graph edges: {n_edges}  -> loop shuffle partitions: {pr_parts}")
 
     results = {}
+    # semantic_dedup_pairs is deliberately ABSENT: with the codebook
+    # fixed at KM_K=8 a 10× corpus makes Σ|cell|² grow ~100× — the
+    # SemDeDup deployment scales K with the corpus (K ∝ N keeps the
+    # within-cell work linear), which at K ≫ 100 means the IVF
+    # DataFrame-join assignment of similarity.py, not literal-centroid
+    # expressions. Documented in SCALING.md §Dedup.
     for name, fn in (
         ("pagerank_suite", suites.pagerank_suite),
         ("dedup_clusters", dedup.dedup_clusters),
         ("kmeans_clusters", cluster.kmeans_clusters),
+        # round-4 additions: the distributed GD trainer and the
+        # winnowing cross-doc match (10 exact twins per doc make every
+        # fingerprint ~10× hotter — the boilerplate-skew shape the
+        # WINNOW_MAX_DF cap exists for)
+        ("spam_batch_gd", ml.spam_batch_gd),
+        ("winnow_dup_pairs", dedup.winnow_dup_pairs),
     ):
         before = rss_mb()
         t0 = time.perf_counter()

@@ -596,13 +596,21 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from uw_hadoop_aglorithms_spark.operators.textstats import doc_fingerprint
+    from uw_hadoop_aglorithms_spark.operators.textstats import fingerprints
 
-    fps = doc_fingerprint(spark, sf_dir)
+    # built on the UNORDERED fingerprint form (no inherited global
+    # sort), and cached: the per-char rolling-hash pipeline is the
+    # expensive CPU here, and the self-join would otherwise recompute
+    # it for both sides — the cached frame is two int64 columns,
+    # ~2/(FP_W+1) rows per corpus char, far narrower than the text it
+    # derives from (contrast dedup._gram_hash_sets, where caching the
+    # WIDE hash arrays measured slower than recompute).
+    fps = fingerprints(spark, sf_dir)
     rare = (
         fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
         .filter(F.col("df") <= WINNOW_MAX_DF)
         .select("doc_id", "fp")
+        .cache()
     )
     return (
         rare.alias("a")

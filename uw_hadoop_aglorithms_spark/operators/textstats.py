@@ -175,9 +175,13 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints: rolling polyhash of char 8-grams, min per
-    4-window, distinct mins per doc (one row per fingerprint).
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints, UNORDERED: (doc_id, fp), one row per
+    distinct fingerprint per doc — the internal form downstream
+    consumers (dedup.winnow_dup_pairs) build on. doc_fingerprint is
+    this plus the registered query's output ordering; composing on the
+    unordered form keeps a needless global-sort Exchange out of
+    consumer plans.
 
     Guarantees of winnowing: any shared substring of length >= FP_K +
     FP_W - 1 between two docs yields a shared fingerprint. Entirely
@@ -212,8 +216,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", codes.alias("cs"))
         .select("doc_id", kgram_hashes.alias("khs"))
         .select("doc_id", F.explode(F.array_distinct(windows_min)).alias("fp"))
-        .orderBy("doc_id", "fp")
     )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query form of `fingerprints`: deterministic output
+    order for the driver contract."""
+    return fingerprints(spark, sf_dir).orderBy("doc_id", "fp")
 
 
 def _ngram_strs(n: int) -> str:
