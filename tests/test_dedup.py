@@ -237,18 +237,22 @@ def test_winnow_pairs_share_verifiable_fingerprints(spark):
     from collections import Counter
 
     from uw_hadoop_aglorithms_spark.operators.dedup import (
+        WINNOW_DF_FRAC,
         WINNOW_MAX_DF,
         WINNOW_MIN_SHARED,
         winnow_dup_pairs,
     )
     from uw_hadoop_aglorithms_spark.operators.textstats import doc_fingerprint
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
     fps = {}
     df = Counter()
     for r in doc_fingerprint(spark, SF_TEST).collect():
         fps.setdefault(r.doc_id, set()).add(r.fp)
         df[r.fp] += 1
-    rare = {fp for fp, n in df.items() if n <= WINNOW_MAX_DF}
+    n_docs = Catalog(spark, SF_TEST).documents.count()
+    cap = max(WINNOW_MAX_DF, int(WINNOW_DF_FRAC * n_docs))
+    rare = {fp for fp, n in df.items() if n <= cap}
 
     pairs = winnow_dup_pairs(spark, SF_TEST).collect()
     assert pairs, "fixture corpus should contain winnow-detectable dups"

@@ -569,11 +569,18 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Winnowing cross-doc match (Schleimer et al., SIGMOD 2003 — the MOSS
 #: algorithm): docs sharing >= WINNOW_MIN_SHARED selected fingerprints
-#: are near-dup candidates. Fingerprints seen in more than WINNOW_MAX_DF
-#: docs are boilerplate (and would fan the self-join out quadratically
-#: per hot key) — MOSS drops them for the same two reasons.
+#: are near-dup candidates. Fingerprints seen in more docs than the cap
+#: are boilerplate (and would fan the self-join out quadratically per
+#: hot key) — MOSS drops them for the same two reasons. The cap SCALES
+#: with the corpus: max(WINNOW_MAX_DF, floor(WINNOW_DF_FRAC·N)) — the
+#: 10×-twin stress (tools/stress_sf1.py) showed an absolute cap going
+#: degenerate when corpus growth multiplies every df uniformly (every
+#: fingerprint crossed 20 and ALL pairs vanished); a df fraction keeps
+#: "boilerplate" meaning "shared by an outsized share of docs" at any
+#: scale, while the absolute floor keeps tiny test fixtures stable.
 WINNOW_MIN_SHARED = 10
 WINNOW_MAX_DF = 20
+WINNOW_DF_FRAC = 0.04
 
 
 def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,15 +591,18 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields a shared fingerprint, so heavy copy-paste overlap — the
     LLM-corpus contamination shape MinHash's whole-doc Jaccard misses —
     surfaces even when the surrounding documents differ. Tuned on the
-    synthetic corpus: (MAX_DF=20, MIN_SHARED=10) emits 21 pairs, every
-    one of them a planted bigram-Jaccard near-dup.
+    synthetic corpus: (cap=20, MIN_SHARED=10) emits 21 pairs at sf0.01,
+    every one of them a planted bigram-Jaccard near-dup.
 
     Scale: fingerprint density is 2/(FP_W+1) per char (the winnowing
     bound), so the exploded table is ~0.4 rows/char of int64 pairs; the
-    DF cap bounds every join key's fan-out at MAX_DF², making the
-    self-join O(distinct_fps × MAX_DF²) worst-case instead of quadratic
+    DF cap bounds every join key's fan-out at cap², making the
+    self-join O(distinct_fps × cap²) worst-case instead of quadratic
     in the corpus. One window pass + one fp-keyed self-join — both
-    shuffle (doc_id, fp) int64 rows only, never text.
+    shuffle (doc_id, fp) int64 rows only, never text. Run AFTER
+    exact_dedup (as corpus_curation does): exact twins put every doc in
+    a clique and the pair count is then genuinely quadratic in the
+    twin multiplicity (measured in the 10× stress, SCALING.md).
     """
     from pyspark.sql import Window
 
@@ -606,9 +616,13 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derives from (contrast dedup._gram_hash_sets, where caching the
     # WIDE hash arrays measured slower than recompute).
     fps = fingerprints(spark, sf_dir)
+    # corpus-relative cap (identical arithmetic in the oracle: same
+    # 0.04 literal, same count, floor of the same double product)
+    n_docs = Catalog(spark, sf_dir).documents.count()
+    cap = max(WINNOW_MAX_DF, int(WINNOW_DF_FRAC * n_docs))
     rare = (
         fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
-        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .filter(F.col("df") <= F.lit(cap))
         .select("doc_id", "fp")
         .cache()
     )

@@ -743,17 +743,22 @@ def _winnow_pairs_sql() -> str:
     """Cross-doc winnowing match: the doc_fingerprint oracle feeds a
     DF-capped fp self-join (mirrors dedup.winnow_dup_pairs)."""
     from uw_hadoop_aglorithms_spark.operators.dedup import (
+        WINNOW_DF_FRAC,
         WINNOW_MAX_DF,
         WINNOW_MIN_SHARED,
     )
 
+    cap = (
+        f"greatest({WINNOW_MAX_DF}, floor({WINNOW_DF_FRAC!r}::DOUBLE"
+        f" * (SELECT count(*) FROM documents))::BIGINT)"
+    )
     return f"""
         WITH fps AS ({TEXTSTATS_ORACLES["doc_fingerprint"]}),
         rare AS (
             SELECT doc_id, fp FROM (
                 SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
                 FROM fps
-            ) WHERE df <= {WINNOW_MAX_DF}
+            ) WHERE df <= {cap}
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS n_shared
