@@ -68,3 +68,49 @@ def test_bpe_matches_sequential_oracle(spark):
     exp_vocab = sorted(vf.items(), key=lambda kv: (-kv[1], kv[0]))[: bpe.VOCAB_TOP]
     vrows = [r for r in rows if r.variant == "bpe_vocab"]
     assert sorted(((r.word, r.cnt) for r in vrows), key=lambda kv: (-kv[1], kv[0])) == exp_vocab
+
+
+def test_encode_words_applies_learned_rules(spark):
+    """The apply step (tokenizer encode) must segment NEW words exactly
+    as the sequential Python encoder does with the same learned rules in
+    priority order — including words never seen in training."""
+    from pyspark.sql import functions as F
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    merges, _ = bpe.bpe_train(spark, SF_TEST)
+    assert merges, "fixture corpus must yield merge rules"
+
+    # held-out-ish mix: corpus words plus genuinely unseen strings
+    corpus_words = [
+        r.w
+        for r in Catalog(spark, SF_TEST)
+        .documents.select(F.explode(tokens("text")).alias("w"))
+        .distinct()
+        .limit(30)
+        .collect()
+    ]
+    novel = ["zzzzq", "abracadabra", corpus_words[0] * 2]
+    all_words = sorted(set(corpus_words + novel))
+    wdf = spark.createDataFrame([(w,) for w in all_words], "w string")
+
+    got = {r.w: list(r.syms) for r in bpe.encode_words(wdf, merges).collect()}
+
+    def py_encode(w):
+        syms = list(w) + [bpe.EOW]
+        for _, l, r, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    assert set(got) == set(all_words)
+    for w in all_words:
+        assert got[w] == py_encode(w), w
+        # lossless: concatenation restores the word + EOW marker
+        assert "".join(got[w]) == w + bpe.EOW

@@ -148,3 +148,23 @@ def test_batch_gd_bit_identical_to_python_replay(spark):
     for r in rows:
         if r.kind == "score":
             assert r.prediction == ("spam" if r.score > 0 else "ham")
+
+
+def test_batch_gd_invariant_under_partitioning(spark):
+    """The dyadic-exactness claim is 'any aggregation order produces
+    identical doubles' — drive it directly: the same training run under
+    a different shuffle-partition count (different partial-agg trees)
+    must be bit-identical, weights and scores both."""
+    def run():
+        rows = ml.spam_batch_gd(spark, SF_TEST).collect()
+        return {(r.kind, int(r.id)): (r.score, r.prediction) for r in rows}
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        b = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b

@@ -83,9 +83,8 @@ def bpe_train(
     merges = [(step, left, right, pair_weight), ...] in learned order;
     final_state is the (w, freq, pos, sym) frame after all merges.
     """
-    wnd = Window.partitionBy("w").orderBy("pos")
-    cum = wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     merges: list[tuple[int, str, str, int]] = []
+    wnd = Window.partitionBy("w").orderBy("pos")
 
     with _loop_shuffle_partitions(spark, 1) as n_parts:
         st = (
@@ -94,9 +93,9 @@ def bpe_train(
             .localCheckpoint(eager=True)
         )
         for step in range(1, n_merges + 1):
-            paired = st.withColumn("nxt", F.lead("sym").over(wnd))
             best = (
-                paired.filter(F.col("nxt").isNotNull())
+                st.withColumn("nxt", F.lead("sym").over(wnd))
+                .filter(F.col("nxt").isNotNull())
                 .groupBy("sym", "nxt")
                 .agg(F.sum("freq").alias("pf"))
                 .orderBy(F.col("pf").desc(), "sym", "nxt")
@@ -107,37 +106,70 @@ def bpe_train(
                 break
             left, right, pf = best[0].sym, best[0].nxt, int(best[0].pf)
             merges.append((step, left, right, pf))
-
-            marked = paired.withColumn(
-                "match",
-                F.coalesce(
-                    (F.col("sym") == left) & (F.col("nxt") == right), F.lit(False)
-                ),
-            )
-            # streak of consecutive matches ending here; greedy = odd
-            last_stop = F.max(
-                F.when(~F.col("match"), F.col("pos"))
-            ).over(cum)
-            streak = F.col("pos") - F.coalesce(last_stop, F.lit(-1))
-            st = (
-                marked.withColumn("greedy", F.col("match") & (streak % 2 == 1))
-                .withColumn(
-                    "consumed",
-                    F.coalesce(F.lag("greedy").over(wnd), F.lit(False)),
-                )
-                .filter(~F.col("consumed"))
-                .select(
-                    "w",
-                    "freq",
-                    (F.row_number().over(wnd) - 1).cast("long").alias("pos"),
-                    F.when(
-                        F.col("greedy"), F.concat("sym", "nxt")
-                    ).otherwise(F.col("sym")).alias("sym"),
-                )
-                .localCheckpoint(eager=True)
-            )
+            st = apply_merge(st, left, right).localCheckpoint(eager=True)
 
     return merges, st
+
+
+def apply_merge(st: DataFrame, left: str, right: str) -> DataFrame:
+    """One greedy left-to-right BPE merge of (left, right) over the
+    (w, freq, pos, sym) state — shared by training (with the pair just
+    argmaxed) and by encoding new text with FIXED learned rules
+    (`encode_words`). Caller owns materialization between steps."""
+    wnd = Window.partitionBy("w").orderBy("pos")
+    cum = wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = st.withColumn("nxt", F.lead("sym").over(wnd)).withColumn(
+        "match",
+        F.coalesce(
+            (F.col("sym") == left) & (F.col("nxt") == right), F.lit(False)
+        ),
+    )
+    # streak of consecutive matches ending here; greedy = odd
+    last_stop = F.max(F.when(~F.col("match"), F.col("pos"))).over(cum)
+    streak = F.col("pos") - F.coalesce(last_stop, F.lit(-1))
+    return (
+        marked.withColumn("greedy", F.col("match") & (streak % 2 == 1))
+        .withColumn(
+            "consumed",
+            F.coalesce(F.lag("greedy").over(wnd), F.lit(False)),
+        )
+        .filter(~F.col("consumed"))
+        .select(
+            "w",
+            "freq",
+            (F.row_number().over(wnd) - 1).cast("long").alias("pos"),
+            F.when(
+                F.col("greedy"), F.concat("sym", "nxt")
+            ).otherwise(F.col("sym")).alias("sym"),
+        )
+    )
+
+
+def encode_words(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Apply LEARNED merge rules (in learned order — rule priority, the
+    standard BPE tokenizer apply step) to NEW words: (w) → (w, syms
+    array<string>). The words need not have appeared in training; freq
+    is irrelevant for encoding and pinned to 1.
+
+    Scale shape: identical to training minus the per-step argmax — the
+    state is |distinct new words| × word length rows, every step is the
+    same window/merge stage, and rules are literals (no driver
+    round-trip per step beyond the materialization the lineage needs).
+    """
+    syms = F.expr(
+        f"array_append(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '{EOW}')"
+    )
+    st = words.select(
+        "w", F.lit(1).cast("long").alias("freq"), F.posexplode(syms).alias("pos", "sym")
+    ).select("w", "freq", F.col("pos").cast("long").alias("pos"), "sym")
+    st = st.localCheckpoint(eager=True)
+    for _, left, right, _ in merges:
+        st = apply_merge(st, left, right).localCheckpoint(eager=True)
+    return (
+        st.groupBy("w")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "sym"))).alias("ps"))
+        .select("w", F.col("ps.sym").alias("syms"))
+    )
 
 
 def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
