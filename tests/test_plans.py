@@ -103,3 +103,37 @@ def test_spread_for_cpu_is_conditional(spark):
     assert spread_for_cpu(wide, "id") is wide
     narrow = spark.range(1000).coalesce(1)
     assert spread_for_cpu(narrow, "id").rdd.getNumPartitions() == cores
+
+
+def test_semantic_dedup_is_equi_join_not_cartesian(spark):
+    """SemDeDup's within-cell pair join must key on the cluster id —
+    an equi-join (hash/sort-merge/broadcast-hash), never a nested-loop
+    cartesian with a filter. A cartesian here is exactly the quadratic
+    blow-up the clustering exists to avoid."""
+    from uw_hadoop_aglorithms_spark.operators import dedup
+
+    plan = _plan(dedup.semantic_dedup_pairs(spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batch_gd_broadcasts_model_and_partial_aggregates(spark):
+    """The batch-GD scoring join must BROADCAST the bounded model (never
+    shuffle the corpus to meet it), and both gradient aggregations must
+    partial-aggregate map-side."""
+    from pyspark.sql import functions as F
+    from uw_hadoop_aglorithms_spark.operators import ml
+
+    inst = ml.instances(spark, SF_TEST)
+    train = inst.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "label", F.explode("features").alias("feature")
+    )
+    wdf = spark.createDataFrame([(0, 0.0)], "feature int, weight double")
+    scored = (
+        train.join(F.broadcast(wdf), "feature", "left")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("s"))
+    )
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -288,3 +288,62 @@ def test_stream_user_sessions_matches_batch_closed_sessions(spark, replay):
         r for r in batch if r[2] + gap < cutoff - datetime.timedelta(seconds=1)
     }
     assert surely_closed <= emitted
+
+
+def test_stream_exact_dedup_semantics(spark, tmp_path):
+    """Ingestion-time dedup: (a) no two emitted rows share a digest
+    within the watermark horizon; (b) every distinct text is admitted
+    at least once; (c) emitted rows are a subset of the input; (d) any
+    duplicate arriving within the horizon of a kept row is suppressed
+    (checked via a sequential Python replay of the arrival order)."""
+    import hashlib
+    import re as _re
+
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    replay = str(tmp_path / "docs_replay")
+    ckpt = str(tmp_path / "ckpt")
+    runner.prepare_doc_replay_dir(spark, SF_TEST, replay)
+    out = runner.stream_exact_dedup(spark, replay, ckpt).collect()
+    spark.catalog.dropTempView("stream_exact_dedup")
+    assert out
+
+    horizon_s = 120 * 60
+
+    def digest(text):
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        return hashlib.sha256(norm.encode()).hexdigest()
+
+    docs = spark.read.parquet(replay).collect()
+    by_id = {r.doc_id: (digest(r.text), r.ts) for r in docs}
+
+    # (c) subset of input with matching digests
+    for r in out:
+        d, ts = by_id[r.doc_id]
+        assert r.digest == d and r.ts == ts
+
+    # (a) horizon separation per digest
+    from collections import defaultdict
+
+    times = defaultdict(list)
+    for r in out:
+        times[r.digest].append(r.ts)
+    for d, tss in times.items():
+        tss.sort()
+        for a, b in zip(tss, tss[1:]):
+            assert (b - a).total_seconds() >= horizon_s, d
+
+    # (b) completeness
+    assert set(times) == {d for d, _ in by_id.values()}
+
+    # (d) sequential replay in arrival (=ts) order: a duplicate within
+    # the horizon of the last KEPT arrival of its digest must be absent
+    kept = {(r.digest, r.ts) for r in out}
+    last_kept = {}
+    for doc_id in sorted(by_id, key=lambda i: by_id[i][1]):
+        d, ts = by_id[doc_id]
+        prev = last_kept.get(d)
+        if prev is not None and (ts - prev).total_seconds() < horizon_s:
+            assert (d, ts) not in kept or ts == prev
+        else:
+            last_kept[d] = ts

@@ -330,3 +330,100 @@ def stream_region_event_count(
     )
     q.awaitTermination()
     return spark.table(query_name).orderBy("window_start", "event_type")
+
+
+#: Ingestion-time dedup: duplicates arriving within this event-time
+#: horizon of a kept row are suppressed; the digest state is EVICTED
+#: once the watermark passes, so state is bounded by the horizon's
+#: arrival rate, not the corpus (the whole point vs batch exact_dedup's
+#: full-corpus groupBy).
+DEDUP_WATERMARK = "120 minutes"
+#: Synthetic deterministic arrival clock for the document replay:
+#: doc i arrives at BASE + i minutes.
+DOC_REPLAY_FILES = 8
+
+
+def prepare_doc_replay_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """Split `documents` into arrival-time-ranged files for file-source
+    replay: arrival ts is a deterministic function of doc_id (one doc
+    per minute), so duplicate texts whose ids are close arrive inside
+    the dedup horizon and far-apart twins arrive beyond it — both
+    eviction paths get exercised by the same corpus."""
+    import os
+    import time
+
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "text",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("ts"),
+    )
+    (
+        docs.repartitionByRange(DOC_REPLAY_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(out_dir)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    base = time.time() - len(parts)
+    for i, name in enumerate(parts):
+        os.utime(os.path.join(out_dir, name), (base + i, base + i))
+    return out_dir
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    replay_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_exact_dedup",
+) -> DataFrame:
+    """exact_dedup as an INGESTION-TIME stream op: content digests
+    deduplicated with dropDuplicatesWithinWatermark, the Structured
+    Streaming form of 'don't admit a document we already took within
+    the horizon'. Guarantees (asserted in tests/test_streaming.py):
+    no two emitted rows share a digest within the horizon; every
+    distinct text is admitted at least once; state is digest-sized and
+    watermark-evicted — at lake ingest rates the state is
+    horizon_minutes × docs/minute digests, independent of corpus size.
+
+    Batch exact_dedup remains the retrospective form; this is the
+    front-door filter a 100 TB pipeline runs so most duplicates never
+    land in the lake at all.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+        .select("doc_id", "ts", F.sha2(norm, 256).alias("digest"))
+        .withWatermark("ts", DEDUP_WATERMARK)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("ts", "doc_id")
