@@ -143,9 +143,15 @@ def _train_on(inst: DataFrame) -> DataFrame:
     return ordered.mapInPandas(_sgd_fold, "feature int, weight double")
 
 
-def spam_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2: train on the %5!=0 split; returns the (feature, weight) model."""
-    model = _train_on(_train_split(instances(spark, sf_dir)))
+def spam_train(
+    spark: SparkSession, sf_dir: str, inst: DataFrame | None = None
+) -> DataFrame:
+    """M2: train on the %5!=0 split; returns the (feature, weight) model.
+
+    `inst`: optionally a precomputed instances() frame (the spam suite
+    caches ONE tokenize+polyhash corpus scan and shares it across all
+    members — the pagerank_suite prebuilt-graph pattern)."""
+    model = _train_on(_train_split(inst if inst is not None else instances(spark, sf_dir)))
     return model.select("feature", F.round("weight", 9).alias("weight")).orderBy("feature")
 
 
@@ -164,10 +170,13 @@ def _score(inst: DataFrame, model: DataFrame) -> DataFrame:
     )
 
 
-def spam_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spam_apply(
+    spark: SparkSession, sf_dir: str, inst: DataFrame | None = None
+) -> DataFrame:
     """M3: score the held-out split; spam iff score > 0
     (reference ApplySpamClassifier.scala:43-49)."""
-    inst = instances(spark, sf_dir)
+    if inst is None:
+        inst = instances(spark, sf_dir)
     model = _train_on(_train_split(inst))
     return (
         _score(_test_split(inst), model)
@@ -181,10 +190,13 @@ def spam_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def spam_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spam_ensemble(
+    spark: SparkSession, sf_dir: str, inst: DataFrame | None = None
+) -> DataFrame:
     """M4: 3 models on doc_id%3 shards; average + majority vote
     (reference ApplyEnsembleSpamClassifier.scala:47-73, vote = 2·pos − 3)."""
-    inst = instances(spark, sf_dir)
+    if inst is None:
+        inst = instances(spark, sf_dir)
     train = _train_split(inst)
     test = _test_split(inst)
     scored = None
@@ -248,7 +260,9 @@ GD_ETA = 0.5
 GD_Q = float(1 << 40)
 
 
-def spam_batch_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spam_batch_gd(
+    spark: SparkSession, sf_dir: str, inst: DataFrame | None = None
+) -> DataFrame:
     """Full-batch logistic-surrogate GD on the train split + held-out
     scoring.
 
@@ -262,7 +276,8 @@ def spam_batch_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) collected into the bounded driver model. No step touches the
     corpus twice and nothing driver-side grows with the data.
     """
-    inst = instances(spark, sf_dir)
+    if inst is None:
+        inst = instances(spark, sf_dir)
     train = (
         _train_split(inst)
         .select("doc_id", "label", F.explode("features").alias("feature"))

@@ -177,14 +177,22 @@ def spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-wrap is bookkeeping."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(4) as pool:
-        f_train = pool.submit(lambda: ml.spam_train(spark, sf_dir).collect())
-        f_apply = pool.submit(lambda: ml.spam_apply(spark, sf_dir).collect())
-        f_ens = pool.submit(lambda: ml.spam_ensemble(spark, sf_dir).collect())
-        f_gd = pool.submit(lambda: ml.spam_batch_gd(spark, sf_dir).collect())
-        train_rows, apply_rows, ens_rows, gd_rows = (
-            f_train.result(), f_apply.result(), f_ens.result(), f_gd.result()
-        )
+    # ONE tokenize+polyhash corpus scan serves all four members (the
+    # pagerank_suite prebuilt pattern): materialize the cache before the
+    # threads so they don't race to fill it
+    inst = ml.instances(spark, sf_dir).cache()
+    inst.count()
+    try:
+        with ThreadPoolExecutor(4) as pool:
+            f_train = pool.submit(lambda: ml.spam_train(spark, sf_dir, inst).collect())
+            f_apply = pool.submit(lambda: ml.spam_apply(spark, sf_dir, inst).collect())
+            f_ens = pool.submit(lambda: ml.spam_ensemble(spark, sf_dir, inst).collect())
+            f_gd = pool.submit(lambda: ml.spam_batch_gd(spark, sf_dir, inst).collect())
+            train_rows, apply_rows, ens_rows, gd_rows = (
+                f_train.result(), f_apply.result(), f_ens.result(), f_gd.result()
+            )
+    finally:
+        inst.unpersist()
 
     rows = [
         ("train", int(r.feature), None, float(r.weight), None)
