@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from itertools import combinations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_TEST
 from uw_hadoop_aglorithms_spark.operators import graphstats
 
@@ -55,3 +57,55 @@ def test_degree_distribution_sums_to_vertices_and_edges(spark):
     )
     # handshake lemma: sum(degree * count) == 2|E|
     assert sum(r.degree * r.n_vertices for r in rows) == 2 * len(edges)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Star contraction vs a Python union-find over the same synthetic
+    interaction graph."""
+    from uw_hadoop_aglorithms_spark.operators.graphstats import (
+        _n_vertices,
+        connected_components,
+        interaction_edges,
+    )
+
+    nv = _n_vertices(spark, SF_TEST)
+    e = interaction_edges(spark, SF_TEST, nv).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    got = {
+        r.id: r.component for r in connected_components(e).collect()
+    }
+    exp = _union_find([(r.a, r.b) for r in e.collect()])
+    assert got == exp
+
+
+def test_connected_components_log_rounds_on_deep_chain(spark):
+    """The reason this operator exists: a 1024-node CHAIN (diameter
+    1023, the worst case for per-round label propagation) must converge
+    in O(log n) star rounds, and produce one component rooted at 0."""
+    n = 1024
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    from uw_hadoop_aglorithms_spark.operators import graphstats
+
+    comp = graphstats.connected_components(chain, max_rounds=15).collect()
+    assert len(comp) == n
+    assert {r.component for r in comp} == {0}

@@ -7,7 +7,8 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 
 spark = (SparkSession.builder.appName("driver-sim").master("local[8]")
          .config("spark.sql.shuffle.partitions", "16")

@@ -213,3 +213,96 @@ GRAPHSTATS_ORACLES: dict[str, str] = {
         FROM tri
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# Connected components: two-phase star contraction (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14). The
+# deep-component alternative to dedup.dedup_clusters' min-label
+# propagation: label propagation needs O(diameter) rounds (a 1000-node
+# chain = 1000 rounds), star contraction converges in O(log n) rounds on
+# any topology — the difference between infeasible and routine when a
+# 100 TB near-dup graph contains long chains. Near-dup components are
+# typically shallow, which is why dedup_clusters keeps the simpler
+# propagation (VERDICT r3 plan audit); this is the library escape hatch
+# for when they are not.
+# --------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 25
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's minimum
+    neighborhood label min({u} ∪ N(u))."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("u"), F.col("mv"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), m.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Canonicalize edges to point downward, then connect every
+    smaller-or-equal neighbor of u (and u itself) to the minimum."""
+    canon = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("mv"))
+    to_min = canon.join(mins, "u")
+    links = to_min.select(F.col("v").alias("a"), F.col("mv").alias("b")).union(
+        to_min.select(F.col("u").alias("a"), F.col("mv").alias("b"))
+    )
+    return links.where(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
+    """(id, component) for every vertex of the undirected edge list
+    `edges` (columns a, b) — component = the member with minimum id.
+
+    Each round is large-star then small-star; convergence is detected by
+    an order-insensitive checksum of the edge set (two scalar aggregates
+    — no edge collect). State between rounds is materialized with
+    localCheckpoint exactly like the PageRank loop (graph._materialize
+    rationale: the edge set is consumed by both phases and the
+    checksum). Isolated vertices are their own components and are not
+    reported (they have no edges to appear in).
+    """
+    cur = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b") % F.lit(1_000_003)).alias("h"),
+        ).first()
+        return (r.n, r.h)
+
+    prev = None
+    for _ in range(max_rounds):
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        cur = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        sig = checksum(cur)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # converged state is a star forest: every edge points leaf → root
+    roots = cur.select(F.col("b").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    leaves = cur.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    return leaves.union(roots).distinct()
