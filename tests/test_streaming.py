@@ -347,3 +347,37 @@ def test_stream_exact_dedup_semantics(spark, tmp_path):
             assert (d, ts) not in kept or ts == prev
         else:
             last_kept[d] = ts
+
+
+def test_stream_decontaminate_matches_batch_bloom(spark, tmp_path):
+    """The streamed Bloom decontamination must report the SAME per-doc
+    contaminated-gram counts as the batch decontaminate_bloom (same
+    bitmap, same deterministic false positives) for every doc whose
+    arrival window the watermark closed; no extra docs may appear."""
+    from uw_hadoop_aglorithms_spark.operators import dedup
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    replay = str(tmp_path / "docs_replay")
+    ckpt = str(tmp_path / "ckpt")
+    runner.prepare_doc_replay_dir(spark, SF_TEST, replay)
+    out = runner.stream_decontaminate(spark, replay, ckpt, SF_TEST).collect()
+    spark.catalog.dropTempView("stream_decontaminate")
+
+    batch = {
+        r.doc_id: r.n_shared_ngrams
+        for r in dedup.decontaminate_bloom(spark, SF_TEST).collect()
+    }
+    got = {r.doc_id: r.n_shared_ngrams for r in out}
+    assert got, "fixture corpus must contain contaminated docs"
+    # subset with equal counts
+    for doc_id, n in got.items():
+        assert batch.get(doc_id) == n, doc_id
+    # completeness for clearly-closed windows: the final watermark is
+    # at least (max arrival - watermark delay); any contaminated doc
+    # whose 60-min window closed strictly before it must be present
+    max_id = max(batch) if batch else 0
+    wm_minute = max_id - 120  # arrival clock: doc i at minute i
+    for doc_id in batch:
+        window_end = (doc_id // 60 + 1) * 60
+        if window_end < wm_minute:
+            assert doc_id in got, doc_id

@@ -376,13 +376,14 @@ DECON_NGRAM = 8
 DECON_TEST_MOD = 10
 
 
-def _token_ngram_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, gh) — DISTINCT token-8-gram hashes per doc.
+def _token_ngram_hashes(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *extra_cols, gh) — DISTINCT token-8-gram hashes per doc.
 
     Chars are hashed once per token occurrence (polyhash), then each
     8-token window folds the token hashes with the same 31-ary step —
     ~8× fewer char folds than hashing each gram's full string, same
-    engine-neutral reproducibility.
+    engine-neutral reproducibility. `extra_cols` are carried through
+    unchanged (the streaming caller keeps the event-time column).
 
     The window fold is a FLAT expression (7 chained element_at steps),
     not a nested aggregate-over-slice: higher-order lambdas are
@@ -397,12 +398,14 @@ def _token_ngram_hashes(docs: DataFrame) -> DataFrame:
 
     ts = tokens("text")
     th = F.transform(ts, lambda t: polyhash(t))
-    base = docs.select("doc_id", th.alias("th"))
+    base = docs.select("doc_id", *extra_cols, th.alias("th"))
     n = F.greatest(F.size("th") - F.lit(DECON_NGRAM - 1), F.lit(0))
     grams = F.when(
         n >= 1, F.transform(F.sequence(F.lit(1), n), flat_gram)
     ).otherwise(F.array().cast("array<long>"))
-    return base.select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
+    return base.select(
+        "doc_id", *extra_cols, F.explode(F.array_distinct(grams)).alias("gh")
+    )
 
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,6 +452,52 @@ def _bloom_pos(gh, i: int):
     return bucket(gh, BLOOM_SEED + i, BLOOM_BITS)
 
 
+def bloom_bitmap_from_grams(probes_src: DataFrame) -> DataFrame:
+    """(widx, bits) Bloom bitmap over a (gh) frame of DISTINCT held-out
+    gram hashes — the fixed-size build side shared by the batch
+    decontaminator and the streaming front-door filter."""
+    w = F.lit(BLOOM_WORD_BITS)
+    probes = probes_src.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("gh"), i) for i in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    return (
+        probes.select(
+            F.floor(F.col("pos") / w).cast("long").alias("widx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(sh: DataFrame, bitmap: DataFrame) -> DataFrame:
+    """Filter a (…, gh) frame to grams whose BLOOM_K probe positions are
+    all set — k broadcast joins on word index (inner-join semantics ARE
+    the filter: an absent word index has no bits set). Works unchanged
+    on a STREAMING frame: stream-static broadcast joins are stateless.
+    """
+    w = F.lit(BLOOM_WORD_BITS)
+    cur = sh
+    for i in range(BLOOM_K):
+        cur = cur.withColumn(f"p{i}", _bloom_pos(F.col("gh"), i))
+        bm = bitmap.select(
+            F.col("widx").alias(f"w{i}"), F.col("bits").alias(f"b{i}")
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % {BLOOM_WORD_BITS} AS INT))"
+        )
+        cur = cur.join(
+            F.broadcast(bm),
+            F.floor(F.col(f"p{i}") / w).cast("long") == F.col(f"w{i}"),
+        ).filter(F.col(f"b{i}").bitwiseAND(mask) != 0)
+    return cur
+
+
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination via a broadcast Bloom bitmap (Bloom, CACM 1970;
     the mechanism CCNet/Dolma-style pipelines use for eval-overlap
@@ -472,45 +521,11 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
     sh = _token_ngram_hashes(docs)
-    w = F.lit(BLOOM_WORD_BITS)
     # build: held-out distinct grams → k probe positions → 62-bit words
-    probes = (
-        sh.filter(F.col("doc_id") % DECON_TEST_MOD == 0)
-        .select("gh")
-        .distinct()
-        .select(
-            F.explode(
-                F.array(*[_bloom_pos(F.col("gh"), i) for i in range(BLOOM_K)])
-            ).alias("pos")
-        )
+    bitmap = bloom_bitmap_from_grams(
+        sh.filter(F.col("doc_id") % DECON_TEST_MOD == 0).select("gh").distinct()
     )
-    bitmap = (
-        probes.select(
-            F.floor(F.col("pos") / w).cast("long").alias("widx"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("widx")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
-    # probe: k broadcast joins on word index, all-bits-set required.
-    # Inner-join semantics are exactly the filter: a word index absent
-    # from the bitmap has no bits set, so the gram correctly drops out.
-    cur = sh.filter(F.col("doc_id") % DECON_TEST_MOD != 0)
-    for i in range(BLOOM_K):
-        cur = cur.withColumn(f"p{i}", _bloom_pos(F.col("gh"), i))
-        bm = bitmap.select(
-            F.col("widx").alias(f"w{i}"), F.col("bits").alias(f"b{i}")
-        )
-        mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % {BLOOM_WORD_BITS} AS INT))"
-        )
-        cur = cur.join(
-            F.broadcast(bm),
-            F.floor(F.col(f"p{i}") / w).cast("long") == F.col(f"w{i}"),
-        ).filter(F.col(f"b{i}").bitwiseAND(mask) != 0)
+    cur = bloom_probe(sh.filter(F.col("doc_id") % DECON_TEST_MOD != 0), bitmap)
     return (
         cur.groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))

@@ -427,3 +427,72 @@ def stream_exact_dedup(
     )
     q.awaitTermination()
     return spark.table(query_name).orderBy("ts", "doc_id")
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    replay_dir: str,
+    checkpoint_dir: str,
+    sf_dir: str,
+    query_name: str = "stream_decontaminate",
+) -> DataFrame:
+    """Decontamination as an INGESTION-TIME stream op: the broadcast
+    Bloom bitmap (dedup.decontaminate_bloom's fixed ~0.5 MB build side,
+    derived BATCH from the held-out split) probes every arriving
+    training document's token 8-grams via stateless stream-static
+    broadcast joins; per-doc contaminated-gram counts are emitted when
+    the watermark closes the doc's arrival window.
+
+    Scale shape: the stream side is pure map work + k broadcast probes
+    (no state at all until the final windowed count, whose state is one
+    row per (window, contaminated doc) — bounded by the contamination
+    rate, not the stream). This is the filter a 100 TB ingest runs so
+    eval-overlapping documents never enter the training lake; the batch
+    `decontaminate`/`decontaminate_bloom` remain the retrospective
+    audit. Counts carry the bitmap's deterministic false positives,
+    identical to the batch Bloom variant (asserted in tests).
+    """
+    from pyspark.sql import types as T
+
+    from uw_hadoop_aglorithms_spark.operators import dedup
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    # batch build side: held-out split → distinct gram hashes → bitmap
+    held_sh = dedup._token_ngram_hashes(
+        Catalog(spark, sf_dir).documents.where(
+            F.col("doc_id") % dedup.DECON_TEST_MOD == 0
+        )
+    )
+    bitmap = dedup.bloom_bitmap_from_grams(held_sh.select("gh").distinct())
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+        .where(F.col("doc_id") % dedup.DECON_TEST_MOD != 0)
+        .withWatermark("ts", WATERMARK)
+    )
+    sh = dedup._token_ngram_hashes(stream_docs, extra_cols=("ts",))
+    hits = dedup.bloom_probe(sh, bitmap)
+    counts = (
+        hits.groupBy(F.window("ts", "60 minutes").alias("w"), "doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .select(F.col("w.start").alias("window_start"), "doc_id", "n_shared_ngrams")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("doc_id")
