@@ -3,6 +3,7 @@
 Prints ONE JSON line:
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...},
+     "spread": {"q1": [min_sec, max_sec], ...},   (REPS > 1)
      "metrics": {"q1": {"shuffle_read": B, "shuffle_write": B,
                         "input_bytes": B, "n_stages": K}, ...},
      "peak_jvm_heap_bytes": B, "sf": 0.1}
@@ -121,6 +122,9 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
     timings: dict[str, float] = {}
+    #: [min, max] per query across reps — the box-interference signal
+    #: (SCALING.md §Round-4 A/B: cross-run minima are the plan cost)
+    spreads: dict[str, list[float]] = {}
     metrics: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     tracker = StageMetrics(spark)
@@ -143,6 +147,7 @@ def main() -> None:
                 # must not accumulate across the run
                 spark.catalog.clearCache()
             timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+            spreads[name] = [round(min(samples), 3), round(max(samples), 3)]
         except Exception as exc:  # noqa: BLE001 — record and move on
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -166,6 +171,8 @@ def main() -> None:
         "sf": sf_from_dir(SF_DIR),
         "n": REPS,
     }
+    if REPS > 1:
+        result["spread"] = spreads
     if metrics:
         result["metrics"] = metrics
     peak = tracker.peak_jvm_heap()
