@@ -153,3 +153,50 @@ def test_decode_media_rejects_real_formats(spark):
     )
     with pytest.raises(Exception, match="image/jpeg"):
         multimodal.decode_media(mt).collect()
+
+
+def test_resize_media_fixed_extents_and_values(spark):
+    """resize_media must emit the fixed target extents with values
+    reproduced by an independent per-row recompute over the decoded
+    arrays (nearest-neighbor index arithmetic / linear interpolation
+    written out longhand here, not shared with the implementation)."""
+    from uw_hadoop_aglorithms_spark.operators import multimodal as mm
+
+    tbl = mm.media_table(spark, SF_TEST)
+    decoded = {
+        r.doc_id: (r.media_type, list(r.shape), list(r.data))
+        for r in mm.decode_media(tbl).collect()
+    }
+    resized = mm.resize_media(tbl).collect()
+    assert {r.doc_id for r in resized} == set(decoded)
+
+    for r in resized:
+        mtype, shape, data = decoded[r.doc_id]
+        assert r.media_type == mtype
+        got = list(r.data)
+        if mtype == "image":
+            h, w = shape
+            assert list(r.shape) == [mm.RESIZE_H, mm.RESIZE_W]
+            for i in range(mm.RESIZE_H):
+                for j in range(mm.RESIZE_W):
+                    src = data[((i * h) // mm.RESIZE_H) * w + ((j * w) // mm.RESIZE_W)]
+                    assert got[i * mm.RESIZE_W + j] == src
+        elif mtype == "audio":
+            (n,) = shape
+            assert list(r.shape) == [mm.RESAMPLE_N]
+            assert len(got) == mm.RESAMPLE_N
+            # endpoints exact; interior via longhand linear interpolation
+            assert got[0] == data[0] and got[-1] == data[n - 1]
+            for k in (1, mm.RESAMPLE_N // 2, mm.RESAMPLE_N - 2):
+                pos = k * (n - 1) / (mm.RESAMPLE_N - 1)
+                lo = int(pos)
+                frac = pos - lo
+                exp = data[lo] if lo + 1 >= n else data[lo] * (1 - frac) + data[lo + 1] * frac
+                assert abs(got[k] - exp) < 1e-9
+        else:
+            nf = shape[0]
+            assert list(r.shape) == [nf, mm.FRAME_RESIZE_BYTES]
+            for fi in range(min(nf, 3)):
+                for j in range(mm.FRAME_RESIZE_BYTES):
+                    src = data[fi * mm.FRAME_BYTES + (j * mm.FRAME_BYTES) // mm.FRAME_RESIZE_BYTES]
+                    assert got[fi * mm.FRAME_RESIZE_BYTES + j] == src

@@ -218,3 +218,75 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "media_type", "payload", "meta").mapInPandas(
         _decode_fn, schema=DECODED_SCHEMA
     )
+
+
+#: resize_media targets: images to RESIZE_H×RESIZE_W (nearest-neighbor),
+#: audio to RESAMPLE_N samples (linear interpolation), video frames to
+#: FRAME_RESIZE_BYTES each (nearest-neighbor within frame, frame count
+#: preserved) — the fixed-extent normalization a training pipeline
+#: applies before batching tensors.
+RESIZE_H = 8
+RESIZE_W = 8
+RESAMPLE_N = 256
+FRAME_RESIZE_BYTES = 8
+
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, shape array<int>, data array<double>"
+)
+
+
+def _resize_one(mtype: str, shape, data):
+    """Pure-numpy fixed-extent resize of a decoded synthetic/v1 array."""
+    import numpy as np
+
+    arr = np.asarray(data, dtype=np.float64)
+    if mtype == "image":
+        h, w = int(shape[0]), int(shape[1])
+        m = arr.reshape(h, w)
+        rows = (np.arange(RESIZE_H) * h) // RESIZE_H
+        cols = (np.arange(RESIZE_W) * w) // RESIZE_W
+        out = m[np.ix_(rows, cols)]
+        return [RESIZE_H, RESIZE_W], out.ravel()
+    if mtype == "audio":
+        n = int(shape[0])
+        if n == 1:
+            return [RESAMPLE_N], np.full(RESAMPLE_N, arr[0])
+        pos = np.arange(RESAMPLE_N) * (n - 1) / (RESAMPLE_N - 1)
+        out = np.interp(pos, np.arange(n), arr)
+        return [RESAMPLE_N], out
+    nf = int(shape[0])
+    m = arr.reshape(nf, FRAME_BYTES)
+    cols = (np.arange(FRAME_RESIZE_BYTES) * FRAME_BYTES) // FRAME_RESIZE_BYTES
+    out = m[:, cols]
+    return [nf, FRAME_RESIZE_BYTES], out.ravel()
+
+
+def _resize_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, mtype, payload, meta in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
+        ):
+            if meta["format"] != "synthetic/v1":
+                raise NotImplementedError(
+                    f"media decode backend for format {meta['format']!r} not"
+                    " available (PIL/libav not shipped)"
+                )
+            shape, data = _decode_one(mtype, bytes(payload), meta)
+            rshape, rdata = _resize_one(mtype, shape, data)
+            out.append((int(doc_id), mtype, rshape, rdata))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "media_type", "shape", "data"]
+        )
+
+
+def resize_media(df: DataFrame) -> DataFrame:
+    """Decode + fixed-extent resize in ONE Arrow pass (no intermediate
+    decoded payload shuffle): images → RESIZE_H×RESIZE_W nearest-
+    neighbor, audio → RESAMPLE_N linear resample, video → per-frame
+    nearest-neighbor to FRAME_RESIZE_BYTES with frame count preserved.
+    The pre-tensor normalization step of a multimodal training
+    pipeline; map-side only, like every multimodal op here."""
+    return df.select("doc_id", "media_type", "payload", "meta").mapInPandas(
+        _resize_fn, schema=RESIZED_SCHEMA
+    )
