@@ -109,3 +109,27 @@ def test_connected_components_log_rounds_on_deep_chain(spark):
     comp = graphstats.connected_components(chain, max_rounds=15).collect()
     assert len(comp) == n
     assert {r.component for r in comp} == {0}
+
+
+def test_connected_components_random_graphs_property(spark):
+    """Property check over seeded random graphs (hypothesis-style
+    explicit corpus: a Spark job per example is too slow for @given's
+    default budget): star contraction must agree with union-find on
+    graphs spanning sparse forests, dense blobs, and self-loop noise."""
+    import random
+
+    from uw_hadoop_aglorithms_spark.operators import graphstats
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 50, 80), (3, 12, 40), (4, 200, 120)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        e = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.id: r.component
+            for r in graphstats.connected_components(e).collect()
+        }
+        exp = _union_find([p for p in edges if p[0] != p[1]])
+        assert got == exp, (seed, n_nodes, n_edges)
