@@ -292,3 +292,24 @@ def test_semantic_dedup_is_subset_of_brute_force(spark):
         assert c == brute[k], k
     # multi-probe recall: at least half of brute-force at fixture scale
     assert len(sem) >= len(brute) / 2
+
+
+def test_star_contraction_agrees_with_dedup_clusters(spark):
+    """Two independent distributed CC algorithms over the SAME MinHash
+    pair graph — min-label propagation (the registered dedup_clusters)
+    and star contraction (graphstats.connected_components) — must
+    produce identical canonical-survivor mappings."""
+    from uw_hadoop_aglorithms_spark.operators import graphstats
+    from uw_hadoop_aglorithms_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(spark, SF_TEST)
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    cc = {
+        r.id: r.component
+        for r in graphstats.connected_components(e).collect()
+    }
+    lp = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, SF_TEST).collect()}
+    assert cc == lp
