@@ -183,3 +183,27 @@ def test_mixture_sample_respects_weights(spark):
         assert r.rate_buckets == min(pipeline.BUCKETS, expect)
     # the heaviest source must keep more than an unweighted one
     assert by_src["src0"].rate_buckets > by_src["src2"].rate_buckets
+
+
+def test_epoch_order_is_deterministic_distinct_permutations(spark):
+    """Each epoch is a permutation of the corpus; different epochs give
+    different orders; the same epoch reproduces bit-identically under a
+    different partition layout (no layout-dependent RNG)."""
+    from uw_hadoop_aglorithms_spark.operators.pipeline import epoch_order
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, SF_TEST).documents.select("doc_id")
+    n = docs.count()
+
+    def order(epoch, parts):
+        d = docs.repartition(parts)
+        return [
+            r.doc_id
+            for r in epoch_order(d, epoch).orderBy("position").collect()
+        ]
+
+    e0, e1 = order(0, 4), order(1, 4)
+    assert sorted(e0) == sorted(e1)
+    assert len(e0) == n
+    assert e0 != e1, "epochs must reorder"
+    assert order(0, 2) == e0, "order must not depend on partitioning"

@@ -561,3 +561,37 @@ PIPELINE_ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
+
+
+#: Per-epoch shuffle: uhash family members EPOCH_SEED+epoch order the
+#: corpus differently every epoch, deterministically — the training-data
+#: analogue of dataloader shuffling, with no RNG whose value depends on
+#: partition layout (ml.py's seeded-shuffle rationale, corpus-wide).
+EPOCH_SEED = 301
+
+
+def epoch_order(docs: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFrame:
+    """Assign the deterministic training order for `epoch`: a dense
+    0-based `position` from the universal-hash permutation key of the
+    id column (ties impossible: the key is injective mod P for id < P,
+    and `id_col` breaks any residue collision).
+
+    Scale shape: the ordering is pure map-side arithmetic; the dense
+    rank needs a range shuffle ONLY if materialized — downstream
+    writers should instead `repartitionByRange(n_shards, "sort_key")
+    .sortWithinPartitions("sort_key")` so each epoch's shard files come
+    out range-clustered without a global sort barrier (the zorder.py
+    write pattern). `position` here is for bounded verification and
+    small-corpus use; the key is the scalable artifact.
+    """
+    from pyspark.sql import Window
+
+    from uw_hadoop_aglorithms_spark.functions.hashing import uhash
+
+    key = uhash(F.col(id_col), EPOCH_SEED + epoch)
+    w = Window.orderBy("sort_key", id_col)
+    return (
+        docs.withColumn("sort_key", key)
+        .withColumn("epoch", F.lit(epoch))
+        .withColumn("position", F.row_number().over(w) - 1)
+    )
