@@ -381,3 +381,60 @@ def test_stream_decontaminate_matches_batch_bloom(spark, tmp_path):
         window_end = (doc_id // 60 + 1) * 60
         if window_end < wm_minute:
             assert doc_id in got, doc_id
+
+
+def test_stream_dedup_state_survives_checkpoint_restart(spark, tmp_path):
+    """T4 for the dedup state: dropDuplicatesWithinWatermark's digest
+    state must be restored from the checkpoint, so a duplicate whose
+    first copy arrived BEFORE the stop and whose second copy arrives
+    AFTER the restart is still suppressed — the durable-sink output
+    after the restarted run must equal a single uninterrupted run
+    (append-mode memory sinks cannot recover, hence the parquet sink).
+    """
+    import os
+    import shutil
+
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    full = str(tmp_path / "full_replay")
+    runner.prepare_doc_replay_dir(spark, SF_TEST, full)
+    parts = sorted(
+        f for f in os.listdir(full)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    assert len(parts) >= 4
+
+    # single uninterrupted reference run
+    ref = {
+        (r.doc_id, r.digest)
+        for r in runner.stream_exact_dedup(
+            spark, full, str(tmp_path / "cp_ref"), query_name="sded_ref"
+        ).collect()
+    }
+    spark.catalog.dropTempView("sded_ref")
+
+    # interrupted run: half the files, drain, then the rest resume from
+    # the SAME checkpoint into the SAME durable sink
+    d = str(tmp_path / "partial")
+    os.makedirs(d)
+    half = len(parts) // 2
+    for f in parts[:half]:
+        shutil.copy2(f"{full}/{f}", f"{d}/{f}")
+    cp = str(tmp_path / "cp_resume")
+    out = str(tmp_path / "out")
+    run1 = {
+        (r.doc_id, r.digest)
+        for r in runner.stream_exact_dedup(
+            spark, d, cp, output_dir=out
+        ).collect()
+    }
+    for f in parts[half:]:
+        shutil.copy2(f"{full}/{f}", f"{d}/{f}")
+    final_rows = runner.stream_exact_dedup(
+        spark, d, cp, output_dir=out
+    ).collect()
+    final = {(r.doc_id, r.digest) for r in final_rows}
+
+    assert run1 <= final
+    assert final == ref
+    assert len(final_rows) == len(final), "no duplicate emissions"

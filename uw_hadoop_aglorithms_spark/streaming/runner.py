@@ -385,6 +385,7 @@ def stream_exact_dedup(
     replay_dir: str,
     checkpoint_dir: str,
     query_name: str = "stream_exact_dedup",
+    output_dir: str | None = None,
 ) -> DataFrame:
     """exact_dedup as an INGESTION-TIME stream op: content digests
     deduplicated with dropDuplicatesWithinWatermark, the Structured
@@ -417,16 +418,31 @@ def stream_exact_dedup(
         .withWatermark("ts", DEDUP_WATERMARK)
         .dropDuplicatesWithinWatermark(["digest"])
     )
+    # memory sink for bounded in-session verification; parquet sink
+    # (output_dir) for the durable form — append-mode memory sinks
+    # cannot RECOVER from a checkpoint, so restart semantics are only
+    # testable (and only deployable) against the durable sink
+    if output_dir is None:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(query_name).orderBy("ts", "doc_id")
     q = (
-        stream.writeStream.format("memory")
-        .queryName(query_name)
+        stream.writeStream.format("parquet")
         .outputMode("append")
+        .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name).orderBy("ts", "doc_id")
+    return spark.read.parquet(output_dir).orderBy("ts", "doc_id")
 
 
 def stream_decontaminate(
