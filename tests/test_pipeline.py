@@ -207,3 +207,70 @@ def test_epoch_order_is_deterministic_distinct_permutations(spark):
     assert len(e0) == n
     assert e0 != e1, "epochs must reorder"
     assert order(0, 2) == e0, "order must not depend on partitioning"
+
+
+def test_write_epoch_shards_partitions_the_epoch_order(spark, tmp_path):
+    """Shard files carry the epoch permutation: every doc appears
+    exactly once, each file is internally ordered by the epoch key, and
+    file key-ranges are disjoint (file k IS order-range k — the loader
+    contract). Re-writing the same epoch is deterministic; the next
+    epoch orders differently."""
+    import os
+
+    from uw_hadoop_aglorithms_spark.functions.hashing import uhash
+    from uw_hadoop_aglorithms_spark.operators.pipeline import (
+        EPOCH_SEED,
+        write_epoch_shards,
+    )
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    out = str(tmp_path / "ep0")
+    write_epoch_shards(spark, SF_TEST, out, epoch=0, n_shards=4)
+
+    docs = Catalog(spark, SF_TEST).documents
+    n = docs.count()
+    rd = spark.read.parquet(out)
+    assert rd.count() == n
+    assert {r.doc_id for r in rd.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+
+    key_of = {
+        r.doc_id: r.k
+        for r in docs.select(
+            "doc_id", uhash(F.col("doc_id"), EPOCH_SEED).alias("k")
+        ).collect()
+    }
+    files = sorted(
+        f for f in os.listdir(out)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        ids = [r.doc_id for r in spark.read.parquet(f"{out}/{f}").collect()]
+        ks = [key_of[i] for i in ids]
+        assert ks == sorted(ks), f"{f} not internally ordered"
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, "shard key-ranges must be disjoint"
+
+    # determinism + epoch distinctness
+    out_again = str(tmp_path / "ep0b")
+    write_epoch_shards(spark, SF_TEST, out_again, epoch=0, n_shards=4)
+    a = [r.doc_id for r in spark.read.parquet(out).collect()]
+    b = [r.doc_id for r in spark.read.parquet(out_again).collect()]
+    assert sorted(a) == sorted(b)
+    out1 = str(tmp_path / "ep1")
+    write_epoch_shards(spark, SF_TEST, out1, epoch=1, n_shards=4)
+    first_file_e0 = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and not f.endswith(".crc")
+    )[0]
+    first_file_e1 = sorted(
+        f for f in os.listdir(out1) if f.startswith("part-") and not f.endswith(".crc")
+    )[0]
+    ids0 = {r.doc_id for r in spark.read.parquet(f"{out}/{first_file_e0}").collect()}
+    ids1 = {r.doc_id for r in spark.read.parquet(f"{out1}/{first_file_e1}").collect()}
+    assert ids0 != ids1, "different epochs must shard differently"

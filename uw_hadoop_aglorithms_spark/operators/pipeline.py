@@ -595,3 +595,37 @@ def epoch_order(docs: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFram
         .withColumn("epoch", F.lit(epoch))
         .withColumn("position", F.row_number().over(w) - 1)
     )
+
+
+def write_epoch_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    epoch: int,
+    n_shards: int = 8,
+) -> None:
+    """End of the pipeline: write one training epoch as `n_shards`
+    parquet shard files, each holding a contiguous range of the epoch's
+    deterministic shuffle order (epoch_order) with documents sorted by
+    their order key inside the file — what a data loader streams
+    sequentially per worker.
+
+    Scale shape: the epoch permutation key is map-side arithmetic; the
+    ONLY shuffle is the range repartition that forms the shards (the
+    zorder.py write pattern — no global sort barrier, no dense-rank
+    window). Re-running the same epoch is byte-deterministic; a
+    different epoch reshuffles. Shard membership is carried by file
+    boundaries, so the loader needs no index — file k IS order-range k.
+    """
+    from uw_hadoop_aglorithms_spark.functions.hashing import uhash
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    key = uhash(F.col("doc_id"), EPOCH_SEED + epoch)
+    (
+        docs.withColumn("sort_key", key)
+        .repartitionByRange(n_shards, "sort_key")
+        .sortWithinPartitions("sort_key", "doc_id")
+        .drop("sort_key")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
