@@ -1,12 +1,16 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints a COMPACT JSON line as the FINAL line of stdout:
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...},
-     "spread": {"q1": [min_sec, max_sec], ...},   (REPS > 1)
-     "metrics": {"q1": {"shuffle_read": B, "shuffle_write": B,
-                        "input_bytes": B, "n_stages": K}, ...},
-     "peak_jvm_heap_bytes": B, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1, "n": REPS}
+
+The driver captures only a short tail of stdout, so the final line must
+stay small (round-4 lesson: adding spread/metrics to it grew the line
+past the capture window and the official artifact lost ALL timings).
+The full artifact — spread ([min,max] per query across reps), per-query
+shuffle/input bytes, peak JVM heap, errors — is written to
+``BENCH_local.json`` next to this file (commit it per round as
+``BENCH_local_r{N}.json``), and also echoed to stderr for live runs.
 
 Timing protocol: one throwaway action first (JVM + codegen warm-up, not
 attributable to any query), then each query is executed once with a
@@ -163,7 +167,7 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
-    result = {
+    compact = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -171,16 +175,27 @@ def main() -> None:
         "sf": sf_from_dir(SF_DIR),
         "n": REPS,
     }
+    if errors:
+        # names only in the compact line; full messages go to the file
+        compact["failed"] = sorted(errors)
+    full = dict(compact)
     if REPS > 1:
-        result["spread"] = spreads
+        full["spread"] = spreads
     if metrics:
-        result["metrics"] = metrics
+        full["metrics"] = metrics
     peak = tracker.peak_jvm_heap()
     if peak is not None:
-        result["peak_jvm_heap_bytes"] = peak
+        full["peak_jvm_heap_bytes"] = peak
     if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+        full["errors"] = errors
+    full_path = os.path.join(REPO_ROOT, "BENCH_local.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(json.dumps(full), file=sys.stderr)
+    # COMPACT line LAST on stdout — the driver tail-captures stdout and
+    # must be able to parse this line whole.
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

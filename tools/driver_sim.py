@@ -68,6 +68,10 @@ def divergence_report(name, scols, srows, dcols, drows, limit=5):
         print(f"  {name} … {len(only_s)} spark-only / {len(only_d)} oracle-only rows total")
 
 qmap, omap = E.queries(), E.oracle_sql()
+only = os.environ.get("SPARK_GRAFT_SIM_KEYS")
+if only:
+    keys = {k.strip() for k in only.split(",")}
+    qmap = {k: v for k, v in qmap.items() if k in keys}
 results = {}
 for name, fn in sorted(qmap.items()):
     sdf = fn(spark, SF)

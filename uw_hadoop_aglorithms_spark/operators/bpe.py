@@ -159,6 +159,12 @@ def encode_words(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> D
     syms = F.expr(
         f"array_append(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '{EOW}')"
     )
+    # Deduplicate defensively: a duplicate w row would posexplode into
+    # duplicate (w, pos, sym) rows, and the merge stage's row_number
+    # over ties would then reassign positions nondeterministically
+    # across the copies — silent corruption. Enforce the distinct-words
+    # precondition here instead of trusting the caller.
+    words = words.select("w").distinct()
     st = words.select(
         "w", F.lit(1).cast("long").alias("freq"), F.posexplode(syms).alias("pos", "sym")
     ).select("w", "freq", F.col("pos").cast("long").alias("pos"), "sym")

@@ -279,9 +279,15 @@ def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     )
 
     def checksum(e: DataFrame) -> tuple:
+        # full 64-bit hash summed exactly as decimal(38,0): a mod-1e6
+        # residue sum (earlier form) leaves ~2^-20 odds that two
+        # DIFFERENT consecutive edge sets collide and terminate the
+        # contraction early with wrong components; the full-width sum
+        # shrinks that to ~2^-64. decimal keeps the sum exact under
+        # ANSI mode (no int64 overflow) up to ~10^19 edges.
         r = e.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("a", "b") % F.lit(1_000_003)).alias("h"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
         ).first()
         return (r.n, r.h)
 

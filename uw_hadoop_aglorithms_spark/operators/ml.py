@@ -283,7 +283,22 @@ def spam_batch_gd(
         .select("doc_id", "label", F.explode("features").alias("feature"))
         .cache()
     )
-    n = _train_split(inst).count()
+    stats = _train_split(inst).agg(
+        F.count("*").alias("n"), F.max(F.size("features")).alias("max_feats")
+    ).first()
+    n = stats.n
+    # Exactness envelope (ENFORCED): per-doc score s = Σ w[f] is exact
+    # integer arithmetic on the 2^-40 grid only while |s| < 2^13 — i.e.
+    # s·2^40 < 2^53 fits the double mantissa. |w[f]| ≤ GD_ITERS·η, so the
+    # worst-case |s| is max_feats·GD_ITERS·η. A doc breaching it would
+    # silently reintroduce aggregation-order divergence; fail loud instead.
+    if stats.max_feats is not None and stats.max_feats * GD_ITERS * GD_ETA >= 2**13:
+        raise ValueError(
+            f"batch-GD exactness envelope exceeded: a doc has {stats.max_feats} "
+            f"features; max_feats*GD_ITERS*GD_ETA = "
+            f"{stats.max_feats * GD_ITERS * GD_ETA} >= 2^13. Reduce GD_ETA or "
+            "cap the feature count to keep per-doc scores on the exact grid."
+        )
     eta_n = GD_ETA / n
 
     w: dict[int, float] = {}

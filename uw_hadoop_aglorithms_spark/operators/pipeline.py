@@ -573,8 +573,12 @@ EPOCH_SEED = 301
 def epoch_order(docs: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFrame:
     """Assign the deterministic training order for `epoch`: a dense
     0-based `position` from the universal-hash permutation key of the
-    id column (ties impossible: the key is injective mod P for id < P,
-    and `id_col` breaks any residue collision).
+    id column. The id is reduced mod P BEFORE uhash — uhash's contract
+    (hashing.py) needs input < P to stay inside int64; a raw id beyond
+    ~2^33 (inside the 100 TB regime) would overflow id*A_i and wrap
+    negative. Post-reduction the key is no longer injective for
+    corpora > P docs, but ordering stays a deterministic permutation:
+    `id_col` breaks every residue collision.
 
     Scale shape: the ordering is pure map-side arithmetic; the dense
     rank needs a range shuffle ONLY if materialized — downstream
@@ -588,7 +592,9 @@ def epoch_order(docs: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFram
 
     from uw_hadoop_aglorithms_spark.functions.hashing import uhash
 
-    key = uhash(F.col(id_col), EPOCH_SEED + epoch)
+    from uw_hadoop_aglorithms_spark.functions.hashing import P as _P
+
+    key = uhash(F.col(id_col) % F.lit(_P), EPOCH_SEED + epoch)
     w = Window.orderBy("sort_key", id_col)
     return (
         docs.withColumn("sort_key", key)
@@ -619,11 +625,14 @@ def write_epoch_shards(
     """
     from uw_hadoop_aglorithms_spark.functions.hashing import uhash
 
+    from uw_hadoop_aglorithms_spark.functions.hashing import P as _P
+
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
-    key = uhash(F.col("doc_id"), EPOCH_SEED + epoch)
+    # mod-P reduction first: uhash input must stay < P (epoch_order note)
+    key = uhash(F.col("doc_id") % F.lit(_P), EPOCH_SEED + epoch)
     (
         docs.withColumn("sort_key", key)
-        .repartitionByRange(n_shards, "sort_key")
+        .repartitionByRange(n_shards, "sort_key", "doc_id")
         .sortWithinPartitions("sort_key", "doc_id")
         .drop("sort_key")
         .write.mode("overwrite")

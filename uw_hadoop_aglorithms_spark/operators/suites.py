@@ -722,18 +722,32 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         n_zfiles = 16
         ev = cat.events.select("ts", "event_type", "user_id")
-        # floor() in BOTH engines: Spark cast("long") truncates while
-        # DuckDB CAST rounds — floor is the engine-neutral form
-        band = cat.events.agg(
-            F.floor(F.percentile("user_id", F.lit(0.40))).alias("lo"),
-            F.floor(F.percentile("user_id", F.lit(0.45))).alias("hi"),
-        ).first()
+        # RANK-BASED band bounds: the element at 0-indexed rank
+        # floor(p*(n-1)) of the sorted user_id multiset. Interpolating
+        # percentiles (Spark F.percentile vs DuckDB quantile_cont) are
+        # both exact linear interpolation but not guaranteed
+        # bit-identical; a 1-ulp difference at an integer boundary flips
+        # floor() and fails the whole suite hash. Picking an actual
+        # element is engine-neutral by construction — both engines sort
+        # the same multiset and index with the same IEEE floor(p*(n-1)).
+        # (Bound CHOICE needn't be exact at 100 TB — approx_percentile
+        # would do there; exactness here serves the oracle contract.)
+        import math as _math
+
+        n_ev = cat.events.count()
+        uid_sorted = cat.events.select("user_id").orderBy("user_id")
+
+        def _rank_value(p: float) -> int:
+            r = int(_math.floor(p * (n_ev - 1)))
+            return uid_sorted.offset(r).limit(1).first().user_id
+
+        band_lo, band_hi = _rank_value(0.40), _rank_value(0.45)
         minute = (F.unix_timestamp("ts") / 60).cast("long")
         write_zordered(
             ev, f"{z_dir}/events", F.col("user_id"), minute, n_files=n_zfiles
         )
         zread = spark.read.parquet(f"{z_dir}/events").where(
-            (F.col("user_id") >= band.lo) & (F.col("user_id") <= band.hi)
+            (F.col("user_id") >= band_lo) & (F.col("user_id") <= band_hi)
         )
         z_files = (
             zread.select(F.input_file_name().alias("f")).distinct().count()
@@ -877,10 +891,21 @@ def _suite_oracles() -> dict[str, str]:
             UNION ALL
             SELECT 'zorder', event_type, count(*), CAST(NULL AS DOUBLE), TRUE
             FROM events
-            WHERE user_id >= (SELECT floor(quantile_cont(user_id, 0.40))
-                              FROM events)
-              AND user_id <= (SELECT floor(quantile_cont(user_id, 0.45))
-                              FROM events)
+            -- rank-based bounds: element at rank floor(p*(n-1)) of the
+            -- sorted user_id multiset (matches the Spark side exactly;
+            -- interpolating quantiles are not bit-portable)
+            WHERE user_id >= (SELECT user_id FROM (
+                      SELECT user_id,
+                             row_number() OVER (ORDER BY user_id) - 1 AS rn,
+                             count(*) OVER () AS n_ev
+                      FROM events) t
+                    WHERE rn = CAST(floor(0.40 * (n_ev - 1)) AS BIGINT))
+              AND user_id <= (SELECT user_id FROM (
+                      SELECT user_id,
+                             row_number() OVER (ORDER BY user_id) - 1 AS rn,
+                             count(*) OVER () AS n_ev
+                      FROM events) t
+                    WHERE rn = CAST(floor(0.45 * (n_ev - 1)) AS BIGINT))
             GROUP BY event_type
         """,
         "window_counts": _u(
