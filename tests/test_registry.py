@@ -76,3 +76,21 @@ def test_rows_only_queries_have_python_oracle_tests(spark):
 def test_entry_is_registered_query_shape(spark):
     df = entry_mod.entry(spark)
     assert df.columns, "entry() must return an analyzable DataFrame"
+
+
+def test_doc_profile_stitch_is_in_plan():
+    """Pin the round-5 fix: doc_profile must assemble its five members
+    with DataFrame joins, never by collecting corpus-sized member
+    results to the driver (the round-4 form dict-stitched five
+    O(|documents|) collects driver-side — the only registered plan
+    whose driver footprint grew with the corpus)."""
+    import inspect
+
+    from uw_hadoop_aglorithms_spark.operators import suites
+
+    src = inspect.getsource(suites.doc_profile)
+    assert ".collect()" not in src, (
+        "doc_profile collects member rows on the driver; stitch must be "
+        "in-plan (doc_id joins)"
+    )
+    assert ".join(" in src

@@ -486,52 +486,50 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five per-doc profiles collected CONCURRENTLY and stitched on the
-    driver (pagerank_suite trick; the doc_id joins here were always
-    verification bookkeeping — at scale the members are map-side over
-    one scan). lang-ID covers only the held-out split, so uncovered
-    docs carry pred/actual NULL and `correct` pinned FALSE in both
-    engines (NULL booleans don't survive the driver canonicalizer)."""
+    """Five per-doc profiles computed CONCURRENTLY (each thread eagerly
+    localCheckpoints its member — five simultaneous jobs, the
+    pagerank_suite trick) then stitched IN-PLAN with doc_id equi-joins.
+    Nothing corpus-sized ever reaches the driver: the round-4 form
+    collected all five members and dict-stitched them driver-side,
+    making this the one registered plan whose driver footprint grew
+    with the corpus. lang-ID covers only the held-out split, so
+    uncovered docs carry pred/actual NULL and `correct` pinned FALSE in
+    both engines (NULL booleans don't survive the driver canonicalizer);
+    lm covers docs with ≥1 token, so empty docs pin n_oov 0 /
+    avg_logprob 0.0."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(5) as pool:
-        f_ds = pool.submit(lambda: textstats.doc_stats(spark, sf_dir).collect())
-        f_qs = pool.submit(lambda: textstats.quality_score(spark, sf_dir).collect())
-        f_rep = pool.submit(lambda: textstats.repetition_score(spark, sf_dir).collect())
-        f_li = pool.submit(lambda: textstats.lang_id(spark, sf_dir).collect())
-        f_lm = pool.submit(lambda: textstats.lm_score(spark, sf_dir).collect())
-        ds = {r.doc_id: r for r in f_ds.result()}
-        qs = {r.doc_id: r for r in f_qs.result()}
-        rep = {r.doc_id: r for r in f_rep.result()}
-        li = {r.doc_id: r for r in f_li.result()}
-        lm = {r.doc_id: r for r in f_lm.result()}
+    def mat(fn):
+        return fn(spark, sf_dir).localCheckpoint(eager=True)
 
-    rows = []
-    for doc_id in sorted(ds):
-        d, q, p = ds[doc_id], qs[doc_id], rep[doc_id]
-        lg = li.get(doc_id)
-        lmr = lm.get(doc_id)
-        rows.append((
-            doc_id, d.n_chars_obs, d.n_ws_tokens, d.n_re_tokens,
-            d.n_bpe_tokens, d.n_distinct_tokens, d.avg_token_len,
-            q.stopword_ratio, q.unique_ratio, q.length_score, q.quality,
-            p.n_tokens, p.dup_bigram_frac, p.dup_trigram_frac,
-            p.top_bigram_frac, p.is_repetitive,
-            lg.pred_lang if lg else None,
-            lg.actual_lang if lg else None,
-            bool(lg.correct) if lg else False,
-            lmr.n_oov if lmr else 0,
-            lmr.avg_logprob if lmr else 0.0,
-        ))
-    return spark.createDataFrame(rows, (
-        "doc_id long, n_chars_obs long, n_ws_tokens int, n_re_tokens int,"
-        " n_bpe_tokens int, n_distinct_tokens int, avg_token_len double,"
-        " stopword_ratio double, unique_ratio double, length_score double,"
-        " quality double, n_tokens long, dup_bigram_frac double,"
-        " dup_trigram_frac double, top_bigram_frac double,"
-        " is_repetitive boolean, pred_lang string, actual_lang string,"
-        " correct boolean, n_oov long, avg_logprob double"
-    ))
+    with ThreadPoolExecutor(5) as pool:
+        f_ds = pool.submit(mat, textstats.doc_stats)
+        f_qs = pool.submit(mat, textstats.quality_score)
+        f_rep = pool.submit(mat, textstats.repetition_score)
+        f_li = pool.submit(mat, textstats.lang_id)
+        f_lm = pool.submit(mat, textstats.lm_score)
+        ds, qs, rep, li, lm = (
+            f.result() for f in (f_ds, f_qs, f_rep, f_li, f_lm)
+        )
+
+    return (
+        ds.join(qs, "doc_id")
+        .join(rep, "doc_id")
+        .join(li, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .select(
+            "doc_id", "n_chars_obs", "n_ws_tokens", "n_re_tokens",
+            "n_bpe_tokens", "n_distinct_tokens", "avg_token_len",
+            "stopword_ratio", "unique_ratio", "length_score", "quality",
+            "n_tokens", "dup_bigram_frac", "dup_trigram_frac",
+            "top_bigram_frac", "is_repetitive",
+            "pred_lang", "actual_lang",
+            F.coalesce("correct", F.lit(False)).alias("correct"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
