@@ -94,6 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # …and a REAL Structured Streaming file-replay run checked against
         # the BATCH oracle (stream ≡ batch, S7/S8/T4/T5)
         "stream_batch_equiv": suites.stream_batch_equiv,
+        # …and the streaming FRONT DOOR (round 5): ingestion-time exact
+        # dedup (dropDuplicatesWithinWatermark admitted set) + Bloom
+        # decontamination on the stream, value-hashed via a closed-form
+        # replay of the micro-batch watermark sequence
+        "ingest_suite": suites.ingest_suite,
         # Training-data pipeline: dedup family (beyond-reference; full
         # DuckDB oracles via the engine-neutral polyhash)
         "exact_dedup": dedup.exact_dedup,

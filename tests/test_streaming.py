@@ -400,7 +400,7 @@ def test_stream_dedup_state_survives_checkpoint_restart(spark, tmp_path):
     runner.prepare_doc_replay_dir(spark, SF_TEST, full)
     parts = sorted(
         f for f in os.listdir(full)
-        if f.startswith("part-") and not f.endswith(".crc")
+        if f.startswith("block-") and f.endswith(".parquet")
     )
     assert len(parts) >= 4
 

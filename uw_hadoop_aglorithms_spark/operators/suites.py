@@ -387,6 +387,101 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start")
 
 
+#: Session-scoped document-replay dirs for ingest_suite, one per sf_dir
+#: (immutable input — same rationale as _SBE_REPLAY).
+_INGEST_REPLAY: dict[str, str] = {}
+
+
+def _ingest_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    d = _INGEST_REPLAY.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="ingest_replay_")
+        runner.prepare_doc_replay_dir(spark, sf_dir, d)
+        _INGEST_REPLAY[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming front door under the oracle contract (round 5):
+    both ingestion-time operators run as REAL AvailableNow streams over
+    the deterministic document replay (one doc per minute, 8 block
+    files = 8 micro-batches) and their emitted sets are value-hashed.
+
+    variant='dedup' — stream_exact_dedup's ADMITTED set: digest rows
+    surviving dropDuplicatesWithinWatermark. The oracle replays the
+    micro-batch watermark sequence in closed form: file k holds doc_ids
+    [k*W,(k+1)*W), W=ceil(n/8) (prepare_doc_replay_dir's explicit block
+    boundaries), and the watermark governing state eviction in batch b
+    is max-event-time through batch b-2 minus the 120-min delay — the
+    lag-one rule pinned empirically at sf0.1 (all 8 duplicate pairs,
+    including the 15-min-margin 1619/2875 admit and the 1641/2221
+    drops). A duplicate is admitted iff that watermark has passed the
+    last KEPT copy's expiry (kept_ts + delay); drops never extend state.
+
+    variant='decon' — stream_decontaminate's emitted rows: per-doc
+    Bloom-probe counts for every contaminated doc whose 60-min arrival
+    window the FINAL watermark (max arrival - 60 min; AvailableNow runs
+    no-data batches until the state flushes) has closed. Counts equal
+    the batch bloom variant — same bitmap, same deterministic FPs.
+
+    Both memory-sink results are collected and re-wrapped (the
+    stream_batch_equiv pattern: a memory sink is driver state by
+    construction, and the admitted set IS the result contract)."""
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    replay = _ingest_replay_dir(spark, sf_dir)
+    ck_dd = tempfile.mkdtemp(prefix="ingest_ck_dd_")
+    ck_dc = tempfile.mkdtemp(prefix="ingest_ck_dc_")
+    # stream state is digest/window-sized, not input-sized — scope the
+    # per-micro-batch state partitioning down (stream_batch_equiv note)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with ThreadPoolExecutor(2) as pool:
+            f_dd = pool.submit(
+                runner.stream_exact_dedup, spark, replay, ck_dd,
+                "ingest_dedup_mem",
+            )
+            f_dc = pool.submit(
+                runner.stream_decontaminate, spark, replay, ck_dc, sf_dir,
+                "ingest_decon_mem",
+            )
+            dd = [(int(r.doc_id), r.digest) for r in f_dd.result().collect()]
+            dc = [
+                (int(r.doc_id), r.window_start, int(r.n_shared_ngrams))
+                for r in f_dc.result().collect()
+            ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for v in ("ingest_dedup_mem", "ingest_decon_mem"):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+        shutil.rmtree(ck_dd, ignore_errors=True)
+        shutil.rmtree(ck_dc, ignore_errors=True)
+    rows = [("dedup", d, None, dg, None) for d, dg in dd] + [
+        ("decon", d, ws, None, n) for d, ws, n in dc
+    ]
+    return spark.createDataFrame(
+        rows,
+        "variant string, doc_id long, window_start timestamp,"
+        " digest string, n long",
+    ).orderBy("variant", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # near-duplicate pair detection: all four algorithms as (algo, id_a, id_b,
 # score) — n-gram Jaccard (exact baseline), MinHash+LSH, SimHash banding,
@@ -918,6 +1013,66 @@ def _suite_oracles() -> dict[str, str]:
         ),
         # the streaming run must equal the BATCH tumbling-window oracle
         "stream_batch_equiv": STREAMING_ORACLES["event_count"],
+        # streaming front door: closed-form replay of the micro-batch
+        # watermark sequence (ingest_suite docstring: block files of
+        # width W=ceil(n/8), lag-one eviction watermark, no-data-batch
+        # final flush for the windowed counts)
+        "ingest_suite": _u(
+            """
+            SELECT 'dedup' AS variant, doc_id,
+                   CAST(NULL AS TIMESTAMP) AS window_start,
+                   digest, CAST(NULL AS BIGINT) AS n
+            FROM (
+                WITH RECURSIVE params AS (
+                    SELECT count(*) AS n, (count(*) + 7) // 8 AS w
+                    FROM documents
+                ),
+                dig AS (
+                    SELECT doc_id,
+                           sha256(trim(regexp_replace(lower(text),
+                                                      '\\s+', ' ', 'g'))) AS digest
+                    FROM documents
+                ),
+                ordered AS (
+                    SELECT doc_id, digest,
+                           row_number() OVER (PARTITION BY digest
+                                              ORDER BY doc_id) AS rn
+                    FROM dig
+                ),
+                -- greedy per-digest chain under the lag-one eviction
+                -- watermark: wm(batch b) = arrival-minute of the last
+                -- doc of batch b-2, minus the 120-min delay
+                chain(digest, rn, doc_id, kept, anchor_exp) AS (
+                    SELECT digest, rn, doc_id, TRUE, doc_id + 120
+                    FROM ordered WHERE rn = 1
+                    UNION ALL
+                    SELECT o.digest, o.rn, o.doc_id,
+                           (CASE WHEN o.doc_id // p.w >= 2
+                                 THEN LEAST((o.doc_id // p.w - 1) * p.w, p.n) - 121
+                                 ELSE -1000000 END) > c.anchor_exp,
+                           CASE WHEN (CASE WHEN o.doc_id // p.w >= 2
+                                 THEN LEAST((o.doc_id // p.w - 1) * p.w, p.n) - 121
+                                 ELSE -1000000 END) > c.anchor_exp
+                                THEN o.doc_id + 120 ELSE c.anchor_exp END
+                    FROM ordered o
+                    JOIN chain c ON o.digest = c.digest AND o.rn = c.rn + 1,
+                         params p
+                )
+                SELECT doc_id, digest FROM chain WHERE kept
+            )
+            """,
+            f"""
+            SELECT 'decon' AS variant, doc_id,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + to_minutes(CAST((doc_id // 60) * 60 AS BIGINT))
+                     AS window_start,
+                   CAST(NULL AS VARCHAR) AS digest,
+                   CAST(n_shared_ngrams AS BIGINT) AS n
+            FROM (\n{DEDUP_ORACLES["decontaminate_bloom"]}\n)
+            WHERE (doc_id // 60 + 1) * 60 <= (SELECT count(*) - 61
+                                              FROM documents)
+            """,
+        ),
         "neardup_pairs": _u(
             _wrap("ngram", DEDUP_ORACLES["ngram_jaccard"],
                   "doc_a AS id_a, doc_b AS id_b, jaccard AS score", tag="algo"),

@@ -350,8 +350,16 @@ def prepare_doc_replay_dir(
     replay: arrival ts is a deterministic function of doc_id (one doc
     per minute), so duplicate texts whose ids are close arrive inside
     the dedup horizon and far-apart twins arrive beyond it — both
-    eviction paths get exercised by the same corpus."""
+    eviction paths get exercised by the same corpus.
+
+    File k holds doc_ids [k*W, (k+1)*W) with W = ceil(n / FILES) —
+    EXPLICIT block boundaries rather than sampled range partitioning,
+    so an external oracle can reproduce the micro-batch boundaries (one
+    file = one AvailableNow batch) and with them the exact per-batch
+    watermark sequence in closed form: wm(k) = ts(k*W - 1) - delay."""
+    import glob
     import os
+    import shutil
     import time
 
     from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
@@ -364,19 +372,30 @@ def prepare_doc_replay_dir(
             + F.make_interval(mins=F.col("doc_id").cast("int"))
         ).alias("ts"),
     )
-    (
-        docs.repartitionByRange(DOC_REPLAY_FILES, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(out_dir)
-    )
-    parts = sorted(
-        f for f in os.listdir(out_dir)
-        if f.startswith("part-") and not f.endswith(".crc")
-    )
-    base = time.time() - len(parts)
-    for i, name in enumerate(parts):
-        os.utime(os.path.join(out_dir, name), (base + i, base + i))
+    n = docs.count()
+    width = -(-n // DOC_REPLAY_FILES)
+    os.makedirs(out_dir, exist_ok=True)
+    names = []
+    for k in range(DOC_REPLAY_FILES):
+        lo, hi = k * width, (k + 1) * width
+        if lo >= n:
+            break
+        scratch = os.path.join(out_dir, f"_build_{k}")
+        (
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        dest = os.path.join(out_dir, f"block-{k:02d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(scratch, ignore_errors=True)
+        names.append(dest)
+    base = time.time() - len(names)
+    for i, dest in enumerate(names):
+        os.utime(dest, (base + i, base + i))
     return out_dir
 
 
