@@ -313,3 +313,28 @@ def test_star_contraction_agrees_with_dedup_clusters(spark):
     }
     lp = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, SF_TEST).collect()}
     assert cc == lp
+
+
+def test_cluster_pairs_escape_hatch_engages_on_deep_chain(spark):
+    """A 200-vertex path graph (diameter 199) clustered with a 3-round
+    label-propagation budget CANNOT converge by propagation alone —
+    a correct result proves the star-contraction escape hatch engaged
+    and composed exactly: every vertex must label to the chain minimum,
+    and the answer must match the no-budget (pure-propagation-capable)
+    form and a sequential union-find."""
+    n = 200
+    chain = [(i, i + 1) for i in range(n - 1)]
+    # two extra scattered components keep the contraction honest about
+    # not merging across components
+    extra = [(1000, 1001), (1001, 1002), (2000, 2001)]
+    pairs = spark.createDataFrame(chain + extra, "doc_a long, doc_b long")
+
+    got = {
+        r.id: r.label
+        for r in dedup.cluster_pairs(spark, pairs, max_lp_rounds=3).collect()
+    }
+    assert len(got) == n + 5
+    for i in range(n):
+        assert got[i] == 0, f"vertex {i} labeled {got[i]}"
+    assert got[1000] == got[1001] == got[1002] == 1000
+    assert got[2000] == got[2001] == 2000

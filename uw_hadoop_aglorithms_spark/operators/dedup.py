@@ -244,23 +244,39 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: connected components over the MinHash+LSH pair
-    graph, each clustered doc mapped to its component's canonical
-    (minimum) doc_id — the final "pick one survivor per duplicate
-    group" step of a dedup pipeline.
+#: Label-propagation round budget before dedup_clusters escapes to the
+#: O(log n) star-contraction CC. Near-dup components are tiny chains in
+#: practice (diameter ≲ 4); a component still unconverged after this
+#: many rounds is deep enough that O(diameter) propagation is the wrong
+#: algorithm for it.
+LP_MAX_ROUNDS = 8
+
+
+def cluster_pairs(
+    spark: SparkSession, pairs: DataFrame, max_lp_rounds: int = LP_MAX_ROUNDS
+) -> DataFrame:
+    """(doc_a, doc_b) pair graph → (id, label): connected components with
+    label = component minimum, via min-label propagation with an
+    O(log n) escape hatch.
 
     Min-label propagation to fixpoint: labels start as own id; each
     round takes the min over neighbors; converged when no label changes.
-    Iterations ≤ graph diameter (near-dup components are tiny chains in
-    practice); per round one join + groupBy over the PAIR graph only —
-    |pairs| rows, not the corpus. The fixpoint check collects a single
-    count per round (scalar, not data). Oracle: DuckDB recursive-CTE
-    reachability closure over the same pairs.
+    Iterations ≤ graph diameter; per round one join + groupBy over the
+    PAIR graph only — |pairs| rows, not the corpus. The fixpoint check
+    collects a single count per round (scalar, not data).
+
+    ESCAPE HATCH (round 5): if the loop has not converged after
+    `max_lp_rounds`, the remaining work runs as star-contraction CC
+    (graphstats.connected_components, Kiveris et al. — O(log n) rounds)
+    on the CONTRACTED graph: edges mapped into current-label space.
+    Composition is exact — the component minimum m keeps label m under
+    propagation (labels only decrease toward ids in the own component),
+    every original component maps onto one connected set of labels, and
+    distinct components never share a label, so min-over-contracted-
+    component = min-over-original-component.
     """
     from uw_hadoop_aglorithms_spark.operators.graph import _loop_shuffle_partitions
 
-    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
@@ -278,6 +294,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", F.col("id").alias("label"))
             .localCheckpoint(eager=True)
         )
+        rounds = 0
         while True:
             nbr = (
                 edges.join(labels, edges.dst == labels.id)
@@ -303,7 +320,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels = new_labels
             if changed == 0:
                 break
-    return labels.select(
+            rounds += 1
+            if rounds >= max_lp_rounds:
+                labels = _cc_escape(edges, labels)
+                break
+    return labels
+
+
+def _cc_escape(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Finish an unconverged propagation: star-contraction CC over the
+    label-contracted graph, composed back onto per-id labels."""
+    from uw_hadoop_aglorithms_spark.operators import graphstats
+
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("a"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("b"))
+    cedges = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .select("a", "b")
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    comp = graphstats.connected_components(cedges).withColumnRenamed(
+        "id", "label"
+    )
+    return labels.join(comp, "label", "left").select(
+        "id", F.coalesce("component", "label").alias("label")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash+LSH pair
+    graph, each clustered doc mapped to its component's canonical
+    (minimum) doc_id — the final "pick one survivor per duplicate
+    group" step of a dedup pipeline. Algorithm + escape hatch:
+    cluster_pairs. Oracle: DuckDB recursive-CTE reachability closure
+    over the same pairs.
+    """
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    return cluster_pairs(spark, pairs).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
 
