@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": suites.graph_stats,
         # Spam classifier (SURVEY §2.9): order-sensitive serial SGD fold,
         # value-hash checked via the recursive gradient-vector replay
-        # oracle (ml.SCORE_ROUND contract) + Python oracle in tests
+        # oracle (ml.DYADIC_Q bit-exact contract) + Python oracle in tests
         "spam": suites.spam,
         # Streaming analytics (SURVEY §2.10): all four window shapes in
         # batch event-time form…

@@ -53,9 +53,9 @@ def _python_train(insts):
     train.sort(key=lambda r: (_shuffle_key(r[0]), r[0]))
     w: dict[int, float] = {}
     for _, label, feats in train:
-        score = round(sum(w.get(f, 0.0) for f in feats), ml.SCORE_ROUND)
+        score = sum(w.get(f, 0.0) for f in feats)
         p = 1.0 / (1.0 + math.exp(-max(min(score, 709.0), -709.0)))
-        g = (label - p) * ml.DELTA
+        g = math.floor((label - p) * ml.DELTA * ml.DYADIC_Q + 0.5) / ml.DYADIC_Q
         for f in feats:
             w[f] = w.get(f, 0.0) + g
     return w

@@ -53,7 +53,7 @@ TOP_K = 20  # reference ExtractTopPersonalizedPageRankNodes.java default
 #: checkable cross-engine (same trick as cluster.KM_ROUND): both engines
 #: round each iteration's state to 1e-8, so summation-order FP noise
 #: (~1e-16) vanishes whenever the unrounded value is away from a 0.5e-8
-#: grid boundary. Like ml.SCORE_ROUND this is tie-fragile in principle
+#: grid boundary. Like the pre-round-5 ml fold contract this is tie-fragile in principle
 #: (a value within ~1e-16 of a boundary can round apart and cascade);
 #: per-value odds are ~1e-8 and a tie surfaces as a loud hash mismatch
 #: that tools/driver_sim.py's divergence report localizes. The raw

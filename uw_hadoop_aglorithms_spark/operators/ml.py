@@ -49,24 +49,21 @@ DELTA = 0.002  # learning rate, reference TrainSpamClassifier.scala:19
 FEATURE_SPACE = 10007  # bounded hash space (prime), overlapping sparse features
 #: Universal-hash family member for the deterministic training shuffle (O5).
 SHUFFLE_MEMBER = 11
-#: Decimal rounding of the per-step score before the sigmoid — the
-#: determinism contract that lets the SQL oracle replay the fold: the
-#: oracle regroups the same score sum by training step instead of by
-#: feature (mathematically equal, FP-order different by ~1e-15), and
-#: rounding to 1e-9 makes both engines feed the sigmoid the identical
-#: double WHENEVER the unrounded values sit away from a 0.5e-9 grid
-#: boundary. Residual risk, stated honestly: rounding is tie-fragile.
-#: A score within ~1e-15 of a grid boundary can round differently
-#: across engines (Spark HALF_UP via BigDecimal, DuckDB's
-#: multiply-round-divide), flipping one gradient and cascading through
-#: the fold to a full hash mismatch. The probability per step is
-#: ~(regroup noise / grid) ≈ 1e-6, and current testdata passes at every
-#: SF; on a boundary tie the failure mode is a loud hash mismatch, and
-#: tools/driver_sim.py prints the per-variant first-divergence report
-#: that distinguishes a tie (one weight off by exactly one 1e-9 step,
-#: then cascade) from a real bug. Semantic deviation from the reference
-#: fold is ≤ 5e-10 per step — far below DELTA.
-SCORE_ROUND = 9
+#: Dyadic quantization grid shared by the serial fold and batch GD
+#: (2^-40 ≈ 9.1e-13). Round 5 retired the fold's old decimal
+#: SCORE_ROUND contract (round(score, 9) before the sigmoid — a
+#: tie-fragile ~1e-6/step risk of cross-engine grid-boundary flips) in
+#: favor of the batch-GD determinism design: each per-step GRADIENT is
+#: quantized to this grid (floor(g·2^40 + 0.5)/2^40 — every op exact or
+#: correctly-rounded IEEE, so the quantizer is bit-deterministic in any
+#: engine), which makes every weight an exact multiple of 2^-40 and
+#: every score sum EXACT integer arithmetic in the 53-bit mantissa —
+#: order-independent, so the oracle's regrouped-by-step score sum is
+#: BIT-IDENTICAL to the fold's by-feature sum with ZERO residual tie
+#: risk. The sigmoid input being bit-identical, libm exp() (bit-equal
+#: across CPython and DuckDB — tests/test_ml.py) closes the loop.
+#: Exactness envelope |score| < 2^13 is asserted in the fold.
+DYADIC_Q = float(1 << 40)
 
 
 def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,10 +113,19 @@ def _sgd_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     w: dict[int, float] = {}
     for pdf in batches:
         for feats, label in zip(pdf["features"], pdf["label"]):
-            score = round(sum(w.get(int(f), 0.0) for f in feats), SCORE_ROUND)
+            # weights are exact 2^-40 multiples → this sum is exact
+            # integer arithmetic while |score| < 2^13 (DYADIC_Q note)
+            score = sum(w.get(int(f), 0.0) for f in feats)
+            if not -8192.0 < score < 8192.0:
+                raise ValueError(
+                    f"serial-SGD exactness envelope exceeded: |score|="
+                    f"{abs(score)} >= 2^13; the dyadic determinism "
+                    "contract no longer holds"
+                )
             # clamp: exp overflow guard; reference relies on small scores
             p = 1.0 / (1.0 + math.exp(-max(min(score, 709.0), -709.0)))
-            g = (float(label) - p) * DELTA
+            # dyadic-quantized gradient: bit-deterministic in any engine
+            g = math.floor((float(label) - p) * DELTA * DYADIC_Q + 0.5) / DYADIC_Q
             for f in feats:
                 w[int(f)] = w.get(int(f), 0.0) + g
     yield pd.DataFrame(
@@ -238,9 +244,9 @@ def spam_ensemble(
 # rounding contracts below (vs the serial fold's per-STEP contract).
 
 #: Full-batch GD: iterations, learning rate, and the DETERMINISM design.
-#: Unlike the serial fold's decimal-rounding contract (tie-fragile, see
-#: SCORE_ROUND), batch GD is built so every cross-engine value is
-#: BIT-IDENTICAL with zero residual tie risk:
+#: Batch GD pioneered (and the serial fold now shares, round 5) the
+#: construction where every cross-engine value is BIT-IDENTICAL with
+#: zero residual tie risk:
 #:  - per-doc gradients are quantized to the dyadic 2^-40 grid
 #:    (floor(g·2^40 + 0.5)/2^40 — scaling by a power of two is exact in
 #:    IEEE, so the quantizer itself is bit-deterministic in any engine);
@@ -256,8 +262,8 @@ def spam_ensemble(
 #:    monotonicity, gradient direction unchanged.
 GD_ITERS = 3
 GD_ETA = 0.5
-#: Dyadic quantization step (2^-40 ≈ 9.1e-13).
-GD_Q = float(1 << 40)
+#: Same dyadic grid as the serial fold (single shared contract).
+GD_Q = DYADIC_Q
 
 
 def spam_batch_gd(
@@ -366,12 +372,14 @@ def spam_batch_gd(
 # value-hash checkable through three engine-neutral contracts:
 #   1. polyhash features + universal-family shuffle key — both engines
 #      derive bit-identical sorted feature lists and training order;
-#   2. SCORE_ROUND: the per-step score is rounded to 1e-9 before the
-#      sigmoid in both engines. The oracle computes the same score
-#      REGROUPED by training step (score_i = Σ_s g_s·|feats_i ∩ feats_s|,
-#      an O(N²) recursion over the gradient vector instead of an O(N·|w|)
-#      map rebuild) — mathematically equal, FP-order different by ~1e-15,
-#      absorbed by the rounding grid;
+#   2. DYADIC_Q: per-step gradients are quantized to the 2^-40 grid, so
+#      weights are exact dyadic multiples and every score sum is EXACT
+#      (order-independent) integer arithmetic. The oracle computes the
+#      same score REGROUPED by training step (score_i =
+#      Σ_s g_s·|feats_i ∩ feats_s|, an O(N²) recursion over the gradient
+#      vector instead of an O(N·|w|) map rebuild) — with exact terms the
+#      regrouping is BIT-IDENTICAL, not merely within a rounding grid
+#      (round 5: this retired the tie-fragile round(score, 9) contract);
 #   3. libm exp() is bit-identical across CPython and DuckDB (both call
 #      the platform libm; asserted in tests/test_ml.py).
 # Given identical rounded scores, g_i is bit-identical, and each final
@@ -395,11 +403,15 @@ fold{tag} AS (
     SELECT 0::BIGINT AS i, []::DOUBLE[] AS gs
     UNION ALL
     SELECT i, list_append(gs,
-        (y - 1.0/(1.0 + exp(-(greatest(least(score_r, 709.0), -709.0)))))
-        * {DELTA!r}::DOUBLE) AS gs
+        floor((y - 1.0/(1.0 + exp(-(greatest(least(score_r, 709.0), -709.0)))))
+              * {DELTA!r}::DOUBLE * {DYADIC_Q!r}::DOUBLE + 0.5)
+        / {DYADIC_Q!r}::DOUBLE) AS gs
     FROM (
+        -- gradients are exact 2^-40 multiples, so this regrouped-by-
+        -- step sum is EXACT and bit-identical to the fold's by-feature
+        -- sum — no rounding contract (DYADIC_Q note)
         SELECT f.i + 1 AS i, f.gs AS gs, t.label::DOUBLE AS y,
-               round({score}, {SCORE_ROUND}) AS score_r
+               {score} AS score_r
         FROM fold{tag} f
         JOIN {train_cte} t ON t.rn = f.i + 1
         LEFT JOIN ov{tag} o ON o.i = t.rn

@@ -161,7 +161,7 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # ML: serial-SGD family (M2-M4) — value-hash checked via the recursive
-# gradient-vector replay oracle (ML_ORACLES['spam'], ml.SCORE_ROUND
+# gradient-vector replay oracle (ML_ORACLES['spam'], ml.DYADIC_Q
 # contract); one key carries model weights and all three scoring modes
 # --------------------------------------------------------------------------
 
@@ -960,7 +960,7 @@ def _suite_oracles() -> dict[str, str]:
         # loop is value-hash checked via the PR_ROUND contract
         "pagerank_suite": GRAPH_ORACLES["pagerank_suite"],
         # recursive gradient-vector fold (ml.py) — the serial SGD is
-        # value-hash checked via the SCORE_ROUND contract
+        # value-hash checked via the DYADIC_Q bit-exact contract
         "spam": ML_ORACLES["spam"],
         # salted/bucketed layouts must be result-identical to the plain
         # joins; the plan certificates (no Exchange below the bucketed
