@@ -178,6 +178,56 @@ def encode_words(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> D
     )
 
 
+#: Words encoded by the registered 'bpe_encode' variant: the top-N
+#: corpus words by frequency (count desc, word asc — deterministic).
+ENCODE_TOP = 20
+
+
+def bpe_suite_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word_count-suite rows from ONE training pass (round 5): the
+    bpe_vocab merge-rule + vocabulary rows PLUS 'bpe_encode' rows — the
+    tokenizer APPLY step (encode_words) run on the ENCODE_TOP most
+    frequent corpus words, each encoded as 'word=sym1+sym2+…' with
+    cnt = symbol count. The oracle replays the same merges over the
+    same word list CTE-for-CTE."""
+    merges, st = bpe_train(spark, sf_dir)
+    mdf = spark.createDataFrame(
+        merges, "step int, left string, right string, weight long"
+    ).select(
+        F.format_string("bpe_merge_%02d", "step").alias("variant"),
+        F.concat_ws("+", "left", "right").alias("word"),
+        F.col("weight").alias("cnt"),
+    )
+    vocab = (
+        st.groupBy("sym")
+        .agg(F.sum("freq").alias("vf"))
+        .orderBy(F.col("vf").desc(), "sym")
+        .limit(VOCAB_TOP)
+        .select(
+            F.lit("bpe_vocab").alias("variant"),
+            F.col("sym").alias("word"),
+            F.col("vf").alias("cnt"),
+        )
+    )
+    top_words = (
+        Catalog(spark, sf_dir)
+        .documents.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(ENCODE_TOP)
+        .select("w")
+    )
+    enc = encode_words(top_words, merges).select(
+        F.lit("bpe_encode").alias("variant"),
+        F.concat(F.col("w"), F.lit("="), F.array_join("syms", "+")).alias(
+            "word"
+        ),
+        F.size("syms").cast("long").alias("cnt"),
+    )
+    return mdf.unionAll(vocab).unionAll(enc)
+
+
 def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form (word_count suite member): the learned merge
     rules plus the final top-VOCAB_TOP symbol vocabulary, encoded in the
@@ -264,6 +314,41 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
                   FROM g{k})
             WHERE NOT consumed
         )""")
+    # encode replay (round 5): the same learned merges applied, in
+    # order, to the top-ENCODE_TOP corpus words — identical mk/g/st
+    # machinery over a 20-word state, reusing each best{k}
+    ctes.append(f"""est0 AS MATERIALIZED (
+        SELECT w, CAST(1 AS BIGINT) AS freq, CAST(i - 1 AS BIGINT) AS pos,
+               CASE WHEN i <= length(w) THEN substr(w, i, 1)
+                    ELSE '{EOW}' END AS sym
+        FROM (SELECT w FROM wc ORDER BY freq DESC, w LIMIT {ENCODE_TOP}),
+             unnest(range(1, length(w) + 2)) AS t(i)
+    )""")
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        ctes.append(f"""emk{k} AS (
+            SELECT s.w, s.freq, s.pos, s.sym, s.nxt,
+                   coalesce(s.sym = b.l AND s.nxt = b.r, FALSE) AS match
+            FROM (SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                  FROM est{p}) s, best{k} b
+        )""")
+        ctes.append(f"""eg{k} AS (
+            SELECT *, match AND ((pos - coalesce(
+                       max(CASE WHEN NOT match THEN pos END) OVER (
+                           PARTITION BY w ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING), -1)) % 2 = 1) AS greedy
+            FROM emk{k}
+        )""")
+        ctes.append(f"""est{k} AS MATERIALIZED (
+            SELECT w, freq,
+                   CAST(row_number() OVER (PARTITION BY w ORDER BY pos) - 1
+                        AS BIGINT) AS pos,
+                   CASE WHEN greedy THEN sym || nxt ELSE sym END AS sym
+            FROM (SELECT *, coalesce(lag(greedy) OVER (
+                                PARTITION BY w ORDER BY pos), FALSE) AS consumed
+                  FROM eg{k})
+            WHERE NOT consumed
+        )""")
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT 'bpe_merge_{k:02d}' AS variant, l || '+' || r AS word,"
         f" pf AS cnt FROM best{k}"
@@ -276,6 +361,11 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
         SELECT 'bpe_vocab' AS variant, sym AS word, CAST(vf AS BIGINT) AS cnt
         FROM (SELECT sym, sum(freq) AS vf FROM st{n_merges}
               GROUP BY sym ORDER BY vf DESC, sym LIMIT {VOCAB_TOP})
+        UNION ALL
+        SELECT 'bpe_encode' AS variant,
+               w || '=' || string_agg(sym, '+' ORDER BY pos) AS word,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM est{n_merges} GROUP BY w
     """
 
 

@@ -86,15 +86,18 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A3 word counting plus BPE vocabulary induction (round 4): the
-    merge rules and final top symbols ride the same (variant, word, cnt)
-    schema — merge step k as 'bpe_merge_0k' with word 'left+right'."""
+    """A1/A3 word counting plus BPE vocabulary induction (round 4) and
+    the tokenizer ENCODE step (round 5): merge rules, final top symbols,
+    and the top-20 corpus words encoded with the learned rules all ride
+    the same (variant, word, cnt) schema — merge step k as
+    'bpe_merge_0k' with word 'left+right', encodings as 'bpe_encode'
+    with word 'w=sym1+sym2+…'."""
     allw = text.word_count(spark, sf_dir)
     having = text.word_count_having(spark, sf_dir)
     return (
         allw.select(F.lit("all").alias("variant"), "word", "cnt")
         .unionAll(having.select(F.lit("min100").alias("variant"), "word", "cnt"))
-        .unionAll(bpe.bpe_vocab(spark, sf_dir))
+        .unionAll(bpe.bpe_suite_rows(spark, sf_dir))
     )
 
 
@@ -692,7 +695,84 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rate_buckets").alias("n2"),
         F.col("n_kept").alias("n3"),
     )
-    return hs.unionAll(st).unionAll(sp).unionAll(mx)
+    ep = _epoch_rows(spark, sf_dir)
+    return hs.unionAll(st).unionAll(sp).unionAll(mx).unionAll(ep)
+
+
+def _epoch_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: the loader-facing pipeline end under the oracle
+    contract. variant='epoch1' carries, per doc, its position in the
+    epoch-1 deterministic shuffle (pipeline.epoch_order — oracle:
+    row_number over the same universal-hash permutation key), and n3
+    carries the SHARD-WRITER certificate (layout_suite style): the
+    epoch's shards are written (write_epoch_shards), read back, and
+    certified in-plan — every shard file internally ordered by the
+    epoch key, shard key-ranges pairwise disjoint, and the union
+    exactly the corpus. The per-file stats collected are ≤ n_shards
+    rows; nothing corpus-sized reaches the driver beyond the
+    registered result itself."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from uw_hadoop_aglorithms_spark.functions.hashing import P as _P, uhash
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    n_docs = docs.count()
+    out = tempfile.mkdtemp(prefix="epoch_shards_")
+    try:
+        pipeline.write_epoch_shards(spark, sf_dir, f"{out}/ep1", epoch=1)
+        back = (
+            spark.read.parquet(f"{out}/ep1")
+            .select(
+                "doc_id",
+                F.input_file_name().alias("f"),
+                F.monotonically_increasing_id().alias("mid"),
+            )
+            .withColumn(
+                "k",
+                uhash(F.col("doc_id") % F.lit(_P), pipeline.EPOCH_SEED + 1),
+            )
+        )
+        wf = Window.partitionBy("f").orderBy("mid")
+        pk, pid = F.lag("k").over(wf), F.lag("doc_id").over(wf)
+        viol = F.when(
+            pk.isNull(), F.lit(0)
+        ).when(
+            (F.col("k") < pk) | ((F.col("k") == pk) & (F.col("doc_id") < pid)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        stats = (
+            back.select("f", "k", "doc_id", viol.alias("v"))
+            .groupBy("f")
+            .agg(
+                F.min("k").alias("lo"),
+                F.max("k").alias("hi"),
+                F.sum("v").alias("viol"),
+                F.count("*").alias("cnt"),
+                F.countDistinct("doc_id").alias("n_ids"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    stats.sort(key=lambda r: r.lo)
+    disjoint = all(a.hi < b.lo for a, b in zip(stats, stats[1:]))
+    cert = (
+        disjoint
+        and sum(r.viol for r in stats) == 0
+        and sum(r.cnt for r in stats) == n_docs
+        and sum(r.n_ids for r in stats) == n_docs
+    )
+    return pipeline.epoch_order(docs, epoch=1).select(
+        F.lit("epoch1").alias("variant"),
+        F.lit(None).cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("doc_id").alias("n1"),
+        F.col("position").cast("long").alias("n2"),
+        F.lit(1 if cert else 0).cast("long").alias("n3"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1117,8 +1197,28 @@ def _suite_oracles() -> dict[str, str]:
             _wrap("mixture", PIPELINE_ORACLES["mixture_sample"],
                   "source AS k1, CAST(NULL AS VARCHAR) AS k2, n_docs AS n1, "
                   "rate_buckets AS n2, n_kept AS n3"),
+            # round 5: epoch-1 deterministic-shuffle positions (oracle =
+            # row_number over the identical universal-hash permutation
+            # key) + the shard-writer certificate asserted TRUE (n3=1)
+            _epoch_oracle_sql(),
         ),
     }
+
+
+def _epoch_oracle_sql(epoch: int = 1) -> str:
+    from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params
+    from uw_hadoop_aglorithms_spark.operators.pipeline import EPOCH_SEED
+
+    a, b = hash_params(EPOCH_SEED + epoch)
+    return f"""
+        SELECT 'epoch{epoch}' AS variant, CAST(NULL AS VARCHAR) AS k1,
+               CAST(NULL AS VARCHAR) AS k2, doc_id AS n1,
+               CAST(row_number() OVER (
+                   ORDER BY ((doc_id % {P}) * {a} + {b}) % {P}, doc_id
+               ) - 1 AS BIGINT) AS n2,
+               CAST(1 AS BIGINT) AS n3
+        FROM documents
+    """
 
 
 SUITE_ORACLES: dict[str, str] = _suite_oracles()
