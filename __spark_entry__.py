@@ -91,14 +91,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch event-time form…
         "window_counts": suites.window_counts,
         "trending_arrivals": stream_windows.trending_arrivals,
-        # …and a REAL Structured Streaming file-replay run checked against
-        # the BATCH oracle (stream ≡ batch, S7/S8/T4/T5)
+        # …and REAL Structured Streaming runs (S7/S8/T4/T5): the
+        # scrambled-replay windowed count ≡ the batch oracle, plus
+        # (round 5) the streaming FRONT DOOR variants — ingestion-time
+        # exact dedup (dropDuplicatesWithinWatermark admitted set) and
+        # Bloom decontamination, value-hashed via a closed-form replay
+        # of the micro-batch watermark sequence
         "stream_batch_equiv": suites.stream_batch_equiv,
-        # …and the streaming FRONT DOOR (round 5): ingestion-time exact
-        # dedup (dropDuplicatesWithinWatermark admitted set) + Bloom
-        # decontamination on the stream, value-hashed via a closed-form
-        # replay of the micro-batch watermark sequence
-        "ingest_suite": suites.ingest_suite,
         # Training-data pipeline: dedup family (beyond-reference; full
         # DuckDB oracles via the engine-neutral polyhash)
         "exact_dedup": dedup.exact_dedup,

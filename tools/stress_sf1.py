@@ -86,9 +86,12 @@ def build_replica_dir(spark) -> str:
     return out
 
 
-def main() -> None:
-    spark = get_spark("stress-sf1")
-    spark.sparkContext.setLogLevel("ERROR")
+def run(spark) -> dict:
+    """Build the 10× replica and run the stress loops; returns
+    {"pr_parts": int, "n_edges": int, "results": {name: (sec, rows,
+    rss_before_mb, rss_after_mb)}}. Callable from pytest (the
+    once-per-round marked test in tests/test_stress_sf1.py) and from
+    main() as the original one-off CLI."""
     t0 = time.perf_counter()
     d = build_replica_dir(spark)
     print(f"replica dir built in {time.perf_counter() - t0:.1f}s at {d}")
@@ -133,6 +136,13 @@ def main() -> None:
 
     shutil.rmtree(d, ignore_errors=True)
     print("RESULTS", results)
+    return {"pr_parts": pr_parts, "n_edges": n_edges, "results": results}
+
+
+def main() -> None:
+    spark = get_spark("stress-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark)
     spark.stop()
 
 

@@ -355,8 +355,19 @@ def _sbe_replay_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three REAL Structured Streaming runs under one key (round 5 folds
+    the streaming front door in as variants so the registry stays at the
+    driver's 50-key budget):
+
+    variant='window' — the scrambled-replay windowed event count ≡ the
+    batch oracle (the original stream_batch_equiv contract).
+    variant='dedup' / 'decon' — the ingestion front door: see
+    _ingest_collect for the operators and the closed-form watermark
+    oracle design. All three streams run CONCURRENTLY from driver
+    threads (independent sinks/checkpoints)."""
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from uw_hadoop_aglorithms_spark.streaming import runner
 
@@ -371,10 +382,16 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        out = runner.stream_event_count(
-            spark, replay, ckpt, query_name="stream_batch_equiv_mem"
-        )
-        rows = [(r.window_start, r.cnt) for r in out.collect()]
+        with ThreadPoolExecutor(2) as pool:
+            f_ing = pool.submit(_ingest_collect, spark, sf_dir)
+            out = runner.stream_event_count(
+                spark, replay, ckpt, query_name="stream_batch_equiv_mem"
+            )
+            win = [
+                ("window", r.window_start, None, None, int(r.cnt))
+                for r in out.collect()
+            ]
+            dd, dc = f_ing.result()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # the memory sink registers a temp view and the checkpoint is
@@ -385,9 +402,16 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(ckpt, ignore_errors=True)
+    rows = (
+        win
+        + [("dedup", None, d, dg, None) for d, dg in dd]
+        + [("decon", ws, d, None, n) for d, ws, n in dc]
+    )
     return spark.createDataFrame(
-        rows, "window_start timestamp, cnt long"
-    ).orderBy("window_start")
+        rows,
+        "variant string, window_start timestamp, doc_id long,"
+        " digest string, n long",
+    ).orderBy("variant", "window_start", "doc_id")
 
 
 #: Session-scoped document-replay dirs for ingest_suite, one per sf_dir
@@ -412,15 +436,16 @@ def _ingest_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-def ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ingest_collect(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     """The streaming front door under the oracle contract (round 5):
     both ingestion-time operators run as REAL AvailableNow streams over
     the deterministic document replay (one doc per minute, 8 block
-    files = 8 micro-batches) and their emitted sets are value-hashed.
+    files = 8 micro-batches); returns their collected emitted sets
+    (dedup_rows, decon_rows) for the stream_batch_equiv suite.
 
-    variant='dedup' — stream_exact_dedup's ADMITTED set: digest rows
-    surviving dropDuplicatesWithinWatermark. The oracle replays the
-    micro-batch watermark sequence in closed form: file k holds doc_ids
+    'dedup' — stream_exact_dedup's ADMITTED set: digest rows surviving
+    dropDuplicatesWithinWatermark. The oracle replays the micro-batch
+    watermark sequence in closed form: file k holds doc_ids
     [k*W,(k+1)*W), W=ceil(n/8) (prepare_doc_replay_dir's explicit block
     boundaries), and the watermark governing state eviction in batch b
     is max-event-time through batch b-2 minus the 120-min delay — the
@@ -429,15 +454,15 @@ def ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops). A duplicate is admitted iff that watermark has passed the
     last KEPT copy's expiry (kept_ts + delay); drops never extend state.
 
-    variant='decon' — stream_decontaminate's emitted rows: per-doc
-    Bloom-probe counts for every contaminated doc whose 60-min arrival
-    window the FINAL watermark (max arrival - 60 min; AvailableNow runs
-    no-data batches until the state flushes) has closed. Counts equal
-    the batch bloom variant — same bitmap, same deterministic FPs.
+    'decon' — stream_decontaminate's emitted rows: per-doc Bloom-probe
+    counts for every contaminated doc whose 60-min arrival window the
+    FINAL watermark (max arrival - 60 min; AvailableNow runs no-data
+    batches until the state flushes) has closed. Counts equal the batch
+    bloom variant — same bitmap, same deterministic FPs.
 
-    Both memory-sink results are collected and re-wrapped (the
-    stream_batch_equiv pattern: a memory sink is driver state by
-    construction, and the admitted set IS the result contract)."""
+    Both memory-sink results are collected and re-wrapped (a memory
+    sink is driver state by construction, and the admitted set IS the
+    result contract). Caller owns the shuffle-partition scoping."""
     import shutil
     import tempfile
     from concurrent.futures import ThreadPoolExecutor
@@ -447,10 +472,6 @@ def ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = _ingest_replay_dir(spark, sf_dir)
     ck_dd = tempfile.mkdtemp(prefix="ingest_ck_dd_")
     ck_dc = tempfile.mkdtemp(prefix="ingest_ck_dc_")
-    # stream state is digest/window-sized, not input-sized — scope the
-    # per-micro-batch state partitioning down (stream_batch_equiv note)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         with ThreadPoolExecutor(2) as pool:
             f_dd = pool.submit(
@@ -467,7 +488,6 @@ def ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in f_dc.result().collect()
             ]
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
         for v in ("ingest_dedup_mem", "ingest_decon_mem"):
             try:
                 spark.catalog.dropTempView(v)
@@ -475,14 +495,7 @@ def ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pass
         shutil.rmtree(ck_dd, ignore_errors=True)
         shutil.rmtree(ck_dc, ignore_errors=True)
-    rows = [("dedup", d, None, dg, None) for d, dg in dd] + [
-        ("decon", d, ws, None, n) for d, ws, n in dc
-    ]
-    return spark.createDataFrame(
-        rows,
-        "variant string, doc_id long, window_start timestamp,"
-        " digest string, n long",
-    ).orderBy("variant", "doc_id")
+    return dd, dc
 
 
 # --------------------------------------------------------------------------
@@ -1092,16 +1105,22 @@ def _suite_oracles() -> dict[str, str]:
                   "window_start, region AS tag, cnt"),
         ),
         # the streaming run must equal the BATCH tumbling-window oracle
-        "stream_batch_equiv": STREAMING_ORACLES["event_count"],
-        # streaming front door: closed-form replay of the micro-batch
-        # watermark sequence (ingest_suite docstring: block files of
-        # width W=ceil(n/8), lag-one eviction watermark, no-data-batch
-        # final flush for the windowed counts)
-        "ingest_suite": _u(
+        # window variant = the batch event-count oracle; dedup/decon =
+        # the streaming front door's closed-form replay of the
+        # micro-batch watermark sequence (_ingest_collect docstring:
+        # block files of width W=ceil(n/8), lag-one eviction watermark,
+        # no-data-batch final flush for the windowed counts)
+        "stream_batch_equiv": _u(
+            _wrap(
+                "window",
+                STREAMING_ORACLES["event_count"],
+                "window_start, CAST(NULL AS BIGINT) AS doc_id,"
+                " CAST(NULL AS VARCHAR) AS digest, cnt AS n",
+            ),
             """
-            SELECT 'dedup' AS variant, doc_id,
+            SELECT 'dedup' AS variant,
                    CAST(NULL AS TIMESTAMP) AS window_start,
-                   digest, CAST(NULL AS BIGINT) AS n
+                   doc_id, digest, CAST(NULL AS BIGINT) AS n
             FROM (
                 WITH RECURSIVE params AS (
                     SELECT count(*) AS n, (count(*) + 7) // 8 AS w
@@ -1142,10 +1161,11 @@ def _suite_oracles() -> dict[str, str]:
             )
             """,
             f"""
-            SELECT 'decon' AS variant, doc_id,
+            SELECT 'decon' AS variant,
                    TIMESTAMP '2024-01-01 00:00:00'
                      + to_minutes(CAST((doc_id // 60) * 60 AS BIGINT))
                      AS window_start,
+                   doc_id,
                    CAST(NULL AS VARCHAR) AS digest,
                    CAST(n_shared_ngrams AS BIGINT) AS n
             FROM (\n{DEDUP_ORACLES["decontaminate_bloom"]}\n)
