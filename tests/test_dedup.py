@@ -338,3 +338,39 @@ def test_cluster_pairs_escape_hatch_engages_on_deep_chain(spark):
         assert got[i] == 0, f"vertex {i} labeled {got[i]}"
     assert got[1000] == got[1001] == got[1002] == 1000
     assert got[2000] == got[2001] == 2000
+
+
+def test_incremental_neardup_maintenance_invariant(spark):
+    """pairs(index corpus) ∪ incremental(batch) must equal
+    pairs(index corpus ∪ batch): the persisted-band-index path finds
+    exactly the pairs involving the new batch, with identical Jaccard
+    values, and never re-reads the corpus."""
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_dedup(spark, SF_TEST).collect()
+    }
+    assert full, "fixture should contain near-dup pairs"
+    SPLIT = 250
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    old = docs.where(F.col("doc_id") < SPLIT)
+    new = docs.where(F.col("doc_id") >= SPLIT)
+    try:
+        dedup.save_neardup_index(old, "incr_test")
+        incr = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.jaccard
+            for r in dedup.incremental_neardup_pairs(
+                spark, "incr_test", new
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS incr_test_bands")
+        spark.sql("DROP TABLE IF EXISTS incr_test_hsets")
+    expected_incr = {
+        p: j for p, j in full.items() if p[0] >= SPLIT or p[1] >= SPLIT
+    }
+    assert expected_incr, "split should leave pairs touching the batch"
+    assert set(incr) == set(expected_incr)
+    for p, j in expected_incr.items():
+        assert incr[p] == j, p
+    # and every incremental pair touches the batch
+    assert all(a >= SPLIT or b >= SPLIT for a, b in incr)

@@ -110,6 +110,12 @@ def _gram_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite ~5 s but slowed the clustering fixpoint ~6 s via cache-write
     churn). Each member keeps its scan fused instead."""
     docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+    return hsets_from_docs(docs)
+
+
+def hsets_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs) from any (doc_id, text, …) frame — the reusable core
+    of _gram_hash_sets (shared with the incremental index path)."""
     ts = tokens("text")
     th = F.transform(ts, lambda t: polyhash(t))
     n = F.greatest(F.size(th) - F.lit(1), F.lit(0))
@@ -183,6 +189,49 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bands_from_hsets(hsets: DataFrame) -> DataFrame:
+    """(doc_id, band_no, h1, h2) LSH band keys from (doc_id, hs):
+    16-perm MinHash signature folded into 8 bands of 2 rows — the
+    reusable core of minhash_lsh_dedup, shared with the incremental
+    index path. One groupBy; the 16 min-aggregates ride one shuffle."""
+    hashed = hsets.select("doc_id", F.explode("hs").alias("ph"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(uhash(F.col("ph"), i)).alias(f"s{i}") for i in range(NUM_PERMS)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.col(f"s{b * ROWS_PER_BAND}").alias("h1"),
+                F.col(f"s{b * ROWS_PER_BAND + 1}").alias("h2"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id", "bd.band_no", "bd.h1", "bd.h2"
+    )
+
+
+def verify_pairs(cand: DataFrame, hsets: DataFrame, hsets_b: DataFrame | None = None) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against shingle-hash sets; `hsets_b` lets the two sides come from
+    different tables (incremental path). Returns (doc_a, doc_b,
+    jaccard) at >= JACCARD_THRESHOLD, unordered."""
+    ga = hsets.withColumnsRenamed({"doc_id": "doc_a", "hs": "ga"})
+    gb = (hsets_b if hsets_b is not None else hsets).withColumnsRenamed(
+        {"doc_id": "doc_b", "hs": "gb"}
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("jaccard", inter / (F.size("ga") + F.size("gb") - inter))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified at >= 0.8 Jaccard.
 
@@ -202,23 +251,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached hash-set table feeds signatures AND verification).
     """
     hsets = _gram_hash_sets(spark, sf_dir).cache()
-    hashed = hsets.select("doc_id", F.explode("hs").alias("ph"))
-    sigs = hashed.groupBy("doc_id").agg(
-        *[F.min(uhash(F.col("ph"), i)).alias(f"s{i}") for i in range(NUM_PERMS)]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_no"),
-                F.col(f"s{b * ROWS_PER_BAND}").alias("h1"),
-                F.col(f"s{b * ROWS_PER_BAND + 1}").alias("h2"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bd")).select(
-        "doc_id", "bd.band_no", "bd.h1", "bd.h2"
-    )
+    bands = bands_from_hsets(hsets)
     cand = (
         bands.alias("a")
         .join(
@@ -231,17 +264,69 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ga = hsets.withColumnsRenamed({"doc_id": "doc_a", "hs": "ga"})
-    gb = hsets.withColumnsRenamed({"doc_id": "doc_b", "hs": "gb"})
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .withColumn("jaccard", inter / (F.size("ga") + F.size("gb") - inter))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+    return verify_pairs(cand, hsets).orderBy("doc_a", "doc_b")
+
+
+# --- incremental near-dup: the lake-maintenance form -------------------------
+#
+# At 100 TB you do not re-minhash the corpus for every arriving shard:
+# the band keys and shingle-hash sets are PERSISTED once (bucketed, so
+# the recurring delta join never shuffles the index side), and each new
+# batch is (a) banded, (b) joined against the index buckets, (c)
+# self-joined within the batch, then exact-verified — work proportional
+# to |delta| + |collisions|, never |corpus|. Complements the streaming
+# digest dedup (runner.stream_exact_dedup): that is the exact-duplicate
+# front door; this is the NEAR-dup back pressure run per ingest batch.
+
+def save_neardup_index(docs: DataFrame, prefix: str) -> None:
+    """Persist the near-dup index for a corpus slice as two bucketed
+    catalog tables: `{prefix}_bands` (doc_id, band_no, h1, h2; bucketed
+    on h1 so delta joins leave the index unshuffled) and
+    `{prefix}_hsets` (doc_id, hs; bucketed on doc_id for the
+    verification join). Growing the index after admitting a batch is an
+    append of the batch's own rows to both tables."""
+    from uw_hadoop_aglorithms_spark.plans import bucketing
+
+    hsets = hsets_from_docs(docs)
+    bucketing.write_bucketed(bands_from_hsets(hsets), f"{prefix}_bands", "h1")
+    bucketing.write_bucketed(hsets, f"{prefix}_hsets", "doc_id")
+
+
+def incremental_neardup_pairs(
+    spark: SparkSession, prefix: str, new_docs: DataFrame
+) -> DataFrame:
+    """Near-dup pairs of `new_docs` against the persisted index AND
+    within the batch itself: (doc_a, doc_b, jaccard) with doc_a the
+    index/earlier side. pairs(index corpus) ∪ this = pairs(index corpus
+    ∪ batch) — the maintenance invariant tested in tests/test_dedup.py.
+
+    Plan shape: the delta is banded (one groupBy over |delta|), joined
+    on (band_no, h1, h2) against the bucketed index (index side scans
+    in place — its Exchange was paid at write time), plus a delta
+    self-join; union of candidates, then one exact-Jaccard verification
+    against the two hset tables."""
+    new_hsets = hsets_from_docs(new_docs).cache()
+    new_bands = bands_from_hsets(new_hsets)
+    idx_bands = spark.table(f"{prefix}_bands")
+    on = ["band_no", "h1", "h2"]
+    against_index = (
+        idx_bands.alias("a")
+        .join(new_bands.alias("b"), on)
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
+    within_batch = (
+        new_bands.alias("a")
+        .join(new_bands.alias("b"), on)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    idx_hsets = spark.table(f"{prefix}_hsets")
+    verified_idx = verify_pairs(
+        against_index.distinct(), idx_hsets, new_hsets
+    )
+    verified_new = verify_pairs(within_batch.distinct(), new_hsets)
+    return verified_idx.unionAll(verified_new).orderBy("doc_a", "doc_b")
 
 
 #: Label-propagation round budget before dedup_clusters escapes to the
