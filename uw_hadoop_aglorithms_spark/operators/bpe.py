@@ -145,6 +145,15 @@ def apply_merge(st: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+#: Materialization cadence for encode_words' merge loop. 1 = checkpoint
+#: every step (training's cadence). A lazy chain (checkpoint every 8)
+#: was tried and MEASURED SLOWER at sf0.1 (warm A/B n=2: 8.4-9.5 s vs
+#: 7.6-8.1 s for the word_count suite): ~30 stacked window stages plus
+#: the corpus-derived word list make one deep plan whose analysis and
+#: per-window sorts cost more than the 10 tiny eager jobs they replace.
+ENCODE_CHECKPOINT_EVERY = 1
+
+
 def encode_words(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
     """Apply LEARNED merge rules (in learned order — rule priority, the
     standard BPE tokenizer apply step) to NEW words: (w) → (w, syms
@@ -169,8 +178,10 @@ def encode_words(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> D
         "w", F.lit(1).cast("long").alias("freq"), F.posexplode(syms).alias("pos", "sym")
     ).select("w", "freq", F.col("pos").cast("long").alias("pos"), "sym")
     st = st.localCheckpoint(eager=True)
-    for _, left, right, _ in merges:
-        st = apply_merge(st, left, right).localCheckpoint(eager=True)
+    for i, (_, left, right, _) in enumerate(merges, 1):
+        st = apply_merge(st, left, right)
+        if i % ENCODE_CHECKPOINT_EVERY == 0:
+            st = st.localCheckpoint(eager=True)
     return (
         st.groupBy("w")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "sym"))).alias("ps"))
