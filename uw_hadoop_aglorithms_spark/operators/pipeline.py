@@ -580,26 +580,48 @@ def epoch_order(docs: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFram
     corpora > P docs, but ordering stays a deterministic permutation:
     `id_col` breaks every residue collision.
 
-    Scale shape: the ordering is pure map-side arithmetic; the dense
-    rank needs a range shuffle ONLY if materialized — downstream
-    writers should instead `repartitionByRange(n_shards, "sort_key")
-    .sortWithinPartitions("sort_key")` so each epoch's shard files come
-    out range-clustered without a global sort barrier (the zorder.py
-    write pattern). `position` here is for bounded verification and
-    small-corpus use; the key is the scalable artifact.
+    Scale shape (round 5): the permutation key is map-side arithmetic;
+    the dense rank is a DISTRIBUTED two-phase rank — range-partition on
+    (key, id), rank locally inside each range (a partition-scoped
+    window, never the single-partition global WindowExec), and add the
+    collected per-partition row counts as offsets (one |partitions|-row
+    collect — bounded driver state, the pack_sequences prefix-sum
+    pattern). The resulting position is a pure function of the total
+    order (key, id), independent of where the sampled range boundaries
+    land. Downstream shard writers still skip the rank entirely
+    (write_epoch_shards range-clusters by the key alone).
     """
     from pyspark.sql import Window
 
-    from uw_hadoop_aglorithms_spark.functions.hashing import uhash
-
-    from uw_hadoop_aglorithms_spark.functions.hashing import P as _P
+    from uw_hadoop_aglorithms_spark.functions.hashing import P as _P, uhash
 
     key = uhash(F.col(id_col) % F.lit(_P), EPOCH_SEED + epoch)
-    w = Window.orderBy("sort_key", id_col)
-    return (
+    keyed = (
         docs.withColumn("sort_key", key)
         .withColumn("epoch", F.lit(epoch))
-        .withColumn("position", F.row_number().over(w) - 1)
+        .repartitionByRange("sort_key", id_col)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pid across the two phases
+    )
+    counts = sorted(
+        keyed.groupBy("pid").count().collect(), key=lambda r: r.pid
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r.pid] = acc
+        acc += r["count"]
+    if not offsets:
+        return keyed.drop("pid").withColumn("position", F.lit(0).cast("int"))
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("pid").orderBy("sort_key", id_col)
+    return (
+        keyed.withColumn(
+            "position",
+            (omap[F.col("pid")] + F.row_number().over(w) - 1).cast("int"),
+        )
+        .drop("pid")
     )
 
 
