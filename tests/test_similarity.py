@@ -73,3 +73,24 @@ def test_embed_quantize_error_bound(spark):
         codes = [int(c) for c in r.codes.split("|")]
         assert all(0 <= c <= 255 for c in codes)
         assert min(codes) == 0 and max(codes) == 255 or r.scale == 0
+
+
+def test_pq_adc_recall_and_exact_rerank(spark, brute):
+    """PQ-ADC with a 50-candidate shortlist must beat random candidate
+    selection by a wide margin (random: 50/499 ≈ 0.1 recall; measured
+    ~0.5 even with the untrained sampled codebook on this isotropic
+    fixture), every emitted cosine must be EXACT (the rerank contract
+    shared with LSH/IVF), and the codes must quantize every corpus
+    vector (argmin is total)."""
+    pq = similarity.ann_pq_topk(spark, SF_TEST).collect()
+    b = {(r.query_id, r.neighbor_id) for r in brute}
+    p = {(r.query_id, r.neighbor_id) for r in pq}
+    assert len(b & p) / len(b) >= 0.3
+    bc = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    for r in pq:
+        if (r.query_id, r.neighbor_id) in bc:
+            assert r.cosine == bc[(r.query_id, r.neighbor_id)]
+    # every query emits a full top-k (shortlist >= k candidates exist)
+    from collections import Counter
+    per_q = Counter(r.query_id for r in pq)
+    assert all(v == similarity.TOP_K for v in per_q.values())

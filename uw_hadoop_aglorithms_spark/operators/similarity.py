@@ -349,3 +349,161 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mse, 12).alias("mse"),
         F.round(F.array_max(errabs), 12).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+# --- product quantization (PQ-ADC) -------------------------------------------
+#
+# The third leg of the 100 TB ANN stack (alongside IVF cells and int8
+# affine codes): each vector compresses to PQ_M one-byte codes (a 64×
+# reduction from float64), and query scoring becomes PQ_M table lookups
+# + adds per candidate instead of a 64-dim dot product — the classic
+# asymmetric-distance computation (ADC) of Jégou et al., TPAMI'11.
+# Codebook entries are corpus vectors sampled by id (the offline-
+# trained-codebook stand-in _ivf_centroids established); every fold
+# below is left-associative from 0.0 so the DuckDB oracle, which
+# derives the same codebook relationally, matches bit-for-bit.
+
+#: PQ geometry: PQ_M subspaces of PQ_SUBDIM dims; ≤PQ_K codebook rows.
+PQ_M = 8
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_CB_MOD = 89
+PQ_K = 16
+#: ADC shortlist size per query before the exact rerank.
+PQ_SHORTLIST = 50
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Up to PQ_K full codebook vectors (bounded quantizer load, the
+    _ivf_centroids pattern); entry k of subspace m is vector k's m-th
+    subvector."""
+    rows = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(
+            (F.col("vec_id") % PQ_CB_MOD == 0)
+            & (F.col("vec_id") < PQ_CB_MOD * PQ_K)
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-10: encode map-side, score by lookup.
+
+    Encoding: code_m = argmin_k L2²(subvector_m, codebook[m][k]) — a
+    literal-codebook expression inside the scan (struct-min with
+    (d2 ASC, k ASC) tie-break), no shuffle, no |corpus|×K join; the
+    reconstruction norm² accumulates at the same time. Scoring: the
+    bounded query set broadcasts against the coded corpus and each
+    pair costs PQ_M selected-literal subvector dots (the ADC tables);
+    adc_cosine = Σ_m dot(q_m, cb[m][code_m]) / (|q| · |reconstruction|).
+    At 100 TB the coded corpus is what you STORE (PQ_M bytes + one
+    float per vector); candidates come from an IVF cell join and ADC
+    replaces the exact dot until a final small rerank.
+    """
+    cb = _pq_codebook(spark, sf_dir)
+    k_n = len(cb)
+    emb = _normed(spark, sf_dir)
+
+    def sub(col: Column, m: int) -> Column:
+        return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+    def lit_sub(k: int, m: int) -> Column:
+        lo = m * PQ_SUBDIM
+        return F.array(*[F.lit(x) for x in cb[k][lo:lo + PQ_SUBDIM]])
+
+    def fold_sum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    codes, recon_terms = [], []
+    for m in range(PQ_M):
+        entries = []
+        for k in range(k_n):
+            d2 = fold_sum(
+                F.zip_with(sub(F.col("v"), m), lit_sub(k, m), lambda x, c: (x - c) * (x - c))
+            )
+            entries.append(F.struct(d2.alias("d"), F.lit(k).alias("k")))
+        code_m = F.array_min(F.array(*entries))["k"]
+        codes.append(code_m)
+        # norm² of each codebook subvector: Python left fold — the same
+        # IEEE sequence as the oracle's list_reduce (the _ivf_centroids
+        # argument), selected by the code
+        n2 = []
+        for k in range(k_n):
+            acc = 0.0
+            lo = m * PQ_SUBDIM
+            for x in cb[k][lo:lo + PQ_SUBDIM]:
+                acc = acc + x * x
+            n2.append(acc)
+        recon_terms.append(
+            F.element_at(F.array(*[F.lit(x) for x in n2]), F.col(f"c{m}") + 1)
+        )
+    enc = emb
+    for m, code_m in enumerate(codes):
+        enc = enc.withColumn(f"c{m}", code_m)
+    recon2 = F.lit(0.0)
+    for t in recon_terms:
+        recon2 = recon2 + t
+    enc = enc.withColumn("recon2", recon2).localCheckpoint(eager=True)
+
+    q = enc.filter(_is_query(F.col("vec_id"))).select("vec_id", "v", "nrm").alias("q")
+    c = enc.alias("c")
+    adc = F.lit(0.0)
+    for m in range(PQ_M):
+        sel = F.element_at(
+            F.array(*[lit_sub(k, m) for k in range(k_n)]), F.col(f"c.c{m}") + 1
+        )
+        adc = adc + fold_sum(
+            F.zip_with(sub(F.col("q.v"), m), sel, lambda x, y: x * y)
+        )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (adc / (F.col("q.nrm") * F.sqrt(F.col("c.recon2")))).alias("adc_cos"),
+        )
+    )
+    # ADC shortlist → exact rerank (the standard deployment: compressed
+    # scoring prunes the corpus to PQ_SHORTLIST rows per query, exact
+    # cosine touches only those — same output contract as the IVF/LSH
+    # variants, whose cosines are exact for every emitted pair)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = enc.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    exact = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            fold_sum(F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y))
+            / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

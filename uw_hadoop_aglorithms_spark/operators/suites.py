@@ -572,15 +572,17 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in fn(spark, sf_dir).collect()
         ]
 
-    with ThreadPoolExecutor(3) as pool:
+    with ThreadPoolExecutor(4) as pool:
         futs = {
             "brute": pool.submit(grab, similarity.ann_brute_topk),
             "lsh": pool.submit(grab, similarity.ann_lsh_topk),
             "ivf": pool.submit(grab, similarity.ann_ivf_topk),
+            # round 5: PQ-ADC — the compressed-domain scoring leg
+            "pq": pool.submit(grab, similarity.ann_pq_topk),
         }
         rows = [
             (m, q, nb, c, rk)
-            for m in ("brute", "lsh", "ivf")
+            for m in ("brute", "lsh", "ivf", "pq")
             for (q, nb, c, rk) in futs[m].result()
         ]
     return spark.createDataFrame(
@@ -1197,6 +1199,7 @@ def _suite_oracles() -> dict[str, str]:
             _wrap("brute", SIMILARITY_ORACLES["ann_brute_topk"], tag="method"),
             _wrap("lsh", SIMILARITY_ORACLES["ann_lsh_topk"], tag="method"),
             _wrap("ivf", SIMILARITY_ORACLES["ann_ivf_topk"], tag="method"),
+            _wrap("pq", SIMILARITY_ORACLES["ann_pq_topk"], tag="method"),
         ),
         "doc_profile": doc_profile_sql,
         "length_percentiles": (
