@@ -48,18 +48,35 @@ DEFAULT_ITERATIONS = 10
 #: durable parquet instead of executor memory (SURVEY.md §7 Phase 4).
 CHECKPOINT_EVERY = 5
 TOP_K = 20  # reference ExtractTopPersonalizedPageRankNodes.java default
-#: Per-iteration decimal rounding for the REGISTERED top-20 queries — the
-#: determinism contract that makes an iterative float loop value-hash
-#: checkable cross-engine (same trick as cluster.KM_ROUND): both engines
-#: round each iteration's state to 1e-8, so summation-order FP noise
-#: (~1e-16) vanishes whenever the unrounded value is away from a 0.5e-8
-#: grid boundary. Like the pre-round-5 ml fold contract this is tie-fragile in principle
-#: (a value within ~1e-16 of a boundary can round apart and cascade);
-#: per-value odds are ~1e-8 and a tie surfaces as a loud hash mismatch
-#: that tools/driver_sim.py's divergence report localizes. The raw
-#: `personalized_pagerank`/`pagerank` default to NO rounding and are
-#: validated against the sequential Python oracle instead.
-PR_ROUND = 8
+#: Dyadic 2^-40 quantization grid for the REGISTERED top-20 queries —
+#: the determinism contract that makes the iterative float loop
+#: value-hash checkable cross-engine with ZERO residual tie risk
+#: (round 5: replaces the old PR_ROUND 1e-8 decimal rounding, whose
+#: ~1e-8/value boundary-tie odds were the largest remaining exposure at
+#: ~6e5 rounded values per run). Construction (ml.DYADIC_Q's, with
+#: PageRank's own envelope argument):
+#:  - each scattered contribution rank/deg AND each end-of-iteration
+#:    rank (plus the uniform loop's 1/n seed) is quantized to
+#:    floor(x·2^40 + 0.5)/2^40 — every op exact or correctly-rounded
+#:    IEEE, bit-deterministic in any engine;
+#:  - state values are then exact 2^-40 multiples, so both per-
+#:    iteration SUMS (the gather and the per-source total) are EXACT
+#:    integer arithmetic in the 53-bit mantissa, order-independent.
+#:    The exactness envelope |Σ| < 2^13 holds at ANY scale by mass
+#:    conservation: every sum is bounded by the per-source total mass
+#:    of ~1 — no corpus size, in-degree, or executor count breaks it;
+#:  - the remaining per-value arithmetic (×(1−α), +α, /n) is
+#:    correctly-rounded IEEE on bit-identical inputs.
+#: The raw `personalized_pagerank`/`pagerank` default to NO quantization
+#: and are validated against the sequential Python oracle instead.
+#: Semantic deviation from the unquantized loop is ≤ 2^-41 per value
+#: per step — ~1e-13, far below rank scale.
+PR_Q = float(1 << 40)
+
+
+def _dyq(col):
+    """floor(x·2^40 + 0.5)/2^40 — the bit-portable dyadic quantizer."""
+    return F.floor(col * F.lit(PR_Q) + F.lit(0.5)).cast("double") / F.lit(PR_Q)
 
 #: Target rows per shuffle partition inside the iteration loop. The loop
 #: runs ~3 tiny stages × `iterations`, so per-task overhead dominates —
@@ -170,7 +187,7 @@ def personalized_pagerank(
     alpha: float = ALPHA,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = CHECKPOINT_EVERY,
-    round_each: int | None = None,
+    quantize: bool = False,
     prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Run multi-source PPR; returns (source, id, rank) — G3-G6.
@@ -217,13 +234,13 @@ def personalized_pagerank(
 
         return _ppr_loop(
             ranks, edges_adj, vdeg, src_df, iterations, alpha,
-            checkpoint_dir, checkpoint_every, round_each,
+            checkpoint_dir, checkpoint_every, quantize,
         )
 
 
 def _ppr_loop(
     ranks, edges_adj, vdeg, src_df, iterations, alpha,
-    checkpoint_dir=None, checkpoint_every=CHECKPOINT_EVERY, round_each=None,
+    checkpoint_dir=None, checkpoint_every=CHECKPOINT_EVERY, quantize=False,
 ):
     for i in range(iterations):
         # per-source mass that will survive the scatter = rank held by
@@ -234,12 +251,16 @@ def _ppr_loop(
             ranks.filter(F.col("deg") > 0).groupBy("source").agg(F.sum("rank").alias("m"))
         )
         # scatter (G3): each vertex ships rank/deg along its out-edges
+        mass = F.col("rank") / ranks.deg
+        if quantize:
+            # dyadic contributions -> the gather sum is exact (PR_Q note)
+            mass = _dyq(mass)
         contribs = (
             edges_adj.join(ranks, edges_adj.src == ranks.id)
             .select(
                 F.col("dst").alias("id"),
                 "source",
-                (F.col("rank") / ranks.deg).alias("mass"),
+                mass.alias("mass"),
             )
         )
         # gather (G4): sum incoming mass per (vertex, source)
@@ -256,9 +277,9 @@ def _ppr_loop(
             )
             + F.when(F.col("id") == F.col("source"), F.lit(alpha)).otherwise(0.0)
         )
-        if round_each is not None:
-            # determinism contract for the SQL replay oracle (see PR_ROUND)
-            rank_expr = F.round(rank_expr, round_each)
+        if quantize:
+            # determinism contract for the SQL replay oracle (see PR_Q)
+            rank_expr = _dyq(rank_expr)
         ranks = (
             vdeg.crossJoin(F.broadcast(src_df))
             .join(gathered, ["id", "source"], "left")
@@ -279,7 +300,7 @@ def pagerank(
     alpha: float = ALPHA,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = CHECKPOINT_EVERY,
-    round_each: int | None = None,
+    quantize: bool = False,
     prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Uniform (non-personalized) PageRank — the reference's sequential
@@ -302,15 +323,23 @@ def pagerank(
             .cache()
         )
 
+        seed = F.lit(1.0 / n)
+        if quantize:
+            # 1/n is not a dyadic rational -- quantize the seed so even
+            # iteration 0's totals sum is exact (PR_Q note)
+            seed = _dyq(seed)
         ranks = vdeg.select(
-            "id", F.lit(1.0 / n).alias("rank"), "deg"
+            "id", seed.alias("rank"), "deg"
         ).localCheckpoint(eager=True)
 
         for i in range(iterations):
             totals = ranks.filter(F.col("deg") > 0).select(F.sum("rank").alias("m"))
+            mass = F.col("rank") / ranks.deg
+            if quantize:
+                mass = _dyq(mass)
             contribs = (
                 edges_adj.join(ranks, edges_adj.src == ranks.id)
-                .select(F.col("dst").alias("id"), (F.col("rank") / ranks.deg).alias("mass"))
+                .select(F.col("dst").alias("id"), mass.alias("mass"))
             )
             gathered = contribs.groupBy("id").agg(F.sum("mass").alias("mass"))
             rank_expr = (
@@ -321,9 +350,9 @@ def pagerank(
                     + (F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0))) / n
                 )
             )
-            if round_each is not None:
-                # determinism contract for the SQL replay oracle (PR_ROUND)
-                rank_expr = F.round(rank_expr, round_each)
+            if quantize:
+                # determinism contract for the SQL replay oracle (PR_Q)
+                rank_expr = _dyq(rank_expr)
             ranks = (
                 vdeg.join(gathered, "id", "left")
                 .crossJoin(F.broadcast(totals))
@@ -340,12 +369,12 @@ def pagerank_top20(
     prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Global top-20 by uniform PageRank. Runs with the per-iteration
-    PR_ROUND contract, so the iteration-replaying DuckDB oracle
+    PR_Q dyadic contract, so the iteration-replaying DuckDB oracle
     (_pagerank_suite_oracle) value-hash-checks it; the UNROUNDED loop is
     separately validated against the sequential Python oracle in
     tests/test_graph.py. `prebuilt` lets the suite share one graph build
     across the global and personalized runs."""
-    ranks = pagerank(spark, sf_dir, round_each=PR_ROUND, prebuilt=prebuilt)
+    ranks = pagerank(spark, sf_dir, quantize=True, prebuilt=prebuilt)
     return (
         ranks.select("id", F.round("rank", 9).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("id"))
@@ -361,11 +390,11 @@ def ppr_top20(
     """Top-20 vertices per source by rank — G7 as a window rank, replacing
     the reference's mapper-side bounded priority queues + single reducer
     (reference ExtractTopPersonalizedPageRankNodes.java:58-147). Runs
-    with the PR_ROUND per-iteration contract (see pagerank_top20)."""
+    with the PR_Q per-iteration contract (see pagerank_top20)."""
     from pyspark.sql import Window
 
     ranks = personalized_pagerank(
-        spark, sf_dir, round_each=PR_ROUND, prebuilt=prebuilt
+        spark, sf_dir, quantize=True, prebuilt=prebuilt
     )
     w = Window.partitionBy("source").orderBy(F.col("rank").desc(), F.col("id"))
     return (
@@ -379,11 +408,11 @@ def ppr_top20(
 # --- generated DuckDB replay oracle ------------------------------------------
 #
 # The same trick that made kmeans_clusters hash-checkable (cluster.py):
-# replay every iteration as a chained CTE, with BOTH engines rounding the
-# state to PR_ROUND decimals per iteration. Each arithmetic step mirrors
-# the Spark expression's operand order exactly; double ops on identical
-# inputs are IEEE-identical, and the per-iteration round() absorbs the
-# only nondeterminism (summation order, ~1e-16) far below the 1e-8 grid.
+# replay every iteration as a chained CTE, with BOTH engines quantizing
+# contributions and state to the PR_Q dyadic grid per iteration. Each
+# arithmetic step mirrors the Spark expression's operand order exactly;
+# dyadic state makes every sum EXACT (order-independent), so parity is
+# bit-for-bit with zero residual tie risk (PR_Q note).
 
 
 def _pagerank_suite_oracle(
@@ -393,6 +422,7 @@ def _pagerank_suite_oracle(
 ) -> str:
     a = repr(alpha)       # '0.15'  — parses to the same double as F.lit
     b = repr(1 - alpha)   # '0.85'  — Python-computed, mirrored exactly
+    q = f"{PR_Q!r}::DOUBLE"
     src_vals = ", ".join(f"({s})" for s in sources)
     parts = [
         f"""WITH nc AS MATERIALIZED (SELECT max(c_custkey) + 1 AS n FROM customer),
@@ -419,7 +449,8 @@ p_r0 AS MATERIALIZED (
     FROM vdeg CROSS JOIN src
 ),
 u_r0 AS MATERIALIZED (
-    SELECT id, 1.0::DOUBLE / nv.n AS rank, deg FROM vdeg, nv
+    SELECT id, floor(1.0::DOUBLE / nv.n * {q} + 0.5) / {q} AS rank, deg
+    FROM vdeg, nv
 )"""
     ]
     for i in range(iters):
@@ -428,19 +459,20 @@ u_r0 AS MATERIALIZED (
     SELECT source, sum(rank) AS m FROM p_r{i} WHERE deg > 0 GROUP BY source
 ),
 p_g{i} AS MATERIALIZED (
-    SELECT e.dst AS id, r.source, sum(r.rank / r.deg) AS mass
+    SELECT e.dst AS id, r.source,
+           sum(floor(r.rank / r.deg * {q} + 0.5) / {q}) AS mass
     FROM edges e JOIN p_r{i} r ON e.src = r.id
     GROUP BY e.dst, r.source
 ),
 p_r{i + 1} AS MATERIALIZED (
     SELECT v.id, s.source,
-           round({b}::DOUBLE * (coalesce(g.mass, 0.0::DOUBLE)
+           floor(({b}::DOUBLE * (coalesce(g.mass, 0.0::DOUBLE)
                  + CASE WHEN v.id = s.source
                         THEN 1.0::DOUBLE - coalesce(t.m, 0.0::DOUBLE)
                         ELSE 0.0::DOUBLE END)
                  + CASE WHEN v.id = s.source
-                        THEN {a}::DOUBLE ELSE 0.0::DOUBLE END,
-                 {PR_ROUND}) AS rank,
+                        THEN {a}::DOUBLE ELSE 0.0::DOUBLE END)
+                 * {q} + 0.5) / {q} AS rank,
            v.deg
     FROM vdeg v CROSS JOIN (SELECT CAST(source AS BIGINT) AS source FROM src) s
     LEFT JOIN p_g{i} g ON g.id = v.id AND g.source = s.source
@@ -450,16 +482,17 @@ u_t{i} AS MATERIALIZED (
     SELECT sum(rank) AS m FROM u_r{i} WHERE deg > 0
 ),
 u_g{i} AS MATERIALIZED (
-    SELECT e.dst AS id, sum(r.rank / r.deg) AS mass
+    SELECT e.dst AS id,
+           sum(floor(r.rank / r.deg * {q} + 0.5) / {q}) AS mass
     FROM edges e JOIN u_r{i} r ON e.src = r.id
     GROUP BY e.dst
 ),
 u_r{i + 1} AS MATERIALIZED (
     SELECT v.id,
-           round({a}::DOUBLE / nv.n
+           floor(({a}::DOUBLE / nv.n
                  + {b}::DOUBLE * (coalesce(g.mass, 0.0::DOUBLE)
-                   + (1.0::DOUBLE - coalesce(t.m, 0.0::DOUBLE)) / nv.n),
-                 {PR_ROUND}) AS rank,
+                   + (1.0::DOUBLE - coalesce(t.m, 0.0::DOUBLE)) / nv.n))
+                 * {q} + 0.5) / {q} AS rank,
            v.deg
     FROM vdeg v
     LEFT JOIN u_g{i} g ON g.id = v.id

@@ -1052,7 +1052,7 @@ def _suite_oracles() -> dict[str, str]:
         # the standalone boolean-only oracle at merge time)
         "boolean_retrieval": retrieval_sql,
         # iteration-replaying CTE chain (graph.py) — the iterative float
-        # loop is value-hash checked via the PR_ROUND contract
+        # loop is value-hash checked via the PR_Q dyadic contract
         "pagerank_suite": GRAPH_ORACLES["pagerank_suite"],
         # recursive gradient-vector fold (ml.py) — the serial SGD is
         # value-hash checked via the DYADIC_Q bit-exact contract
