@@ -337,7 +337,9 @@ def window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SBE_REPLAY: dict[str, str] = {}
 
 
-def _sbe_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+def _sbe_replay_dir(
+    spark: SparkSession, sf_dir: str, order: str = "scrambled"
+) -> str:
     import atexit
     import os
     import shutil
@@ -345,11 +347,12 @@ def _sbe_replay_dir(spark: SparkSession, sf_dir: str) -> str:
 
     from uw_hadoop_aglorithms_spark.streaming import runner
 
-    d = _SBE_REPLAY.get(sf_dir)
+    key = (sf_dir, order)
+    d = _SBE_REPLAY.get(key)
     if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="sbe_replay_")
-        runner.prepare_replay_dir(spark, sf_dir, d, order="scrambled")
-        _SBE_REPLAY[sf_dir] = d
+        d = tempfile.mkdtemp(prefix=f"sbe_replay_{order}_")
+        runner.prepare_replay_dir(spark, sf_dir, d, order=order)
+        _SBE_REPLAY[key] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
@@ -363,8 +366,22 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch oracle (the original stream_batch_equiv contract).
     variant='dedup' / 'decon' — the ingestion front door: see
     _ingest_collect for the operators and the closed-form watermark
-    oracle design. All three streams run CONCURRENTLY from driver
-    threads (independent sinks/checkpoints)."""
+    oracle design.
+    variant='sessions' — streaming sessionization (session_window,
+    append mode) over the TIME-ORDERED events replay: emits exactly the
+    batch sessions whose close (last event + 30-min gap) the final
+    watermark (max arrival − 60 min) passed — rule pinned empirically
+    at sf0.01 AND sf0.1 (9,525 / 95,280 sessions); last_ts rides the
+    digest column as epoch-micros (integer string — no cross-engine
+    timestamp-formatting hazard).
+    variant='rjoin' — the stream-stream ±5-min interval join: with the
+    ordered replay no partner is ever evicted early, so the emitted set
+    is ALL matches; its oracle is an exact integer-microsecond
+    inequality join (the stream compares full-precision timestamps, so
+    the batch operator's second-truncated banding is NOT the right
+    oracle at boundaries).
+    All streams run CONCURRENTLY from driver threads (independent
+    sinks/checkpoints)."""
     import shutil
     import tempfile
     from concurrent.futures import ThreadPoolExecutor
@@ -372,7 +389,10 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uw_hadoop_aglorithms_spark.streaming import runner
 
     replay = _sbe_replay_dir(spark, sf_dir)
+    replay_t = _sbe_replay_dir(spark, sf_dir, order="time")
     ckpt = tempfile.mkdtemp(prefix="sbe_ckpt_")
+    ck_se = tempfile.mkdtemp(prefix="sbe_ck_se_")
+    ck_rj = tempfile.mkdtemp(prefix="sbe_ck_rj_")
     # The stateful agg repartitions to spark.sql.shuffle.partitions in
     # EVERY micro-batch; the state (one row per event-time window) is
     # tiny, so scope the conf down for the run — a fresh checkpoint pins
@@ -381,9 +401,37 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows, so a small fixed partition count is the right shape there too.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    def grab_sessions():
+        out = runner.stream_user_sessions(
+            spark, replay_t, ck_se, query_name="sbe_sessions_mem"
+        ).select(
+            "user_id",
+            "session_start",
+            F.unix_micros("last_ts").cast("string").alias("lus"),
+            "n_events",
+        )
+        return [
+            ("sessions", r.session_start, int(r.user_id), r.lus, int(r.n_events))
+            for r in out.collect()
+        ]
+
+    def grab_rjoin():
+        out = runner.stream_range_join(
+            spark, replay_t, ck_rj, query_name="sbe_rjoin_mem"
+        )
+        return [
+            (
+                "rjoin", None, int(r.purchase_id),
+                f"{r.user_id}:{r.other_type}", int(r.other_id),
+            )
+            for r in out.collect()
+        ]
+
     try:
-        with ThreadPoolExecutor(2) as pool:
+        with ThreadPoolExecutor(3) as pool:
             f_ing = pool.submit(_ingest_collect, spark, sf_dir)
+            f_se = pool.submit(grab_sessions)
+            f_rj = pool.submit(grab_rjoin)
             out = runner.stream_event_count(
                 spark, replay, ckpt, query_name="stream_batch_equiv_mem"
             )
@@ -392,20 +440,26 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in out.collect()
             ]
             dd, dc = f_ing.result()
+            se, rj = f_se.result(), f_rj.result()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        # the memory sink registers a temp view and the checkpoint is
+        # the memory sinks register temp views and the checkpoints are
         # per-call scratch — bench runs this REPS times, so neither may
         # accumulate
-        try:
-            spark.catalog.dropTempView("stream_batch_equiv_mem")
-        except Exception:
-            pass
+        for v in ("stream_batch_equiv_mem", "sbe_sessions_mem", "sbe_rjoin_mem"):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ck_se, ignore_errors=True)
+        shutil.rmtree(ck_rj, ignore_errors=True)
     rows = (
         win
         + [("dedup", None, d, dg, None) for d, dg in dd]
         + [("decon", ws, d, None, n) for d, ws, n in dc]
+        + se
+        + rj
     )
     return spark.createDataFrame(
         rows,
@@ -968,8 +1022,13 @@ def _suite_oracles() -> dict[str, str]:
         RELATIONAL_ORACLES,
         SIMILARITY_ORACLES,
         STREAMING_ORACLES,
+        TEMPORAL_ORACLES,
         TEXT_ORACLES,
         TEXTSTATS_ORACLES,
+    )
+    from uw_hadoop_aglorithms_spark.operators.temporal import (
+        RANGE_WINDOW_S,
+        SESSION_GAP_S,
     )
     from uw_hadoop_aglorithms_spark.operators.index import PREVIEW_CHARS
 
@@ -1174,6 +1233,39 @@ def _suite_oracles() -> dict[str, str]:
             WHERE (doc_id // 60 + 1) * 60 <= (SELECT count(*) - 61
                                               FROM documents)
             """,
+            # sessions closed by the final watermark (integer-micros
+            # arithmetic end to end — exact, no timestamp formatting)
+            f"""
+            SELECT 'sessions' AS variant, session_start AS window_start,
+                   user_id AS doc_id,
+                   CAST(epoch_us(last_ts) AS VARCHAR) AS digest,
+                   CAST(n_events AS BIGINT) AS n
+            FROM (\n{TEMPORAL_ORACLES["user_sessions"]}\n)
+            WHERE epoch_us(last_ts) + {SESSION_GAP_S * 1_000_000}
+                  <= (SELECT max(epoch_us(ts::TIMESTAMP)) - 3600000000
+                      FROM events)
+            """,
+            # the stream compares FULL-PRECISION timestamps, so the
+            # oracle is an exact microsecond inequality join (the batch
+            # operator's second-truncated banding differs at boundaries)
+            f"""
+            SELECT 'rjoin' AS variant, CAST(NULL AS TIMESTAMP) AS window_start,
+                   purchase_id AS doc_id,
+                   CAST(user_id AS VARCHAR) || ':' || other_type AS digest,
+                   CAST(other_id AS BIGINT) AS n
+            FROM (
+                WITH ev AS (SELECT event_id, user_id, event_type,
+                                   epoch_us(ts::TIMESTAMP) AS us
+                            FROM events),
+                p AS (SELECT event_id AS purchase_id, user_id, us AS ps
+                      FROM ev WHERE event_type = 'purchase')
+                SELECT DISTINCT purchase_id, o.event_id AS other_id,
+                       p.user_id, o.event_type AS other_type
+                FROM p JOIN ev o ON p.user_id = o.user_id
+                  AND abs(o.us - p.ps) <= {RANGE_WINDOW_S * 1_000_000}
+                  AND o.event_id <> p.purchase_id
+            )
+            """,
         ),
         "neardup_pairs": _u(
             _wrap("ngram", DEDUP_ORACLES["ngram_jaccard"],
@@ -1278,6 +1370,7 @@ SUBSUMED: frozenset[str] = frozenset(
         "ann_brute_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_pq_topk",
         "doc_stats",
         "quality_score",
         "repetition_score",
