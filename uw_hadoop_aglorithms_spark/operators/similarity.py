@@ -407,29 +407,38 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_n = len(cb)
     emb = _normed(spark, sf_dir)
 
-    def sub(col: Column, m: int) -> Column:
-        return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    # All codebook-literal expressions are built as SQL STRINGS and
+    # parsed JVM-side in one selectExpr: the Column-API form (thousands
+    # of F.lit/F.struct py4j round-trips for PQ_M×K×SUBDIM literals)
+    # measured 5.1 s of pure DRIVER time per call at sf0.1 — the plan
+    # was fine, its construction wasn't. (A flat scalar-chain rewrite
+    # of the folds was also tried and measured SLOWER than the HOF form
+    # — 14.7 s vs 8.7 s standalone: ~1000-term trees blow up analysis.)
 
-    def lit_sub(k: int, m: int) -> Column:
+    def lits(k: int, m: int) -> str:
         lo = m * PQ_SUBDIM
-        return F.array(*[F.lit(x) for x in cb[k][lo:lo + PQ_SUBDIM]])
+        return ", ".join(f"{x!r}D" for x in cb[k][lo:lo + PQ_SUBDIM])
 
-    def fold_sum(arr: Column) -> Column:
-        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    def d2_sql(k: int, m: int) -> str:
+        lo = m * PQ_SUBDIM
+        return (
+            f"aggregate(zip_with(slice(v, {lo + 1}, {PQ_SUBDIM}),"
+            f" array({lits(k, m)}), (x, c) -> (x - c) * (x - c)),"
+            " 0.0D, (a, x) -> a + x)"
+        )
 
-    codes, recon_terms = [], []
+    enc_exprs = ["*"]
     for m in range(PQ_M):
-        entries = []
-        for k in range(k_n):
-            d2 = fold_sum(
-                F.zip_with(sub(F.col("v"), m), lit_sub(k, m), lambda x, c: (x - c) * (x - c))
-            )
-            entries.append(F.struct(d2.alias("d"), F.lit(k).alias("k")))
-        code_m = F.array_min(F.array(*entries))["k"]
-        codes.append(code_m)
-        # norm² of each codebook subvector: Python left fold — the same
-        # IEEE sequence as the oracle's list_reduce (the _ivf_centroids
-        # argument), selected by the code
+        structs = ", ".join(
+            f"named_struct('d', {d2_sql(k, m)}, 'k', {k})" for k in range(k_n)
+        )
+        enc_exprs.append(f"array_min(array({structs})).k AS c{m}")
+    enc = emb.selectExpr(*enc_exprs)
+    # norm² of each codebook subvector: Python left fold — the same
+    # IEEE sequence as the oracle's list_reduce (the _ivf_centroids
+    # argument), selected by the stored code
+    recon_terms = []
+    for m in range(PQ_M):
         n2 = []
         for k in range(k_n):
             acc = 0.0
@@ -437,27 +446,38 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for x in cb[k][lo:lo + PQ_SUBDIM]:
                 acc = acc + x * x
             n2.append(acc)
-        recon_terms.append(
-            F.element_at(F.array(*[F.lit(x) for x in n2]), F.col(f"c{m}") + 1)
-        )
-    enc = emb
-    for m, code_m in enumerate(codes):
-        enc = enc.withColumn(f"c{m}", code_m)
-    recon2 = F.lit(0.0)
-    for t in recon_terms:
-        recon2 = recon2 + t
-    enc = enc.withColumn("recon2", recon2).localCheckpoint(eager=True)
+        arr = ", ".join(f"{x!r}D" for x in n2)
+        recon_terms.append(f"element_at(array({arr}), c{m} + 1)")
+    enc = enc.selectExpr(
+        "*", "0.0D + " + " + ".join(recon_terms) + " AS recon2"
+    ).localCheckpoint(eager=True)
 
-    q = enc.filter(_is_query(F.col("vec_id"))).select("vec_id", "v", "nrm").alias("q")
+    # THE ADC trick proper: each query precomputes its lookup tables
+    # tab_m[k] = dot(q_m, cb[m][k]) ONCE (|queries|×PQ_M×K dots — the
+    # broadcast side), so each of the |queries|×|corpus| pairs costs
+    # PQ_M array lookups + adds instead of PQ_M subvector dots.
+    # Exactness: each table entry is the same fold the oracle computes
+    # per pair, so the looked-up double is bit-identical.
+    def tab_sql(m: int) -> str:
+        lo = m * PQ_SUBDIM
+        dots = ", ".join(
+            f"aggregate(zip_with(slice(v, {lo + 1}, {PQ_SUBDIM}),"
+            f" array({lits(k, m)}), (x, y) -> x * y),"
+            " 0.0D, (a, x) -> a + x)"
+            for k in range(k_n)
+        )
+        return f"array({dots}) AS tab{m}"
+
+    q = (
+        enc.filter(_is_query(F.col("vec_id")))
+        .selectExpr("vec_id", "v", "nrm", *[tab_sql(m) for m in range(PQ_M)])
+        .alias("q")
+    )
     c = enc.alias("c")
-    adc = F.lit(0.0)
-    for m in range(PQ_M):
-        sel = F.element_at(
-            F.array(*[lit_sub(k, m) for k in range(k_n)]), F.col(f"c.c{m}") + 1
-        )
-        adc = adc + fold_sum(
-            F.zip_with(sub(F.col("q.v"), m), sel, lambda x, y: x * y)
-        )
+    adc = F.expr(
+        "0.0D + "
+        + " + ".join(f"element_at(q.tab{m}, c.c{m} + 1)" for m in range(PQ_M))
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
@@ -494,7 +514,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cv, "neighbor_id")
         .withColumn(
             "cosine",
-            fold_sum(F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y))
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
             / (F.col("qn") * F.col("cn")),
         )
     )
