@@ -47,7 +47,7 @@ def lineset(cols, rows):
 
 def divergence_report(name, scols, srows, dcols, drows, limit=5):
     """On hash mismatch: which variant/rows diverge first. Makes a
-    rounding-grid boundary tie (graph.PR_ROUND note)
+    rounding-grid boundary tie (cluster.KM_ROUND / textstats grid notes)
     distinguishable from a real bug: a tie shows one value off by
     exactly one grid step in one variant, a bug shows broad diffs."""
     s, d = lineset(scols, srows), lineset(dcols, drows)

@@ -468,7 +468,7 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("variant", "window_start", "doc_id")
 
 
-#: Session-scoped document-replay dirs for ingest_suite, one per sf_dir
+#: Session-scoped document-replay dirs for the ingest variants, one per sf_dir
 #: (immutable input — same rationale as _SBE_REPLAY).
 _INGEST_REPLAY: dict[str, str] = {}
 

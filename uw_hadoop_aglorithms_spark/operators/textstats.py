@@ -364,7 +364,7 @@ def approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the per-doc sum, final mean rounded to 1e-6 — absorbs cross-engine
 #: summation-order noise (~1e-13 absolute for 100-token docs) and any
 #: 1-ulp ln() divergence between the JVM and libm, with the same
-#: tie-at-grid-boundary residual risk as graph.PR_ROUND (ml's serial fold migrated to the tie-free dyadic contract in round 5).
+#: tie-at-grid-boundary residual risk as cluster.KM_ROUND (ml and graph migrated to the tie-free dyadic contract in round 5; the log()-based grids here cannot — a 1-ulp libm log divergence needs absorbing, which only a coarse grid does).
 LM_LOG_ROUND = 9
 LM_ROUND = 6
 
