@@ -53,3 +53,44 @@ def test_uhash_family_stays_in_range_and_is_deterministic(ph, i):
     # distinct members disagree somewhere (family is non-degenerate)
     a2, b2 = hashing.hash_params(i + 1)
     assert (a, b) != (a2, b2)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-8000.0, max_value=8000.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_dyadic_quantizer_three_way_bit_identity(spark, duck, xs):
+    """floor(x·2^40 + 0.5)/2^40 — the contract three operator families
+    rest on (ml.DYADIC_Q, graph.PR_Q, batch GD) — must produce the
+    BIT-IDENTICAL double in CPython, Spark, and DuckDB for any input in
+    the exactness envelope, and its outputs must be exact 2^-40
+    multiples (so sums of them are order-independent)."""
+    import math
+    import struct
+
+    con = duck
+    Q = float(1 << 40)
+    py = [math.floor(x * Q + 0.5) / Q for x in xs]
+    rows = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i int, x double")
+    sp = [
+        r.q
+        for r in rows.select(
+            "i", (F.floor(F.col("x") * F.lit(Q) + F.lit(0.5)).cast("double") / F.lit(Q)).alias("q")
+        ).orderBy("i").collect()
+    ]
+    dk = [
+        con.execute(
+            f"SELECT floor({x!r}::DOUBLE * {Q!r} + 0.5) / {Q!r}"
+        ).fetchone()[0]
+        for x in xs
+    ]
+    bits = lambda v: struct.pack("<d", v)  # noqa: E731
+    for a, b, c in zip(py, sp, dk):
+        assert bits(a) == bits(b) == bits(c), (a, b, c)
+        assert a * Q == math.floor(a * Q), a  # exact dyadic multiple
