@@ -374,3 +374,27 @@ def test_incremental_neardup_maintenance_invariant(spark):
         assert incr[p] == j, p
     # and every incremental pair touches the batch
     assert all(a >= SPLIT or b >= SPLIT for a, b in incr)
+
+
+def test_semantic_dedup_scaled_subset_and_cell_locality(spark):
+    """The K-scales-with-corpus SemDeDup form (DataFrame-join
+    assignment, no literal centroid expressions) must emit only true
+    cosine pairs with bit-identical cosines (subset of the brute-force
+    ground truth) and only pairs sharing a probed cell."""
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_cosine_dups(spark, SF_TEST).collect()
+    }
+    scaled = dedup.semantic_dedup_pairs_scaled(spark, SF_TEST, n_cells=16).collect()
+    assert scaled, "scaled SemDeDup should find pairs on the fixture"
+    for r in scaled:
+        assert (r.vec_a, r.vec_b) in brute
+        assert r.cosine == brute[(r.vec_a, r.vec_b)]
+    # scaling K shrinks cells: a larger codebook must not INVENT pairs
+    bigger = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.semantic_dedup_pairs_scaled(
+            spark, SF_TEST, n_cells=29
+        ).collect()
+    }
+    assert bigger <= set(brute)

@@ -865,3 +865,97 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+#: Scaled-SemDeDup codebook sampling: up to `n_cells` corpus vectors by
+#: id (the IVF/PQ offline-quantizer stand-in).
+SEM_CB_MOD = 17
+
+
+def semantic_dedup_pairs_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 64,
+    probes: int = SEM_PROBES,
+) -> DataFrame:
+    """SemDeDup at the K-scales-with-corpus operating point (round 5).
+
+    The registered `semantic_dedup_pairs` trains a KM_K=8 Lloyd's
+    codebook and assigns vectors through LITERAL centroid expressions —
+    exactly right for a bounded codebook, structurally wrong once a
+    deployment scales K with N to keep cells bounded (K in the
+    thousands cannot live in an expression tree; SCALING.md records the
+    10x stress deliberately omitting the fixed-K form for this reason).
+    This is the scale form: the codebook is a DATAFRAME (here up to
+    `n_cells` corpus vectors sampled by id — the offline-trained-
+    quantizer stand-in _ivf_centroids established), assignment is a
+    broadcast join + per-vector top-`probes` window instead of literal
+    expressions, and the within-cell comparison is unchanged. Work is
+    sum(|cell|^2) with |cell| ~ N/K held constant by scaling K; the
+    assignment join is |corpus| x K rows map-side against a broadcast
+    codebook (a real deployment prunes it with a coarse first-level
+    quantizer — the IVF-within-IVF standard).
+
+    Guarantees (tested): every emitted pair is a brute-force cosine
+    pair with the bit-identical cosine (subset property), and pairs
+    only ever form inside a shared probed cell.
+    """
+    emb = spread_for_cpu(Catalog(spark, sf_dir).embeddings, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(
+            (F.col("vec_id") % SEM_CB_MOD == 0)
+            & (F.col("vec_id") < SEM_CB_MOD * n_cells)
+        )
+        .select(
+            F.col("vec_id").alias("cb_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "cb_id")
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", dist.alias("dist"), "cb_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= probes)
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    assigned = assigned.select(
+        "vec_id", "v", norm.alias("norm"), F.col("cb_id").alias("cid")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )
