@@ -590,7 +590,35 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = fn(spark, sf_dir).collect()
         return [(int(r[a]), int(r[b]), cast(r[s])) for r in rows]
 
-    with ThreadPoolExecutor(6) as pool:
+    def grab_incr():
+        # the lake-maintenance form under the oracle contract (round 5):
+        # index the lower half of the corpus, run the upper half as the
+        # arriving batch; the maintenance invariant says the result is
+        # exactly the batch MinHash pairs touching the new half
+        import os
+        import threading
+
+        n = Catalog(spark, sf_dir).documents.count()
+        split = n // 2
+        docs = Catalog(spark, sf_dir).documents
+        prefix = f"ndp_incr_{os.getpid()}_{threading.get_ident()}"
+        try:
+            dedup.save_neardup_index(
+                docs.where(F.col("doc_id") < split), prefix
+            )
+            rows = dedup.incremental_neardup_pairs(
+                spark, prefix, docs.where(F.col("doc_id") >= split)
+            ).collect()
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_hsets")
+        return [
+            (min(int(r.doc_a), int(r.doc_b)), max(int(r.doc_a), int(r.doc_b)),
+             float(r.jaccard))
+            for r in rows
+        ]
+
+    with ThreadPoolExecutor(8) as pool:
         futs = {
             "ngram": pool.submit(grab, dedup.ngram_jaccard_pairs, "doc_a", "doc_b", "jaccard"),
             "minhash": pool.submit(grab, dedup.minhash_lsh_dedup, "doc_a", "doc_b", "jaccard"),
@@ -598,10 +626,20 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine": pool.submit(grab, dedup.embedding_cosine_dups, "vec_a", "vec_b", "cosine"),
             "winnow": pool.submit(grab, dedup.winnow_dup_pairs, "doc_a", "doc_b", "n_shared"),
             "semantic": pool.submit(grab, dedup.semantic_dedup_pairs, "vec_a", "vec_b", "cosine"),
+            # round 5: the K-scales-with-corpus SemDeDup form (DataFrame
+            # codebook join, no literal centroids)…
+            "sem_scaled": pool.submit(
+                grab, dedup.semantic_dedup_pairs_scaled, "vec_a", "vec_b", "cosine"
+            ),
+            # …and the persisted-band-index incremental form
+            "incr": pool.submit(grab_incr),
         }
         rows = [
             (algo, a, b, s)
-            for algo in ("ngram", "minhash", "simhash", "cosine", "winnow", "semantic")
+            for algo in (
+                "ngram", "minhash", "simhash", "cosine", "winnow",
+                "semantic", "sem_scaled", "incr",
+            )
             for (a, b, s) in futs[algo].result()
         ]
     return spark.createDataFrame(
@@ -1282,6 +1320,17 @@ def _suite_oracles() -> dict[str, str]:
                   "CAST(n_shared AS DOUBLE) AS score", tag="algo"),
             _wrap("semantic", DEDUP_ORACLES["semantic_dedup_pairs"],
                   "vec_a AS id_a, vec_b AS id_b, cosine AS score", tag="algo"),
+            _wrap("sem_scaled", DEDUP_ORACLES["semantic_dedup_scaled"],
+                  "vec_a AS id_a, vec_b AS id_b, cosine AS score", tag="algo"),
+            # the incremental form's maintenance invariant: its emitted
+            # set IS the batch MinHash pairs touching the new half
+            f"""
+            SELECT 'incr' AS algo, doc_a AS id_a, doc_b AS id_b,
+                   jaccard AS score
+            FROM (\n{DEDUP_ORACLES["minhash_lsh_dedup"]}\n)
+            WHERE doc_a >= (SELECT count(*) // 2 FROM documents)
+               OR doc_b >= (SELECT count(*) // 2 FROM documents)
+            """,
         ),
         "decontaminate": _u(
             _wrap("index", DEDUP_ORACLES["decontaminate"]),

@@ -810,6 +810,52 @@ def _semantic_dedup_sql() -> str:
     """
 
 
+def _semantic_dedup_scaled_sql(n_cells: int = 64) -> str:
+    """Scaled SemDeDup (round 5): sampled DataFrame codebook (same id
+    rule as the Spark side), join-based top-probes assignment, same
+    within-cell cosine — every fold mirrors the zip_with+aggregate
+    order (mirrors dedup.semantic_dedup_pairs_scaled)."""
+    from uw_hadoop_aglorithms_spark.operators.dedup import SEM_CB_MOD, SEM_PROBES
+
+    d = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(range(len(e.v)), "
+        "i -> (e.v[i + 1] - cb.cv[i + 1]) * (e.v[i + 1] - cb.cv[i + 1]))), "
+        "(a, x) -> a + x)"
+    )
+    dot = _fold_sum(
+        "list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (
+            SELECT vec_id AS cb_id, embedding::DOUBLE[] AS cv FROM embeddings
+            WHERE vec_id % {SEM_CB_MOD} = 0
+              AND vec_id < {SEM_CB_MOD * n_cells}
+        ),
+        probed AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, cb.cb_id AS cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {d}, cb.cb_id
+                       ) AS rn
+                FROM e, cb
+            ) WHERE rn <= {SEM_PROBES}
+        ),
+        n AS (
+            SELECT vec_id, cid, v,
+                   sqrt({_fold_sum('list_transform(v, x -> x * x)')}) AS nrm
+            FROM probed
+        )
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {dot} / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {dot} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """
+
+
 # --- multimodal plumbing (operators/multimodal.py) --------------------------
 # The media table derives payloads from ASCII text (bytes == chars), so
 # the byte-level features the Pandas UDFs compute are expressible over
@@ -1399,6 +1445,7 @@ CURATION_ORACLES: dict[str, str] = {
 # composes the doc_fingerprint CTE); both ride the neardup suite key.
 DEDUP_ORACLES["winnow_dup_pairs"] = _winnow_pairs_sql()
 DEDUP_ORACLES["semantic_dedup_pairs"] = _semantic_dedup_sql()
+DEDUP_ORACLES["semantic_dedup_scaled"] = _semantic_dedup_scaled_sql()
 
 
 def all_oracles() -> dict[str, str]:
