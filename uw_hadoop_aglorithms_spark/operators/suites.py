@@ -1415,6 +1415,7 @@ SUBSUMED: frozenset[str] = frozenset(
         "embedding_cosine_dups",
         "winnow_dup_pairs",
         "semantic_dedup_pairs",
+        "semantic_dedup_scaled",
         "decontaminate_bloom",
         "ann_brute_topk",
         "ann_lsh_topk",
