@@ -74,9 +74,16 @@ if only:
     qmap = {k: v for k, v in qmap.items() if k in keys}
 results = {}
 for name, fn in sorted(qmap.items()):
-    sdf = fn(spark, SF)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
+    # one failing key must cost only its own row, never the run
+    # (the bench.py round-2 lesson, applied to the sim)
+    try:
+        sdf = fn(spark, SF)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+    except Exception as exc:  # noqa: BLE001 — record and move on
+        results[name] = {"count_match": False, "err": f"{type(exc).__name__}: {exc}"[:200]}
+        print(f"{name}: ERR {results[name]['err']}")
+        continue
     if name not in omap:
         results[name] = {"mode": "rows-only", "rows": len(srows)}
         print(f"{name}: rows-only rows={len(srows)}")
