@@ -611,7 +611,7 @@ def epoch_order(docs: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFram
         offsets[r.pid] = acc
         acc += r["count"]
     if not offsets:
-        return keyed.drop("pid").withColumn("position", F.lit(0).cast("int"))
+        return keyed.drop("pid").withColumn("position", F.lit(0).cast("long"))
     omap = F.create_map(
         *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
     )
@@ -619,7 +619,9 @@ def epoch_order(docs: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFram
     return (
         keyed.withColumn(
             "position",
-            (omap[F.col("pid")] + F.row_number().over(w) - 1).cast("int"),
+            # long, not int: position exceeds 2^31 inside the 100 TB
+            # regime this rewrite exists for
+            (omap[F.col("pid")] + F.row_number().over(w) - 1).cast("long"),
         )
         .drop("pid")
     )
@@ -645,9 +647,7 @@ def write_epoch_shards(
     different epoch reshuffles. Shard membership is carried by file
     boundaries, so the loader needs no index — file k IS order-range k.
     """
-    from uw_hadoop_aglorithms_spark.functions.hashing import uhash
-
-    from uw_hadoop_aglorithms_spark.functions.hashing import P as _P
+    from uw_hadoop_aglorithms_spark.functions.hashing import P as _P, uhash
 
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
     # mod-P reduction first: uhash input must stay < P (epoch_order note)

@@ -337,24 +337,33 @@ def window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SBE_REPLAY: dict[str, str] = {}
 
 
-def _sbe_replay_dir(
-    spark: SparkSession, sf_dir: str, order: str = "scrambled"
-) -> str:
+def _cached_replay_dir(tag: str, sf_dir: str, prepare) -> str:
+    """Memoized immutable replay input: build once per (kind, sf_dir),
+    reuse across suite calls, remove at process exit."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    from uw_hadoop_aglorithms_spark.streaming import runner
-
-    key = (sf_dir, order)
+    key = (tag, sf_dir)
     d = _SBE_REPLAY.get(key)
     if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix=f"sbe_replay_{order}_")
-        runner.prepare_replay_dir(spark, sf_dir, d, order=order)
+        d = tempfile.mkdtemp(prefix=f"replay_{tag}_")
+        prepare(d)
         _SBE_REPLAY[key] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
+
+
+def _sbe_replay_dir(
+    spark: SparkSession, sf_dir: str, order: str = "scrambled"
+) -> str:
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    return _cached_replay_dir(
+        f"events_{order}", sf_dir,
+        lambda d: runner.prepare_replay_dir(spark, sf_dir, d, order=order),
+    )
 
 
 def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,26 +477,15 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("variant", "window_start", "doc_id")
 
 
-#: Session-scoped document-replay dirs for the ingest variants, one per sf_dir
-#: (immutable input — same rationale as _SBE_REPLAY).
-_INGEST_REPLAY: dict[str, str] = {}
-
-
 def _ingest_replay_dir(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
+    """Session-scoped DOCUMENT replay (the ingest variants) — same
+    cache/cleanup machinery as the events replay, different prepare."""
     from uw_hadoop_aglorithms_spark.streaming import runner
 
-    d = _INGEST_REPLAY.get(sf_dir)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="ingest_replay_")
-        runner.prepare_doc_replay_dir(spark, sf_dir, d)
-        _INGEST_REPLAY[sf_dir] = d
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+    return _cached_replay_dir(
+        "docs", sf_dir,
+        lambda d: runner.prepare_doc_replay_dir(spark, sf_dir, d),
+    )
 
 
 def _ingest_collect(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
@@ -836,6 +834,7 @@ def _epoch_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.input_file_name().alias("f"),
                 F.monotonically_increasing_id().alias("mid"),
+                F.spark_partition_id().alias("sp"),
             )
             .withColumn(
                 "k",
@@ -850,25 +849,39 @@ def _epoch_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") < pk) | ((F.col("k") == pk) & (F.col("doc_id") < pid)),
             F.lit(1),
         ).otherwise(F.lit(0))
+        # range boundaries as (k, doc_id) TUPLES — the shard writer
+        # range-partitions on both, so a residue tie split across
+        # adjacent shards (guaranteed for corpora beyond ~sqrt(P) docs)
+        # is a legal layout the cert must accept
         stats = (
-            back.select("f", "k", "doc_id", viol.alias("v"))
+            back.select("f", "k", "doc_id", "sp", viol.alias("v"))
             .groupBy("f")
             .agg(
-                F.min("k").alias("lo"),
-                F.max("k").alias("hi"),
+                F.min(F.struct("k", "doc_id")).alias("lo"),
+                F.max(F.struct("k", "doc_id")).alias("hi"),
                 F.sum("v").alias("viol"),
                 F.count("*").alias("cnt"),
                 F.countDistinct("doc_id").alias("n_ids"),
+                F.countDistinct("sp").alias("n_splits"),
             )
             .collect()
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    stats.sort(key=lambda r: r.lo)
-    disjoint = all(a.hi < b.lo for a, b in zip(stats, stats[1:]))
+    stats.sort(key=lambda r: (r.lo.k, r.lo.doc_id))
+    disjoint = all(
+        (a.hi.k, a.hi.doc_id) < (b.lo.k, b.lo.doc_id)
+        for a, b in zip(stats, stats[1:])
+    )
+    # the mid-based within-file order check reads row order, which is
+    # only file-offset order when Spark scans the file as ONE split —
+    # true at suite scale; a multi-split file (beyond
+    # files.maxPartitionBytes) is excluded from the order check rather
+    # than spuriously failing it (its range membership is still pinned)
+    order_ok = all(r.viol == 0 for r in stats if r.n_splits == 1)
     cert = (
         disjoint
-        and sum(r.viol for r in stats) == 0
+        and order_ok
         and sum(r.cnt for r in stats) == n_docs
         and sum(r.n_ids for r in stats) == n_docs
     )
@@ -1008,18 +1021,30 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both exact linear interpolation but not guaranteed
         # bit-identical; a 1-ulp difference at an integer boundary flips
         # floor() and fails the whole suite hash. Picking an actual
-        # element is engine-neutral by construction — both engines sort
-        # the same multiset and index with the same IEEE floor(p*(n-1)).
-        # (Bound CHOICE needn't be exact at 100 TB — approx_percentile
-        # would do there; exactness here serves the oracle contract.)
+        # element is engine-neutral by construction. Ranks come from ONE
+        # value-counts aggregate (|distinct user_id| rows — a bounded
+        # domain column, so the collect stays bounded at any corpus
+        # size) walked cumulatively on the driver; the earlier
+        # offset/limit form ran two full sorts, each funnelling ~0.4·|n|
+        # rows through a single-partition CollectLimit.
         import math as _math
 
-        n_ev = cat.events.count()
-        uid_sorted = cat.events.select("user_id").orderBy("user_id")
+        vc = sorted(
+            (r.user_id, r.c)
+            for r in cat.events.groupBy("user_id")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        n_ev = sum(c for _, c in vc)
 
         def _rank_value(p: float) -> int:
             r = int(_math.floor(p * (n_ev - 1)))
-            return uid_sorted.offset(r).limit(1).first().user_id
+            acc = 0
+            for uid, c in vc:
+                acc += c
+                if acc > r:
+                    return uid
+            return vc[-1][0]
 
         band_lo, band_hi = _rank_value(0.40), _rank_value(0.45)
         minute = (F.unix_timestamp("ts") / 60).cast("long")
@@ -1067,6 +1092,12 @@ def _suite_oracles() -> dict[str, str]:
     from uw_hadoop_aglorithms_spark.operators.temporal import (
         RANGE_WINDOW_S,
         SESSION_GAP_S,
+    )
+    from uw_hadoop_aglorithms_spark.streaming.runner import (
+        DECON_WINDOW_MIN,
+        DEDUP_WATERMARK_MIN,
+        DOC_REPLAY_FILES,
+        WATERMARK_MIN,
     )
     from uw_hadoop_aglorithms_spark.operators.index import PREVIEW_CHARS
 
@@ -1216,13 +1247,14 @@ def _suite_oracles() -> dict[str, str]:
                 "window_start, CAST(NULL AS BIGINT) AS doc_id,"
                 " CAST(NULL AS VARCHAR) AS digest, cnt AS n",
             ),
-            """
+            f"""
             SELECT 'dedup' AS variant,
                    CAST(NULL AS TIMESTAMP) AS window_start,
                    doc_id, digest, CAST(NULL AS BIGINT) AS n
             FROM (
                 WITH RECURSIVE params AS (
-                    SELECT count(*) AS n, (count(*) + 7) // 8 AS w
+                    SELECT count(*) AS n,
+                           (count(*) + {DOC_REPLAY_FILES} - 1) // {DOC_REPLAY_FILES} AS w
                     FROM documents
                 ),
                 dig AS (
@@ -1241,17 +1273,21 @@ def _suite_oracles() -> dict[str, str]:
                 -- watermark: wm(batch b) = arrival-minute of the last
                 -- doc of batch b-2, minus the 120-min delay
                 chain(digest, rn, doc_id, kept, anchor_exp) AS (
-                    SELECT digest, rn, doc_id, TRUE, doc_id + 120
+                    SELECT digest, rn, doc_id, TRUE,
+                           doc_id + {DEDUP_WATERMARK_MIN}
                     FROM ordered WHERE rn = 1
                     UNION ALL
                     SELECT o.digest, o.rn, o.doc_id,
                            (CASE WHEN o.doc_id // p.w >= 2
-                                 THEN LEAST((o.doc_id // p.w - 1) * p.w, p.n) - 121
+                                 THEN LEAST((o.doc_id // p.w - 1) * p.w, p.n)
+                                      - 1 - {DEDUP_WATERMARK_MIN}
                                  ELSE -1000000 END) > c.anchor_exp,
                            CASE WHEN (CASE WHEN o.doc_id // p.w >= 2
-                                 THEN LEAST((o.doc_id // p.w - 1) * p.w, p.n) - 121
+                                 THEN LEAST((o.doc_id // p.w - 1) * p.w, p.n)
+                                      - 1 - {DEDUP_WATERMARK_MIN}
                                  ELSE -1000000 END) > c.anchor_exp
-                                THEN o.doc_id + 120 ELSE c.anchor_exp END
+                                THEN o.doc_id + {DEDUP_WATERMARK_MIN}
+                                ELSE c.anchor_exp END
                     FROM ordered o
                     JOIN chain c ON o.digest = c.digest AND o.rn = c.rn + 1,
                          params p
@@ -1262,14 +1298,15 @@ def _suite_oracles() -> dict[str, str]:
             f"""
             SELECT 'decon' AS variant,
                    TIMESTAMP '2024-01-01 00:00:00'
-                     + to_minutes(CAST((doc_id // 60) * 60 AS BIGINT))
+                     + to_minutes(CAST((doc_id // {DECON_WINDOW_MIN})
+                                       * {DECON_WINDOW_MIN} AS BIGINT))
                      AS window_start,
                    doc_id,
                    CAST(NULL AS VARCHAR) AS digest,
                    CAST(n_shared_ngrams AS BIGINT) AS n
             FROM (\n{DEDUP_ORACLES["decontaminate_bloom"]}\n)
-            WHERE (doc_id // 60 + 1) * 60 <= (SELECT count(*) - 61
-                                              FROM documents)
+            WHERE (doc_id // {DECON_WINDOW_MIN} + 1) * {DECON_WINDOW_MIN}
+                  <= (SELECT count(*) - 1 - {WATERMARK_MIN} FROM documents)
             """,
             # sessions closed by the final watermark (integer-micros
             # arithmetic end to end — exact, no timestamp formatting)
@@ -1280,7 +1317,8 @@ def _suite_oracles() -> dict[str, str]:
                    CAST(n_events AS BIGINT) AS n
             FROM (\n{TEMPORAL_ORACLES["user_sessions"]}\n)
             WHERE epoch_us(last_ts) + {SESSION_GAP_S * 1_000_000}
-                  <= (SELECT max(epoch_us(ts::TIMESTAMP)) - 3600000000
+                  <= (SELECT max(epoch_us(ts::TIMESTAMP))
+                             - {WATERMARK_MIN * 60_000_000}
                       FROM events)
             """,
             # the stream compares FULL-PRECISION timestamps, so the

@@ -20,7 +20,11 @@ from uw_hadoop_aglorithms_spark.sources.schemas import EVENTS
 #: each micro-batch consuming one (the reference's 1-file-per-batch).
 REPLAY_FILES = 12
 
-WATERMARK = "60 minutes"
+#: Event-time watermark delay in minutes (single source of truth — the
+#: stream_batch_equiv oracles interpolate this, so changing it is a
+#: one-line edit, not a hash-mismatch hunt).
+WATERMARK_MIN = 60
+WATERMARK = f"{WATERMARK_MIN} minutes"
 
 
 #: Deterministic permutation seed for order="scrambled" replays.
@@ -337,10 +341,13 @@ def stream_region_event_count(
 #: once the watermark passes, so state is bounded by the horizon's
 #: arrival rate, not the corpus (the whole point vs batch exact_dedup's
 #: full-corpus groupBy).
-DEDUP_WATERMARK = "120 minutes"
+DEDUP_WATERMARK_MIN = 120
+DEDUP_WATERMARK = f"{DEDUP_WATERMARK_MIN} minutes"
 #: Synthetic deterministic arrival clock for the document replay:
 #: doc i arrives at BASE + i minutes.
 DOC_REPLAY_FILES = 8
+#: stream_decontaminate's tumbling-window width (minutes).
+DECON_WINDOW_MIN = 60
 
 
 def prepare_doc_replay_dir(
@@ -517,7 +524,9 @@ def stream_decontaminate(
     sh = dedup._token_ngram_hashes(stream_docs, extra_cols=("ts",))
     hits = dedup.bloom_probe(sh, bitmap)
     counts = (
-        hits.groupBy(F.window("ts", "60 minutes").alias("w"), "doc_id")
+        hits.groupBy(
+            F.window("ts", f"{DECON_WINDOW_MIN} minutes").alias("w"), "doc_id"
+        )
         .agg(F.count("*").alias("n_shared_ngrams"))
         .select(F.col("w.start").alias("window_start"), "doc_id", "n_shared_ngrams")
     )
