@@ -12,6 +12,10 @@ SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 
 spark = (SparkSession.builder.appName("driver-sim").master("local[8]")
          .config("spark.sql.shuffle.partitions", "16")
+         # one JVM runs all 50 keys back-to-back; the 1g default heap is
+         # borderline at sf0.1 (observed: a transient localCheckpoint
+         # failure on the alphabetically-late pagerank_suite)
+         .config("spark.driver.memory", "8g")
          .config("spark.sql.session.timeZone", "UTC").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
