@@ -571,7 +571,7 @@ def decontaminate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The six near-dup detectors run CONCURRENTLY from driver threads
+    """The eight near-dup detectors run CONCURRENTLY from driver threads
     (the pagerank_suite trick): each member is an independent fused-scan
     DAG that deliberately shares no cached state (dedup._gram_hash_sets
     note), and a UNION of the members executes its AQE stages
