@@ -438,3 +438,85 @@ def test_stream_dedup_state_survives_checkpoint_restart(spark, tmp_path):
     assert run1 <= final
     assert final == ref
     assert len(final_rows) == len(final), "no duplicate emissions"
+
+
+def test_stream_dedup_multi_copy_chains_follow_watermark_state_machine(spark, tmp_path):
+    """The fixture corpora never exceed two copies per digest; this
+    builds a synthetic corpus with 3- and 4-copy chains spanning
+    multiple eviction windows and checks the admitted set against a
+    sequential simulation of the dropDuplicatesWithinWatermark state
+    machine (the lag-one per-batch watermark rule pinned at sf0.1:
+    state evicted in batch b only once the max event time through batch
+    b-2, minus the delay, passes the last KEPT copy's expiry)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    n, files = 400, runner.DOC_REPLAY_FILES
+    width = -(-n // files)
+    horizon = 120  # DEDUP_WATERMARK_MIN
+
+    # digest groups: doc i shares text with doc i+g for chains below;
+    # everything else unique
+    chains = {
+        "A": [5, 30, 260, 300],    # in-horizon dup, far dup, near dup
+        "B": [10, 150, 340],       # far, then far again
+        "C": [50, 60, 70, 80],     # dense in-horizon run
+    }
+    text_of = {}
+    for tag, ids in chains.items():
+        for i in ids:
+            text_of[i] = f"chain {tag} payload"
+    rows = [
+        (i, text_of.get(i, f"unique doc {i} body"), None) for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "text",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(doc_id as int),0) AS ts",
+    )
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    names = []
+    for k in range(files):
+        lo, hi = k * width, (k + 1) * width
+        scratch = str(tmp_path / f"b{k}")
+        (
+            docs.where((docs.doc_id >= lo) & (docs.doc_id < hi))
+            .coalesce(1).sortWithinPartitions("ts")
+            .write.mode("overwrite").parquet(scratch)
+        )
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        dest = f"{replay}/block-{k:02d}.parquet"
+        shutil.move(part, dest)
+        names.append(dest)
+    base = time.time() - len(names)
+    for i, dst in enumerate(names):
+        os.utime(dst, (base + i, base + i))
+
+    got = {
+        r.doc_id
+        for r in runner.stream_exact_dedup(
+            spark, replay, str(tmp_path / "ck"), query_name="sded_chains"
+        ).collect()
+    }
+    spark.catalog.dropTempView("sded_chains")
+
+    # sequential state machine: greedy chain under the lag-one watermark
+    def wm_before(batch):  # minutes; -inf until batch 2
+        return (batch - 1) * width - 1 - horizon if batch >= 2 else -(10**9)
+
+    expect = set(i for i in range(n) if i not in text_of)
+    for ids in chains.values():
+        anchor_exp = None
+        for i in sorted(ids):
+            b = i // width
+            if anchor_exp is None or wm_before(b) > anchor_exp:
+                expect.add(i)
+                anchor_exp = i + horizon
+            # drops never extend state
+    assert got == expect, (sorted(got - expect), sorted(expect - got))
