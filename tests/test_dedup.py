@@ -398,3 +398,33 @@ def test_semantic_dedup_scaled_subset_and_cell_locality(spark):
         ).collect()
     }
     assert bigger <= set(brute)
+
+
+def test_extend_neardup_index_equals_fresh_build(spark):
+    """Growing the persisted index with an admitted batch must be
+    indistinguishable from rebuilding it: after extend(old_idx, mid),
+    querying a final batch yields exactly the pairs a fresh
+    index(old ∪ mid) yields — and the grown tables stay bucketed (the
+    exchange-free join layout survives appends)."""
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    old = docs.where(F.col("doc_id") < 150)
+    mid = docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    new = docs.where(F.col("doc_id") >= 300)
+
+    def pairs(prefix):
+        return {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.incremental_neardup_pairs(spark, prefix, new).collect()
+        }
+
+    try:
+        dedup.save_neardup_index(old, "grown")
+        dedup.extend_neardup_index(mid, "grown")
+        grown = pairs("grown")
+        dedup.save_neardup_index(docs.where(F.col("doc_id") < 300), "fresh")
+        fresh = pairs("fresh")
+    finally:
+        for t in ("grown_bands", "grown_hsets", "fresh_bands", "fresh_hsets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    assert grown == fresh
+    assert fresh, "split should produce cross-batch pairs"

@@ -292,6 +292,20 @@ def save_neardup_index(docs: DataFrame, prefix: str) -> None:
     bucketing.write_bucketed(hsets, f"{prefix}_hsets", "doc_id")
 
 
+def extend_neardup_index(docs: DataFrame, prefix: str) -> None:
+    """Grow the persisted index with an ADMITTED batch: append the
+    batch's band and hset rows into the same bucket layout (no history
+    rewrite — the maintenance step after incremental_neardup_pairs
+    clears a batch for the lake). Fresh-build equivalence is tested:
+    index(old) extended with new equals index(old ∪ new) for every
+    subsequent incremental query."""
+    from uw_hadoop_aglorithms_spark.plans import bucketing
+
+    hsets = hsets_from_docs(docs)
+    bucketing.append_bucketed(bands_from_hsets(hsets), f"{prefix}_bands", "h1")
+    bucketing.append_bucketed(hsets, f"{prefix}_hsets", "doc_id")
+
+
 def incremental_neardup_pairs(
     spark: SparkSession, prefix: str, new_docs: DataFrame
 ) -> DataFrame:

@@ -55,3 +55,23 @@ def bucketed_join(
     """Join two same-bucketed catalog tables on `key` — planner emits a
     sort-merge join with no Exchange (asserted in tests/test_bucketing.py)."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def append_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Append rows to an EXISTING bucketed table with the same spec —
+    the growth step of a persisted index (dedup.extend_neardup_index):
+    new rows hash into the same bucket layout, so future joins stay
+    exchange-free without rewriting history. The bucket spec must match
+    the table's (Spark refuses a mismatch, which is the guard)."""
+    (
+        df.write.mode("append")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
