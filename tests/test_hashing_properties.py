@@ -84,12 +84,23 @@ def test_dyadic_quantizer_three_way_bit_identity(spark, duck, xs):
             "i", (F.floor(F.col("x") * F.lit(Q) + F.lit(0.5)).cast("double") / F.lit(Q)).alias("q")
         ).orderBy("i").collect()
     ]
+    # parameter binding hands DuckDB the native double (the shape the
+    # contracts run in: values arrive via parquet, not literals) —
+    # a repr-literal embedding was tried here first and FOUND A REAL
+    # HAZARD: DuckDB's DECIMAL→DOUBLE literal cast double-rounds for
+    # 17-significant-digit values (now fixed at the one affected
+    # oracle site via oracles.sql_double, asserted below)
     dk = [
         con.execute(
-            f"SELECT floor({x!r}::DOUBLE * {Q!r} + 0.5) / {Q!r}"
+            f"SELECT floor(? * {Q!r}::DOUBLE + 0.5) / {Q!r}::DOUBLE", [x]
         ).fetchone()[0]
         for x in xs
     ]
+    from uw_hadoop_aglorithms_spark.oracles import sql_double
+
+    for x in xs:
+        rt = con.execute(f"SELECT {sql_double(x)}").fetchone()[0]
+        assert struct.pack("<d", rt) == struct.pack("<d", x), (x, rt)
     bits = lambda v: struct.pack("<d", v)  # noqa: E731
     for a, b, c in zip(py, sp, dk):
         assert bits(a) == bits(b) == bits(c), (a, b, c)

@@ -948,10 +948,40 @@ _NORMED_CTE = f"""
 _COS_QC = _fold_sum("list_transform(range(len(q.v)), i -> q.v[i + 1] * c.v[i + 1])")
 
 
+def sql_double(x: float) -> str:
+    """Embed a Python double in DuckDB SQL BIT-EXACTLY as m·2^e.
+
+    DuckDB parses a decimal literal into DECIMAL first and the
+    DECIMAL→DOUBLE cast double-rounds once the scaled integer exceeds
+    2^53 — i.e. any value whose repr needs 17 significant digits can
+    come back 1 ulp off (measured: 25 of the 256 hyperplane
+    coordinates; found by the dyadic-quantizer property test). The
+    integer-mantissa × power-of-two form has no decimal step: the
+    mantissa < 2^53 casts exactly and pow(2, e) is an exact power."""
+    import math as _math
+
+    if x == 0.0:
+        # preserve the zero's sign: DuckDB parses -0.0 to +0.0
+        if _math.copysign(1.0, x) < 0:
+            return "(0.0::DOUBLE * -1.0::DOUBLE)"
+        return "0.0::DOUBLE"
+    m, e = _math.frexp(x)
+    mi, e53 = int(m * (1 << 53)), e - 53
+    if e53 >= -1022:
+        return f"({mi}::DOUBLE * pow(2.0::DOUBLE, {e53}::DOUBLE))"
+    # subnormal target: a single pow would underflow — scale in two
+    # exact steps (the intermediate stays normal; the final product is
+    # exactly representable, so its rounding is exact too)
+    return (
+        f"({mi}::DOUBLE * pow(2.0::DOUBLE, -1022::DOUBLE)"
+        f" * pow(2.0::DOUBLE, {e53 + 1022}::DOUBLE))"
+    )
+
+
 def _bucket_sql(vcol: str) -> str:
     terms = []
     for p, plane in enumerate(hyperplanes()):
-        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        lit = "[" + ", ".join(sql_double(x) for x in plane) + "]::DOUBLE[]"
         dot = _fold_sum(f"list_transform(range(len({vcol})), i -> {vcol}[i + 1] * ({lit})[i + 1])")
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(terms)
