@@ -78,19 +78,46 @@ def test_entry_is_registered_query_shape(spark):
     assert df.columns, "entry() must return an analyzable DataFrame"
 
 
-def test_doc_profile_stitch_is_in_plan():
-    """Pin the round-5 fix: doc_profile must assemble its five members
-    with DataFrame joins, never by collecting corpus-sized member
-    results to the driver (the round-4 form dict-stitched five
-    O(|documents|) collects driver-side — the only registered plan
-    whose driver footprint grew with the corpus)."""
+#: Registered wrappers allowed to `.collect()` driver-side, with the
+#: reason their collect is BOUNDED (does not grow with the corpus).
+#: Anything NOT listed here must stitch in-plan (unionAll / joins) —
+#: doc_profile (r5) and spam (r6) both regressed into corpus-sized
+#: driver stitches before this guard generalized.
+_BOUNDED_COLLECT_ALLOWLIST = {
+    "window_counts": "window counts bounded by the event-time range, not input volume",
+    "stream_batch_equiv": "memory-sink micro-batch results; state bounded per window/key/digest horizon",
+    "neardup_pairs": "near-dup pair lists (sparse by construction; quadratic members guarded by BRUTE_MAX_ROWS)",
+    "ann_topk": "top-k neighbor lists over an ANN_MAX_QUERIES-capped query side",
+    "layout_suite": "per-group aggregate rows + in-plan certificate booleans (group cardinality bounded)",
+}
+
+_COLLECT_MARKERS = (".collect()", ".toPandas()", ".collectAsList", ".toLocalIterator")
+
+
+def test_registered_wrappers_collect_only_bounded_state():
+    """Generalized no-collect guard (VERDICT r5 #1): scan EVERY
+    registered wrapper's source for driver-side materialization; a
+    wrapper that collects must be explicitly allowlisted with a
+    boundedness argument. doc_profile and spam are pinned in-plan —
+    they are the two wrappers that previously held per-document Python
+    copies of their members on the driver."""
     import inspect
 
-    from uw_hadoop_aglorithms_spark.operators import suites
+    import __spark_entry__ as entry_mod
 
-    src = inspect.getsource(suites.doc_profile)
-    assert ".collect()" not in src, (
-        "doc_profile collects member rows on the driver; stitch must be "
-        "in-plan (doc_id joins)"
-    )
-    assert ".join(" in src
+    problems = []
+    for name, fn in sorted(entry_mod.queries().items()):
+        src = inspect.getsource(fn)
+        hits = [m for m in _COLLECT_MARKERS if m in src]
+        if hits and name not in _BOUNDED_COLLECT_ALLOWLIST:
+            problems.append(
+                f"{name}: wrapper source contains {hits} but is not in the "
+                "bounded-collect allowlist; stitch in-plan (unionAll/join) "
+                "or add it with a boundedness argument"
+            )
+    assert not problems, "\n".join(problems)
+    # the two cured wrappers must never silently re-enter the allowlist
+    for pinned in ("doc_profile", "spam"):
+        assert pinned not in _BOUNDED_COLLECT_ALLOWLIST, (
+            f"{pinned} was cured of its driver-side stitch; it must stay in-plan"
+        )

@@ -170,14 +170,18 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model weights + all three scoring modes + the distributed
-    full-batch GD counterpart, with the four members collected
-    CONCURRENTLY (pagerank_suite trick): the serial side runs five
+    full-batch GD counterpart, with the four members materialized
+    CONCURRENTLY (each thread eagerly localCheckpoints its member —
+    the doc_profile treatment): the serial side runs five
     single-partition order-sensitive folds (train, apply's retrain, 3
     ensemble shards) that sequential execution strings end-to-end while
     31 cores idle — overlapping them measured 3.2 s → 2.0 s at sf0.1
     (A/B, n=3) — and batch GD's aggregate iterations overlap the folds.
-    Model weights and held-out scores are bounded output, so the
-    re-wrap is bookkeeping."""
+    The stitch is IN-PLAN (select to the common 5-column schema +
+    unionAll): the round-5 form collected all four members — one row
+    per held-out doc for three of them — into Python lists and
+    re-wrapped with createDataFrame, a driver footprint that grew with
+    the corpus (the exact shape doc_profile was cured of in round 5)."""
     from concurrent.futures import ThreadPoolExecutor
 
     # ONE tokenize+polyhash corpus scan serves all four members (the
@@ -185,41 +189,66 @@ def spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threads so they don't race to fill it
     inst = ml.instances(spark, sf_dir).cache()
     inst.count()
+
+    def mat(fn):
+        return fn(spark, sf_dir, inst).localCheckpoint(eager=True)
+
     try:
         with ThreadPoolExecutor(4) as pool:
-            f_train = pool.submit(lambda: ml.spam_train(spark, sf_dir, inst).collect())
-            f_apply = pool.submit(lambda: ml.spam_apply(spark, sf_dir, inst).collect())
-            f_ens = pool.submit(lambda: ml.spam_ensemble(spark, sf_dir, inst).collect())
-            f_gd = pool.submit(lambda: ml.spam_batch_gd(spark, sf_dir, inst).collect())
-            train_rows, apply_rows, ens_rows, gd_rows = (
-                f_train.result(), f_apply.result(), f_ens.result(), f_gd.result()
+            f_train = pool.submit(mat, ml.spam_train)
+            f_apply = pool.submit(mat, ml.spam_apply)
+            f_ens = pool.submit(mat, ml.spam_ensemble)
+            f_gd = pool.submit(mat, ml.spam_batch_gd)
+            train, applied, ens, gd = (
+                f.result() for f in (f_train, f_apply, f_ens, f_gd)
             )
     finally:
         inst.unpersist()
 
-    rows = [
-        ("train", int(r.feature), None, float(r.weight), None)
-        for r in train_rows
-    ]
-    rows += [
-        ("batch_gd_w" if r.kind == "w" else "batch_gd",
-         int(r.id), r.label, float(r.score), r.prediction)
-        for r in gd_rows
-    ]
-    rows += [
-        ("single", int(r.doc_id), int(r.label), float(r.score), r.prediction)
-        for r in apply_rows
-    ]
-    rows += [
-        ("ens_avg", int(r.doc_id), int(r.label), float(r.score_avg), r.prediction_avg)
-        for r in ens_rows
-    ]
-    rows += [
-        ("ens_vote", int(r.doc_id), int(r.label), float(r.vote), r.prediction_vote)
-        for r in ens_rows
-    ]
-    return spark.createDataFrame(
-        rows, "variant string, id long, label int, score double, prediction string"
+    null_label = F.lit(None).cast("int").alias("label")
+    null_pred = F.lit(None).cast("string").alias("prediction")
+    train_rows = train.select(
+        F.lit("train").alias("variant"),
+        F.col("feature").cast("long").alias("id"),
+        null_label,
+        F.col("weight").alias("score"),
+        null_pred,
+    )
+    gd_rows = gd.select(
+        F.when(F.col("kind") == "w", "batch_gd_w")
+        .otherwise("batch_gd")
+        .alias("variant"),
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("int").alias("label"),
+        "score",
+        "prediction",
+    )
+    single = applied.select(
+        F.lit("single").alias("variant"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("label").cast("int").alias("label"),
+        "score",
+        "prediction",
+    )
+    ens_avg = ens.select(
+        F.lit("ens_avg").alias("variant"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("label").cast("int").alias("label"),
+        F.col("score_avg").alias("score"),
+        F.col("prediction_avg").alias("prediction"),
+    )
+    ens_vote = ens.select(
+        F.lit("ens_vote").alias("variant"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("label").cast("int").alias("label"),
+        F.col("vote").cast("double").alias("score"),
+        F.col("prediction_vote").alias("prediction"),
+    )
+    return (
+        train_rows.unionAll(gd_rows)
+        .unionAll(single)
+        .unionAll(ens_avg)
+        .unionAll(ens_vote)
     )
 
 
