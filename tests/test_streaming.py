@@ -440,12 +440,85 @@ def test_stream_dedup_state_survives_checkpoint_restart(spark, tmp_path):
     assert len(final_rows) == len(final), "no duplicate emissions"
 
 
+def test_watermark_lag_one_canary(spark, tmp_path):
+    """Canary for the LAG-ONE watermark rule the stream_batch_equiv
+    dedup oracle is pinned to (suites.py stream_batch_equiv oracle;
+    pinned against Spark 4.1.2): the eviction watermark of micro-batch
+    b derives from max event time through batch b-2, NOT b-1. Minimal
+    discriminating stream (one row per file = one AvailableNow batch,
+    120-min dedup horizon):
+
+      b0: key A @ t=0      → admitted, state expiry t=120
+      b1: key B @ t=270    → admitted (unique)
+      b2: key A @ t=271    → lag-one wm = ET(b0) - 120 = -120 < 120
+                             → state ALIVE → DROPPED.
+                             (lag-zero would use ET(b1) - 120 = 150
+                              > 120 → evicted → admitted)
+      b3: key A @ t=540    → lag-one wm = ET(b1) - 120 = 150 > 120
+                             → state evicted → ADMITTED
+
+    If a Spark upgrade tightens watermark propagation to lag-zero, THIS
+    test fails with a pointed message while the stream_batch_equiv
+    value hash would fail opaquely — triage version drift here, then
+    update the pinned rule in the suites.py oracle AND the chain test
+    below."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    assert runner.DEDUP_WATERMARK_MIN == 120, "canary arithmetic assumes 120"
+    minutes = {0: 0, 1: 270, 2: 271, 3: 540}
+    texts = {0: "dup payload", 1: "unique b", 2: "dup payload", 3: "dup payload"}
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    names = []
+    for i in range(4):
+        scratch = str(tmp_path / f"b{i}")
+        (
+            spark.createDataFrame([(i, texts[i])], "doc_id long, text string")
+            .selectExpr(
+                "doc_id", "text",
+                f"timestamp'2024-01-01 00:00:00' "
+                f"+ make_interval(0,0,0,0,0,{minutes[i]},0) AS ts",
+            )
+            .coalesce(1).write.mode("overwrite").parquet(scratch)
+        )
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        dest = f"{replay}/block-{i:02d}.parquet"
+        shutil.move(part, dest)
+        names.append(dest)
+    base = time.time() - len(names)
+    for i, dst in enumerate(names):
+        os.utime(dst, (base + i, base + i))
+
+    got = {
+        r.doc_id
+        for r in runner.stream_exact_dedup(
+            spark, replay, str(tmp_path / "ck"), query_name="sded_canary"
+        ).collect()
+    }
+    spark.catalog.dropTempView("sded_canary")
+
+    assert 2 not in got, (
+        "batch-2 duplicate was ADMITTED: the eviction watermark used "
+        "max event time through batch b-1 (lag-zero) — Spark's watermark "
+        "propagation changed; re-pin the stream_batch_equiv dedup oracle "
+        "(suites.py) and the chain test to the new rule"
+    )
+    assert got == {0, 1, 3}, got
+
+
 def test_stream_dedup_multi_copy_chains_follow_watermark_state_machine(spark, tmp_path):
     """The fixture corpora never exceed two copies per digest; this
     builds a synthetic corpus with 3- and 4-copy chains spanning
     multiple eviction windows and checks the admitted set against a
     sequential simulation of the dropDuplicatesWithinWatermark state
-    machine (the lag-one per-batch watermark rule pinned at sf0.1:
+    machine (the lag-one per-batch watermark rule pinned at sf0.1
+    against Spark 4.1.2 — see test_watermark_lag_one_canary above for
+    the minimal discriminator and the triage order on version drift:
     state evicted in batch b only once the max event time through batch
     b-2, minus the delay, passes the last KEPT copy's expiry)."""
     import glob

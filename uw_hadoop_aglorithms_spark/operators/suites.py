@@ -1300,7 +1300,13 @@ def _suite_oracles() -> dict[str, str]:
                 ),
                 -- greedy per-digest chain under the lag-one eviction
                 -- watermark: wm(batch b) = arrival-minute of the last
-                -- doc of batch b-2, minus the 120-min delay
+                -- doc of batch b-2, minus the 120-min delay.
+                -- PINNED against Spark 4.1.2 micro-batch watermark
+                -- propagation (empirical at sf0.001/0.01/0.1). If this
+                -- hash ever flips after a Spark upgrade, run
+                -- tests/test_streaming.py::test_watermark_lag_one_canary
+                -- first: a canary failure means the pinning drifted
+                -- (update BOTH there and here), not a logic bug.
                 chain(digest, rn, doc_id, kept, anchor_exp) AS (
                     SELECT digest, rn, doc_id, TRUE,
                            doc_id + {DEDUP_WATERMARK_MIN}

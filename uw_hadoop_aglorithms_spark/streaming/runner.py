@@ -381,6 +381,9 @@ def prepare_doc_replay_dir(
     )
     n = docs.count()
     width = -(-n // DOC_REPLAY_FILES)
+    # overwrite semantics: stale block-*/part-* files from a prior run
+    # over the same directory would be replayed as extra micro-batches
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     names = []
     for k in range(DOC_REPLAY_FILES):
