@@ -13,6 +13,15 @@ from uw_hadoop_aglorithms_spark.operators import dedup
 from tests.conftest import SF_TEST
 
 
+def _uniq(tag: str) -> str:
+    """Unique catalog-table prefix per test invocation: fixed names
+    collide across concurrent runs (pytest-xdist, two checkouts sharing
+    a spark-warehouse) — same scheme as suites.grab_incr."""
+    import uuid
+
+    return f"{tag}_{uuid.uuid4().hex[:10]}"
+
+
 def test_polyhash_matches_duckdb(spark):
     """The engine-neutral hash must be bit-identical across engines —
     it is the foundation of every hash-based dedup oracle."""
@@ -354,17 +363,18 @@ def test_incremental_neardup_maintenance_invariant(spark):
     docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
     old = docs.where(F.col("doc_id") < SPLIT)
     new = docs.where(F.col("doc_id") >= SPLIT)
+    prefix = _uniq("incr")
     try:
-        dedup.save_neardup_index(old, "incr_test")
+        dedup.save_neardup_index(old, prefix)
         incr = {
             (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.jaccard
             for r in dedup.incremental_neardup_pairs(
-                spark, "incr_test", new
+                spark, prefix, new
             ).collect()
         }
     finally:
-        spark.sql("DROP TABLE IF EXISTS incr_test_bands")
-        spark.sql("DROP TABLE IF EXISTS incr_test_hsets")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_hsets")
     expected_incr = {
         p: j for p, j in full.items() if p[0] >= SPLIT or p[1] >= SPLIT
     }
@@ -417,14 +427,104 @@ def test_extend_neardup_index_equals_fresh_build(spark):
             for r in dedup.incremental_neardup_pairs(spark, prefix, new).collect()
         }
 
+    g, f_ = _uniq("grown"), _uniq("fresh")
     try:
-        dedup.save_neardup_index(old, "grown")
-        dedup.extend_neardup_index(mid, "grown")
-        grown = pairs("grown")
-        dedup.save_neardup_index(docs.where(F.col("doc_id") < 300), "fresh")
-        fresh = pairs("fresh")
+        dedup.save_neardup_index(old, g)
+        dedup.extend_neardup_index(mid, g)
+        grown = pairs(g)
+        dedup.save_neardup_index(docs.where(F.col("doc_id") < 300), f_)
+        fresh = pairs(f_)
     finally:
-        for t in ("grown_bands", "grown_hsets", "fresh_bands", "fresh_hsets"):
+        for t in (f"{g}_bands", f"{g}_hsets", f"{f_}_bands", f"{f_}_hsets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     assert grown == fresh
     assert fresh, "split should produce cross-batch pairs"
+
+
+def test_neardup_index_retract_compact_lifecycle(spark):
+    """The index lifecycle a real lake needs (VERDICT r5 missing #1):
+    add → remove → query, then compact → query, then add again →
+    query. Retraction via tombstones must drop exactly the pairs
+    touching retracted docs (logical, O(|retractions|)); compaction
+    must preserve results bit-for-bit while applying tombstones
+    physically, clearing the tombstone table, and bounding the file
+    count to one file per bucket; a post-compaction extend must equal a
+    fresh build over the live corpus."""
+    import glob
+    from urllib.parse import urlparse
+
+    from uw_hadoop_aglorithms_spark.plans import bucketing
+
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_dedup(spark, SF_TEST).collect()
+    }
+    SPLIT, SPLIT2 = 250, 375
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    old = docs.where(F.col("doc_id") < SPLIT)
+    new = docs.where(F.col("doc_id") >= SPLIT)
+    # retract index docs that participate in cross-batch pairs, so the
+    # retraction is observable in the incremental query
+    touching = sorted({a for (a, b) in full if a < SPLIT and b >= SPLIT})
+    assert touching, "fixture should have cross-split pairs"
+    removed = set(touching[:2])
+
+    def alive(p):
+        return p[0] not in removed and p[1] not in removed
+
+    prefix = _uniq("lc")
+    tables = [
+        f"{prefix}_{k}"
+        for k in ("bands", "hsets", "tombstones", "bands__gen", "hsets__gen")
+    ]
+
+    def q(batch):
+        return {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.jaccard
+            for r in dedup.incremental_neardup_pairs(
+                spark, prefix, batch
+            ).collect()
+        }
+
+    try:
+        dedup.save_neardup_index(old, prefix)
+        dedup.remove_from_neardup_index(spark, prefix, sorted(removed))
+        expected = {
+            p: j
+            for p, j in full.items()
+            if (p[0] >= SPLIT or p[1] >= SPLIT) and alive(p)
+        }
+        logical = q(new)
+        assert logical == expected, "tombstone anti-join must hide retracted docs"
+        no_removal = {
+            p for p in full if p[0] >= SPLIT or p[1] >= SPLIT
+        }
+        assert set(expected) < no_removal, (
+            "retraction should have dropped at least one pair"
+        )
+
+        dedup.compact_neardup_index(spark, prefix)
+        assert not spark.catalog.tableExists(f"{prefix}_tombstones")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for kind in ("bands", "hsets"):
+            files = glob.glob(f"{warehouse}/{prefix}_{kind}/part-*")
+            assert 0 < len(files) <= bucketing.DEFAULT_BUCKETS, (
+                kind,
+                len(files),
+            )
+        assert q(new) == logical, "compaction must not change results"
+
+        # the lifecycle continues: extend with an admitted half-batch,
+        # query the rest — equals the fresh build over the live corpus
+        mid = new.where(F.col("doc_id") < SPLIT2)
+        rest = new.where(F.col("doc_id") >= SPLIT2)
+        dedup.extend_neardup_index(mid, prefix)
+        expected_rest = {
+            p: j
+            for p, j in full.items()
+            if (p[0] >= SPLIT2 or p[1] >= SPLIT2) and alive(p)
+        }
+        assert q(rest) == expected_rest
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -306,6 +306,76 @@ def extend_neardup_index(docs: DataFrame, prefix: str) -> None:
     bucketing.append_bucketed(hsets, f"{prefix}_hsets", "doc_id")
 
 
+def _tombstone_table(prefix: str) -> str:
+    return f"{prefix}_tombstones"
+
+
+def _live_index(spark: SparkSession, prefix: str, kind: str) -> DataFrame:
+    """The `{prefix}_{kind}` index table minus retracted documents:
+    a BROADCAST anti-join against the tombstone table (map-side, so the
+    bucketed layout of the index side survives and the band join still
+    pays no Exchange on the index side). Reads the raw table when no
+    retraction has ever happened."""
+    df = spark.table(f"{prefix}_{kind}")
+    tomb = _tombstone_table(prefix)
+    if spark.catalog.tableExists(tomb):
+        df = df.join(F.broadcast(spark.table(tomb)), "doc_id", "left_anti")
+    return df
+
+
+def remove_from_neardup_index(
+    spark: SparkSession, prefix: str, doc_ids
+) -> None:
+    """Retract documents from the persisted index (takedowns,
+    re-crawls): O(|retractions|) append to a tombstone table that every
+    subsequent `incremental_neardup_pairs` consults — retraction is
+    logical immediately and physical at the next
+    `compact_neardup_index`. `doc_ids` is an iterable of ids or a
+    DataFrame with a doc_id column. Tombstones are the lake-format
+    delete pattern (Iceberg/Delta delete files): the bucketed band/hset
+    history is immutable between compactions, so retraction never
+    rewrites data in the hot path."""
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+    ids.write.mode("append").format("parquet").saveAsTable(
+        _tombstone_table(prefix)
+    )
+
+
+def compact_neardup_index(
+    spark: SparkSession, prefix: str, buckets: int | None = None
+) -> None:
+    """Apply tombstones physically and bound file counts after many
+    appends: each bucketed table is rewritten ONCE into a new
+    generation — pre-shuffled with repartition(buckets, key), which
+    uses the same pmod(murmur3) partitioning as the bucket spec, so
+    every output task holds exactly one bucket and the compacted layout
+    is ONE file per bucket — then swapped in with ALTER TABLE RENAME
+    (the session-catalog form of a lake format's rewrite-then-commit;
+    on Iceberg/Delta the swap is a metadata commit). The tombstone
+    table is dropped once applied. Run cadence is a policy knob (e.g.
+    every N appends or when files/bucket exceeds a threshold); between
+    compactions queries stay correct via the tombstone anti-join."""
+    from uw_hadoop_aglorithms_spark.plans import bucketing
+
+    if buckets is None:
+        buckets = bucketing.DEFAULT_BUCKETS
+    for kind, key in (("bands", "h1"), ("hsets", "doc_id")):
+        table = f"{prefix}_{kind}"
+        tmp = f"{table}__gen"
+        live = _live_index(spark, prefix, kind).repartition(
+            buckets, F.col(key)
+        )
+        bucketing.write_bucketed(live, tmp, key, buckets)
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {_tombstone_table(prefix)}")
+
+
 def incremental_neardup_pairs(
     spark: SparkSession, prefix: str, new_docs: DataFrame
 ) -> DataFrame:
@@ -321,7 +391,7 @@ def incremental_neardup_pairs(
     against the two hset tables."""
     new_hsets = hsets_from_docs(new_docs).cache()
     new_bands = bands_from_hsets(new_hsets)
-    idx_bands = spark.table(f"{prefix}_bands")
+    idx_bands = _live_index(spark, prefix, "bands")
     on = ["band_no", "h1", "h2"]
     against_index = (
         idx_bands.alias("a")
@@ -335,7 +405,7 @@ def incremental_neardup_pairs(
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    idx_hsets = spark.table(f"{prefix}_hsets")
+    idx_hsets = _live_index(spark, prefix, "hsets")
     verified_idx = verify_pairs(
         against_index.distinct(), idx_hsets, new_hsets
     )
