@@ -103,12 +103,19 @@ def _gram_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinctness is per hash pair (collisions ~n²/P per doc, mirrored
     identically in the oracle).
 
-    Deliberately NOT cached/memoized across the dedup members: the hash
-    arrays are wide (one long per distinct shingle), and materializing
-    them costs more than recomputing the fused whole-stage-codegen
-    pipeline per member (measured at sf0.1: caching sped the 4-member
-    suite ~5 s but slowed the clustering fixpoint ~6 s via cache-write
-    churn). Each member keeps its scan fused instead."""
+    Deliberately NOT cached/memoized across the dedup members — a call
+    RE-CONFIRMED at 8 members (round 6, n=3 sf0.1 suite medians,
+    tools/ab_hset_cache.py): recompute 11.69 s beats a per-call shared
+    cache+count 14.44 s AND a shared cache without the count barrier
+    15.08 s. The fused whole-stage-codegen recompute overlaps with the
+    other concurrent members' work, while a shared materialization sits
+    on the critical path and its cache reads are slower than the fused
+    scan. (A first A/B showed shared-localCheckpoint at 10.46 s, but
+    that memoized the checkpoint ACROSS suite calls — build cost
+    excluded — which a registered per-call query can't do.) The
+    original 4-member measurement (round 3: caching sped the suite
+    ~5 s but slowed the clustering fixpoint ~6 s) is superseded by
+    these numbers."""
     docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
     return hsets_from_docs(docs)
 
