@@ -114,14 +114,21 @@ def _sgd_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         for feats, label in zip(pdf["features"], pdf["label"]):
             # weights are exact 2^-40 multiples → this sum is exact
-            # integer arithmetic while |score| < 2^13 (DYADIC_Q note)
-            score = sum(w.get(int(f), 0.0) for f in feats)
-            if not -8192.0 < score < 8192.0:
+            # integer arithmetic while every PARTIAL sum stays under
+            # 2^13. Guard on Σ|w[f]|, not the final score: cancelling
+            # positive/negative weights could transiently exceed the
+            # envelope mid-sum (and in the oracle's regrouped-by-step
+            # partials) while the final score sneaks back under it —
+            # the abs-sum bounds every subset/reordering of the terms.
+            abs_sum = sum(abs(w.get(int(f), 0.0)) for f in feats)
+            if not abs_sum < 8192.0:
                 raise ValueError(
-                    f"serial-SGD exactness envelope exceeded: |score|="
-                    f"{abs(score)} >= 2^13; the dyadic determinism "
+                    f"serial-SGD exactness envelope exceeded: Σ|w[f]|="
+                    f"{abs_sum} >= 2^13; some partial score sum may "
+                    "leave the exact dyadic grid and the determinism "
                     "contract no longer holds"
                 )
+            score = sum(w.get(int(f), 0.0) for f in feats)
             # clamp: exp overflow guard; reference relies on small scores
             p = 1.0 / (1.0 + math.exp(-max(min(score, 709.0), -709.0)))
             # dyadic-quantized gradient: bit-deterministic in any engine
