@@ -86,6 +86,52 @@ def build_replica_dir(spark) -> str:
     return out
 
 
+def stress_incr_index(spark, d):
+    """Round-5/6 lifecycle at 10×: persist the bucketed band index over
+    the lower half of the replica corpus (replicas 0-4 under the
+    doc_id-shift layout), run the upper half as the arriving batch
+    (every new doc meets its 5 exact twins in the index — hot buckets),
+    then exercise the full maintenance path: extend with the admitted
+    batch, retract one replica's docs via tombstones, compact into a
+    fresh generation. Returns the incremental query's pairs
+    (localCheckpointed so the scratch tables can be dropped)."""
+    from uw_hadoop_aglorithms_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    old = docs.filter(F.col("doc_id") <= mid)
+    new = docs.filter(F.col("doc_id") > mid)
+    prefix = f"stress_idx_{os.getpid()}"
+    try:
+        dedup.save_neardup_index(old, prefix)
+        res = dedup.incremental_neardup_pairs(spark, prefix, new).localCheckpoint()
+        dedup.extend_neardup_index(new, prefix)
+        # retraction + compaction at 10×: drop one full replica (a
+        # re-crawl), then rewrite both tables into one generation
+        n_orig = (mid + 1) // 5
+        dedup.remove_from_neardup_index(
+            spark, prefix,
+            docs.filter(
+                (F.col("doc_id") >= 7 * n_orig) & (F.col("doc_id") < 8 * n_orig)
+            ).select("doc_id"),
+        )
+        dedup.compact_neardup_index(spark, prefix)
+    finally:
+        for t in (f"{prefix}_bands", f"{prefix}_hsets", f"{prefix}_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return res
+
+
+def stress_sem_scaled(spark, d):
+    """semantic_dedup_pairs_scaled at the operating point it exists
+    for: corpus 10× -> codebook 10× (64 -> 640 cells), holding |cell|
+    and with it sum(|cell|^2)/N constant. The fixed-K form is
+    deliberately absent (see the note in run())."""
+    from uw_hadoop_aglorithms_spark.operators import dedup
+
+    return dedup.semantic_dedup_pairs_scaled(spark, d, n_cells=640)
+
+
 def run(spark) -> dict:
     """Build the 10× replica and run the stress loops; returns
     {"pr_parts": int, "n_edges": int, "results": {name: (sec, rows,
@@ -121,6 +167,13 @@ def run(spark) -> dict:
         # WINNOW_MAX_DF cap exists for)
         ("spam_batch_gd", ml.spam_batch_gd),
         ("winnow_dup_pairs", dedup.winnow_dup_pairs),
+        # round-5 additions whose whole point is the scale regime
+        # (VERDICT r5 item 6): the persisted-index near-dup lifecycle
+        # (build 25k-doc index -> 25k-doc incremental batch -> extend
+        # -> retract a replica -> compact) and the K-scales-with-N
+        # SemDeDup (640 cells at 10× vs 64 at 1×)
+        ("incr_index_lifecycle", stress_incr_index),
+        ("sem_scaled_640", stress_sem_scaled),
     ):
         before = rss_mb()
         t0 = time.perf_counter()

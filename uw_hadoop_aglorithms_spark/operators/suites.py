@@ -418,6 +418,12 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality join (the stream compares full-precision timestamps, so
     the batch operator's second-truncated banding is NOT the right
     oracle at boundaries).
+    variant='late' (round 6) — append-mode tumbling counts over an
+    EXPLICIT-block scrambled replay (runner.LATE_PERM): the late-data
+    DROP path under the oracle contract. The oracle replays the
+    lag-one per-batch watermark sequence in closed form, drops rows
+    older than it, and emits only windows the final watermark closed —
+    batch counts minus the dropped events.
     All streams run CONCURRENTLY from driver threads (independent
     sinks/checkpoints)."""
     import shutil
@@ -428,9 +434,14 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = _sbe_replay_dir(spark, sf_dir)
     replay_t = _sbe_replay_dir(spark, sf_dir, order="time")
+    replay_l = _cached_replay_dir(
+        "events_late", sf_dir,
+        lambda d: runner.prepare_events_late_replay_dir(spark, sf_dir, d),
+    )
     ckpt = tempfile.mkdtemp(prefix="sbe_ckpt_")
     ck_se = tempfile.mkdtemp(prefix="sbe_ck_se_")
     ck_rj = tempfile.mkdtemp(prefix="sbe_ck_rj_")
+    ck_lt = tempfile.mkdtemp(prefix="sbe_ck_lt_")
     # The stateful agg repartitions to spark.sql.shuffle.partitions in
     # EVERY micro-batch; the state (one row per event-time window) is
     # tiny, so scope the conf down for the run — a fresh checkpoint pins
@@ -453,6 +464,15 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in out.collect()
         ]
 
+    def grab_late():
+        out = runner.stream_event_count_append(
+            spark, replay_l, ck_lt, query_name="sbe_late_mem"
+        )
+        return [
+            ("late", r.window_start, None, None, int(r.cnt))
+            for r in out.collect()
+        ]
+
     def grab_rjoin():
         out = runner.stream_range_join(
             spark, replay_t, ck_rj, query_name="sbe_rjoin_mem"
@@ -466,10 +486,11 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     try:
-        with ThreadPoolExecutor(3) as pool:
+        with ThreadPoolExecutor(4) as pool:
             f_ing = pool.submit(_ingest_collect, spark, sf_dir)
             f_se = pool.submit(grab_sessions)
             f_rj = pool.submit(grab_rjoin)
+            f_lt = pool.submit(grab_late)
             out = runner.stream_event_count(
                 spark, replay, ckpt, query_name="stream_batch_equiv_mem"
             )
@@ -478,13 +499,16 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in out.collect()
             ]
             dd, dc = f_ing.result()
-            se, rj = f_se.result(), f_rj.result()
+            se, rj, lt = f_se.result(), f_rj.result(), f_lt.result()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # the memory sinks register temp views and the checkpoints are
         # per-call scratch — bench runs this REPS times, so neither may
         # accumulate
-        for v in ("stream_batch_equiv_mem", "sbe_sessions_mem", "sbe_rjoin_mem"):
+        for v in (
+            "stream_batch_equiv_mem", "sbe_sessions_mem", "sbe_rjoin_mem",
+            "sbe_late_mem",
+        ):
             try:
                 spark.catalog.dropTempView(v)
             except Exception:
@@ -492,12 +516,14 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(ck_se, ignore_errors=True)
         shutil.rmtree(ck_rj, ignore_errors=True)
+        shutil.rmtree(ck_lt, ignore_errors=True)
     rows = (
         win
         + [("dedup", None, d, dg, None) for d, dg in dd]
         + [("decon", ws, d, None, n) for d, ws, n in dc]
         + se
         + rj
+        + lt
     )
     return spark.createDataFrame(
         rows,
@@ -1126,6 +1152,8 @@ def _suite_oracles() -> dict[str, str]:
         DECON_WINDOW_MIN,
         DEDUP_WATERMARK_MIN,
         DOC_REPLAY_FILES,
+        LATE_PERM,
+        REPLAY_FILES,
         WATERMARK_MIN,
     )
     from uw_hadoop_aglorithms_spark.operators.index import PREVIEW_CHARS
@@ -1375,6 +1403,70 @@ def _suite_oracles() -> dict[str, str]:
                 FROM p JOIN ev o ON p.user_id = o.user_id
                   AND abs(o.us - p.ps) <= {RANGE_WINDOW_S * 1_000_000}
                   AND o.event_id <> p.purchase_id
+            )
+            """,
+            # 'late': closed-form replay of the append-mode late-data
+            # drop path over the explicit-block scrambled replay
+            # (runner.LATE_PERM). A row arriving in batch b is dropped
+            # iff its ts < the lag-one watermark (cumulative max event
+            # time through batch b-2, minus the delay — same pinned
+            # Spark 4.1.2 rule as the dedup chain above; watermark
+            # stats accumulate over ALL input rows, dropped or not);
+            # the final no-data batches flush every window whose end
+            # the final watermark (global max - delay) passed.
+            f"""
+            SELECT 'late' AS variant, window_start,
+                   CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS digest, cnt AS n
+            FROM (
+                WITH ev AS (
+                    SELECT ts::TIMESTAMP AS ts,
+                           row_number() OVER (
+                               ORDER BY ts::TIMESTAMP, event_id) - 1 AS rn
+                    FROM events
+                ),
+                params AS (
+                    SELECT (count(*) + {REPLAY_FILES} - 1)
+                           // {REPLAY_FILES} AS w
+                    FROM events
+                ),
+                perm(pos, blk) AS (
+                    VALUES {", ".join(f"({i}, {b})" for i, b in enumerate(LATE_PERM))}
+                ),
+                arr AS (
+                    SELECT e.ts, pm.pos AS batch
+                    FROM ev e CROSS JOIN params p
+                    JOIN perm pm ON pm.blk = e.rn // p.w
+                ),
+                cmax AS (
+                    SELECT batch,
+                           max(mx) OVER (ORDER BY batch) AS cm
+                    FROM (SELECT batch, max(ts) AS mx
+                          FROM arr GROUP BY batch)
+                ),
+                wm AS (
+                    SELECT batch,
+                           lag(cm, 2) OVER (ORDER BY batch)
+                             - INTERVAL {WATERMARK_MIN} MINUTE AS wmk
+                    FROM cmax
+                ),
+                kept AS (
+                    SELECT a.ts FROM arr a JOIN wm ON wm.batch = a.batch
+                    WHERE wm.wmk IS NULL OR a.ts >= wm.wmk
+                ),
+                fin AS (
+                    SELECT max(ts::TIMESTAMP)
+                             - INTERVAL {WATERMARK_MIN} MINUTE AS fw
+                    FROM events
+                )
+                SELECT TIMESTAMP '1970-01-01 00:00:00'
+                         + (floor(epoch(ts)/3600)*3600)::BIGINT
+                           * INTERVAL 1 SECOND AS window_start,
+                       count(*) AS cnt
+                FROM kept
+                GROUP BY window_start
+                HAVING window_start + INTERVAL 60 MINUTE
+                       <= (SELECT fw FROM fin)
             )
             """,
         ),

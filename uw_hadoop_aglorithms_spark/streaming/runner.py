@@ -74,6 +74,71 @@ def prepare_replay_dir(
     return out_dir
 
 
+#: Arrival permutation for the late-data replay: micro-batch i consumes
+#: ts-ordered block LATE_PERM[i]. Chosen so several early blocks arrive
+#: ≥2 batches after blocks with later event times (blocks span ~60 h at
+#: every SF vs the 60-min watermark, so those blocks are fully dropped
+#: by the late-row filter — rich drop coverage with no boundary ties),
+#: while others arrive just-in-time and survive. Fixed + explicit so
+#: the DuckDB oracle can replay the watermark sequence in closed form.
+LATE_PERM = [3, 0, 4, 1, 7, 5, 2, 9, 6, 11, 8, 10]
+
+
+def prepare_events_late_replay_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """EXPLICIT-boundary scrambled events replay for the append-mode
+    late-data variant: events sorted by (ts, event_id) are split into
+    REPLAY_FILES row-range blocks (W = ceil(n/FILES), block k = rows
+    [k*W, (k+1)*W)), one file per block, mtime-stamped so micro-batch i
+    consumes block LATE_PERM[i]. prepare_replay_dir's range partitioner
+    samples its boundaries (irreproducible outside Spark); this is
+    prepare_doc_replay_dir's explicit-block trick applied to events, so
+    an external oracle can reproduce the exact per-batch watermark
+    sequence and with it which rows the stateful agg DROPS as late."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import Window
+
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, sf_dir).events
+    n = ev.count()
+    width = -(-n // REPLAY_FILES)
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id")) - 1
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    names: dict[int, str] = {}
+    for k in range(REPLAY_FILES):
+        lo, hi = k * width, (k + 1) * width
+        if lo >= n:
+            break
+        scratch = os.path.join(out_dir, f"_build_{k}")
+        (
+            ranked.where((F.col("rn") >= lo) & (F.col("rn") < hi))
+            .drop("rn")
+            .coalesce(1)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+        dest = os.path.join(out_dir, f"block-{k:02d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(scratch, ignore_errors=True)
+        names[k] = dest
+    base = time.time() - len(names)
+    for pos, blk in enumerate(LATE_PERM):
+        if blk in names:
+            os.utime(names[blk], (base + pos, base + pos))
+    return out_dir
+
+
 def _event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(EVENTS)
