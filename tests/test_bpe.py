@@ -114,3 +114,47 @@ def test_encode_words_applies_learned_rules(spark):
         assert got[w] == py_encode(w), w
         # lossless: concatenation restores the word + EOW marker
         assert "".join(got[w]) == w + bpe.EOW
+
+
+def test_select_merge_batch_prefix_stops_at_conflict():
+    """Prefix batching: walk the serial-ranked list, accept while
+    symbols (incl. the created concat) are fresh, STOP at the first
+    conflict — nothing after a deferred pair may jump the queue."""
+    ranked = [
+        ("a", "b", 100),
+        ("c", "d", 90),
+        ("ab", "c", 80),  # 'ab' is batch-1's concat, 'c' already used
+        ("x", "y", 70),   # outranked by the deferred pair: must NOT run
+    ]
+    assert bpe.select_merge_batch(ranked, 8) == [
+        ("a", "b", 100),
+        ("c", "d", 90),
+    ]
+    # k caps the batch
+    assert bpe.select_merge_batch(ranked, 1) == [("a", "b", 100)]
+
+
+def test_bpe_train_batched_k1_is_serial(spark):
+    """batch_k=1 must reproduce bpe_train EXACTLY (same merges, same
+    weights): the batched trainer degenerates to the serial argmax."""
+    s_m, _ = bpe.bpe_train(spark, SF_TEST, n_merges=25)
+    b_m, _ = bpe.bpe_train_batched(spark, SF_TEST, n_merges=25, batch_k=1)
+    assert b_m == s_m
+
+
+def test_bpe_train_batched_k8_learns_serial_vocab(spark):
+    """Documented approximation bound at testdata scale: 40 merges with
+    batch_k=8 learn 38/40 of the serial merges; the two diffs are an
+    equivalent re-bracketing of the same word ('column' segmented via
+    lu+m, co+lum instead of co+lu, colu+m — the created-pair deviation
+    the docstring describes), so the FINAL segmentation state is
+    identical row-for-row."""
+    s_m, s_st = bpe.bpe_train(spark, SF_TEST, n_merges=40)
+    b_m, b_st = bpe.bpe_train_batched(spark, SF_TEST, n_merges=40, batch_k=8)
+    ss = {(l, r) for _, l, r, _ in s_m}
+    bs = {(l, r) for _, l, r, _ in b_m}
+    assert len(ss & bs) == 38, sorted(ss ^ bs)
+    assert ss - bs == {("co", "lu"), ("colu", "m")}
+    assert bs - ss == {("co", "lum"), ("lu", "m")}
+    key = lambda df: sorted((r.w, r.pos, r.sym) for r in df.collect())
+    assert key(s_st) == key(b_st)

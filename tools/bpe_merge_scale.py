@@ -8,12 +8,26 @@ SHRINKS as merges fuse symbols, but the driver round-trip and
 checkpoint overhead are per-iteration constants, and leaked
 checkpoint RDDs or a growing plan would show up as trend + RSS).
 
-This harness runs bpe_train(n_merges=500) on the sf0.1 vocabulary and
-reports total wall, the per-merge trend (mean of merges 1-50 vs
-451-500), symbol-state row counts before/after, and Python-driver RSS
-before/after. Results go into SCALING.md §BPE.
+This harness runs bpe_train(n_merges=500) and reports total wall, the
+per-merge trend (mean of merges 1-50 vs the last 50), symbol-state row
+counts before/after, and Python-driver RSS before/after. Results go
+into SCALING.md §BPE.
 
-Usage: python tools/bpe_merge_scale.py [n_merges]
+Two vocab modes, because the testdata corpus has only 31 DISTINCT
+WORDS (measured; BPE exhausts it at 107 merges — every word fuses to
+one symbol):
+
+  corpus     the real sf0.1 vocabulary (measures exhaustion + the
+             small-state cadence floor);
+  synthetic  tokenizer-realistic state: all word triples of the
+             corpus's 31 words (29,791 distinct "words", ~700k symbol
+             rows) with deterministic Zipf-ish frequencies — the
+             |vocab| x avg-len state a 100k-word real corpus produces.
+
+Usage: python tools/bpe_merge_scale.py [n_merges] [corpus|synthetic] [batch_k]
+
+batch_k > 1 runs bpe_train_batched instead of the serial trainer —
+the round-6 batched-merge-selection answer to the serial cadence.
 """
 
 from __future__ import annotations
@@ -34,33 +48,84 @@ def rss_mb() -> int:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
 
+def synthetic_state(spark, sf_dir):
+    """Tokenizer-scale (w, freq, pos, sym) state: the corpus's distinct
+    words crossed into ordered triples (31^3 = 29,791 distinct words),
+    freq = the product of the component words' corpus counts compressed
+    to a Zipf-ish long — same schema and symbol alphabet as the real
+    state, ~50x the word count."""
+    from pyspark.sql import functions as F
+
+    from uw_hadoop_aglorithms_spark.functions.text import tokens
+    from uw_hadoop_aglorithms_spark.operators.bpe import EOW
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    base = (
+        Catalog(spark, sf_dir)
+        .documents.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    a, b, c = base.alias("a"), base.alias("b"), base.alias("c")
+    words = (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            F.concat(F.col("a.w"), F.col("b.w"), F.col("c.w")).alias("w"),
+            (
+                F.log(F.col("a.f") * F.col("b.f") * F.col("c.f")) * 100
+            ).cast("long").alias("freq"),
+        )
+    )
+    syms = F.expr(
+        "array_append(transform(sequence(1, length(w)), "
+        f"i -> substr(w, i, 1)), '{EOW}')"
+    )
+    return words.select(
+        "w", "freq", F.posexplode(syms).alias("pos", "sym")
+    ).select("w", "freq", F.col("pos").cast("long").alias("pos"), "sym")
+
+
 def main() -> None:
     n_merges = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    mode = sys.argv[2] if len(sys.argv) > 2 else "corpus"
+    batch_k = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     spark = get_spark("bpe-merge-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
     from uw_hadoop_aglorithms_spark.operators import bpe
 
-    # instrument the loop from outside: run it in windows of 50 merges
-    # is NOT equivalent (state restarts), so time the real loop via a
-    # monkeypatched apply_merge that records per-iteration wall.
+    # instrument the loop from outside: running it in windows of 50
+    # merges is NOT equivalent (state restarts), so time the real loop
+    # via a monkeypatched apply_merge_batch that records per-round wall
+    # (per-merge for the serial trainer, per-batch for batched).
     times: list[float] = []
-    orig_apply = bpe.apply_merge
+    orig_apply = bpe.apply_merge_batch
     last = [time.perf_counter()]
 
-    def timed_apply(st, left, right):
+    def timed_apply(st, pairs):
         now = time.perf_counter()
         times.append(now - last[0])
         last[0] = now
-        return orig_apply(st, left, right)
+        return orig_apply(st, pairs)
 
-    bpe.apply_merge = timed_apply
+    bpe.apply_merge_batch = timed_apply
+    init = synthetic_state(spark, SF) if mode == "synthetic" else None
+    rows_before = init.count() if init is not None else None
     before = rss_mb()
     t0 = time.perf_counter()
     try:
-        merges, st = bpe.bpe_train(spark, SF, n_merges=n_merges)
+        if batch_k > 1:
+            merges, st = bpe.bpe_train_batched(
+                spark, SF, n_merges=n_merges, batch_k=batch_k,
+                init_state=init,
+            )
+        else:
+            merges, st = bpe.bpe_train(
+                spark, SF, n_merges=n_merges, init_state=init
+            )
     finally:
-        bpe.apply_merge = orig_apply
+        bpe.apply_merge_batch = orig_apply
     wall = time.perf_counter() - t0
     rows_after = st.count()
     after = rss_mb()
@@ -68,8 +133,11 @@ def main() -> None:
     head = times[:50]
     tail = times[-50:]
     print(
-        f"bpe_train n_merges={n_merges} sf={SF}: wall={wall:.1f}s "
-        f"({wall / max(len(merges), 1):.3f}s/merge), learned={len(merges)}"
+        f"bpe_train n_merges={n_merges} mode={mode} batch_k={batch_k} "
+        f"sf={SF}: wall={wall:.1f}s "
+        f"({wall / max(len(merges), 1):.3f}s/merge over "
+        f"{len(times)} rounds), learned={len(merges)}, "
+        f"init_rows={rows_before}"
     )
     print(
         f"per-merge trend: first50={sum(head) / len(head):.3f}s "

@@ -76,19 +76,33 @@ def word_symbol_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_train(
-    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    init_state: DataFrame | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn `n_merges` merge rules; returns (merges, final_state).
 
     merges = [(step, left, right, pair_weight), ...] in learned order;
     final_state is the (w, freq, pos, sym) frame after all merges.
+    `init_state` overrides the corpus-derived (w, freq, pos, sym) state
+    (tools/bpe_merge_scale.py trains over a synthetic tokenizer-scale
+    vocabulary; the testdata corpus has only 31 distinct words).
     """
     merges: list[tuple[int, str, str, int]] = []
     wnd = Window.partitionBy("w").orderBy("pos")
 
-    with _loop_shuffle_partitions(spark, 1) as n_parts:
+    init = (
+        init_state
+        if init_state is not None
+        else word_symbol_state(spark, sf_dir)
+    )
+    # size the per-merge shuffles to the SYMBOL state (vocabulary ×
+    # avg word length rows), exactly like the PageRank loop: tiny at
+    # the testdata vocab, growing partition counts at a real one
+    with _loop_shuffle_partitions(spark, init.count()) as n_parts:
         st = (
-            word_symbol_state(spark, sf_dir)
+            init
             .repartition(n_parts, "w")
             .localCheckpoint(eager=True)
         )
@@ -111,18 +125,131 @@ def bpe_train(
     return merges, st
 
 
+def select_merge_batch(
+    ranked: list[tuple[str, str, int]], batch_k: int
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix of count-ranked pairs that can merge in ONE pass:
+    walk the (left, right, count) list in serial-BPE order and accept
+    while each pair's symbols are fresh — left, right, and concat all
+    unseen. STOPS at the first conflicting pair (prefix batching):
+    everything accepted outranks everything deferred under the exact
+    serial tiebreak, so the only deviation from serial BPE left is a
+    mid-batch CREATED pair outrunning a later member (see
+    bpe_train_batched)."""
+    seen: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for left, right, pf in ranked[: max(batch_k, 1)]:
+        if left in seen or right in seen or (left + right) in seen:
+            break
+        seen.update({left, right, left + right})
+        out.append((left, right, pf))
+        if len(out) >= batch_k:
+            break
+    return out
+
+
+def bpe_train_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    batch_k: int = 16,
+    init_state: DataFrame | None = None,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """BPE vocabulary induction with BATCHED merge selection — the
+    realistic-merge-count form of bpe_train.
+
+    Why: the serial trainer is exact but pays one driver round-trip
+    (1-row argmax collect) + one materialization PER MERGE — measured
+    0.65-0.70 s/merge flat over a 427k-row tokenizer-scale symbol
+    state (tools/bpe_merge_scale.py), i.e. ~6 h for the 32k merges a
+    production tokenizer needs. This trainer collects the TOP-`batch_k`
+    pair counts per round (bounded driver state, like the serial
+    1-row argmax) and applies the maximal symbol-disjoint PREFIX of
+    them in one pass (apply_merge_batch), cutting rounds — and with
+    them the per-iteration latency floor — by up to batch_k×.
+
+    Semantics vs serial BPE (documented approximation, standard for
+    distributed BPE trainers): within a round, accepted pairs are
+    EXACTLY the top of the serial order (prefix selection under the
+    same (count desc, left, right) tiebreak; a conflict stops the
+    batch). The only deviation: serial BPE recounts after every merge,
+    so a pair CREATED mid-batch (x + merged, count ≤ its parent's)
+    could outrank a later batch member; batching defers it one round.
+    batch_k=1 reproduces bpe_train exactly (tested), and the learned
+    merge SET at testdata scale matches the serial trainer's (tested).
+    Reported weights are round-start counts (serial reports
+    post-previous-merge counts — identical for round leaders).
+    """
+    merges: list[tuple[int, str, str, int]] = []
+    wnd = Window.partitionBy("w").orderBy("pos")
+
+    init = (
+        init_state
+        if init_state is not None
+        else word_symbol_state(spark, sf_dir)
+    )
+    with _loop_shuffle_partitions(spark, init.count()) as n_parts:
+        st = init.repartition(n_parts, "w").localCheckpoint(eager=True)
+        while len(merges) < n_merges:
+            top = (
+                st.withColumn("nxt", F.lead("sym").over(wnd))
+                .filter(F.col("nxt").isNotNull())
+                .groupBy("sym", "nxt")
+                .agg(F.sum("freq").alias("pf"))
+                .orderBy(F.col("pf").desc(), "sym", "nxt")
+                .limit(batch_k)
+                .collect()
+            )
+            if not top:
+                break
+            batch = select_merge_batch(
+                [(r.sym, r.nxt, int(r.pf)) for r in top],
+                min(batch_k, n_merges - len(merges)),
+            )
+            for left, right, pf in batch:
+                merges.append((len(merges) + 1, left, right, pf))
+            st = apply_merge_batch(
+                st, [(left, right) for left, right, _ in batch]
+            ).localCheckpoint(eager=True)
+
+    return merges, st
+
+
 def apply_merge(st: DataFrame, left: str, right: str) -> DataFrame:
     """One greedy left-to-right BPE merge of (left, right) over the
     (w, freq, pos, sym) state — shared by training (with the pair just
     argmaxed) and by encoding new text with FIXED learned rules
     (`encode_words`). Caller owns materialization between steps."""
+    return apply_merge_batch(st, [(left, right)])
+
+
+def apply_merge_batch(
+    st: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """One pass applying SYMBOL-DISJOINT merge pairs simultaneously.
+
+    Precondition (enforced by select_merge_batch, asserted here): no
+    symbol appears in two pairs, and no pair's concatenation equals
+    another pair's symbol. Under disjointness the single-pair greedy
+    machinery generalizes verbatim: a position's (sym, nxt) can match
+    at most one pair, and two CONSECUTIVE positions can only match the
+    SAME pair (site p needs nxt=right_i, site p+1 needs sym=left_j =
+    right_i, and right_i belongs to pair i only — so i=j and left=right)
+    — i.e. overlapping-match runs still only arise inside one repeated
+    symbol, where the odd-streak rule already resolves them.
+    """
+    seen: set[str] = set()
+    for left, right in pairs:
+        assert left not in seen and right not in seen, pairs
+        seen.update({left, right, left + right})
     wnd = Window.partitionBy("w").orderBy("pos")
     cum = wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hit = None
+    for left, right in pairs:
+        one = (F.col("sym") == left) & (F.col("nxt") == right)
+        hit = one if hit is None else (hit | one)
     marked = st.withColumn("nxt", F.lead("sym").over(wnd)).withColumn(
-        "match",
-        F.coalesce(
-            (F.col("sym") == left) & (F.col("nxt") == right), F.lit(False)
-        ),
+        "match", F.coalesce(hit, F.lit(False))
     )
     # streak of consecutive matches ending here; greedy = odd
     last_stop = F.max(F.when(~F.col("match"), F.col("pos"))).over(cum)
