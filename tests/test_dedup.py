@@ -528,3 +528,134 @@ def test_neardup_index_retract_compact_lifecycle(spark):
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_span_dedup_matches_python_oracle(spark):
+    """Sequential re-derivation of the whole span pipeline (tokens ->
+    per-token polyhash -> SPAN_L rolling grams -> corpus count >= 2 ->
+    island merge -> coverage -> cleaned-text rehash) on the fixture."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    L = dedup.SPAN_L
+    P = hashing.P
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9']+", t.lower()) if w]
+
+    def ph(s):
+        a = 0
+        for ch in s:
+            a = (a * 31 + ord(ch)) % P
+        return a
+
+    tbl = pq.read_table(f"{SF_TEST}/documents.parquet").to_pydict()
+    docs = {d: toks(t) for d, t in zip(tbl["doc_id"], tbl["text"])}
+    cnt: Counter = Counter()
+    gps = {}
+    for d, ws in docs.items():
+        hs = [ph(w) for w in ws]
+        gs = []
+        for i in range(len(hs) - L + 1):
+            g = 0
+            for j in range(L):
+                g = (g * 31 + hs[i + j]) % P
+            gs.append(g)
+            cnt[g] += 1
+        gps[d] = gs
+    want = {}
+    n_hit = 0
+    for d, ws in docs.items():
+        ss = [i + 1 for i, g in enumerate(gps[d]) if cnt[g] >= 2]
+        spans: list[list[int]] = []
+        for s in ss:
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = s + L - 1
+            else:
+                spans.append([s, s + L - 1])
+        covered = {p for b, e in spans for p in range(b, e + 1)}
+        kept = " ".join(w for i, w in enumerate(ws) if i + 1 not in covered)
+        n = len(ws)
+        n_hit += bool(ss)
+        want[d] = (
+            len(ss), len(spans), len(covered),
+            len(covered) / n if n else 0.0, ph(kept),
+        )
+    assert n_hit, "fixture corpus should contain repeated 8-gram spans"
+
+    for r in dedup.span_dedup(spark, SF_TEST).collect():
+        got = (r.sp_dup_starts, r.sp_spans, r.sp_dup_tokens,
+               r.sp_dup_ratio, r.sp_kept_hash)
+        assert got == want[r.doc_id], r.doc_id
+
+
+def test_span_profile_merging_and_kept_text(spark):
+    """Hand corpus pinning the island semantics: overlapping starts
+    merge into one span, disjoint repeats stay separate spans, a
+    WITHIN-doc second copy counts toward the corpus frequency, docs
+    with no repeats keep everything, and the kept-hash equals the
+    polyhash of exactly the uncovered tokens."""
+    run = "a b c d e f g h"            # one 8-gram, repeated across docs
+    docs = [
+        (1, f"x1 {run} y1"),           # one span [2, 9]
+        (2, f"{run} mid1 mid2 {run}"),  # two disjoint spans (same gram)
+        (3, f"z0 {run} i {run}"),      # spans [2,9],[11,18]: gap token 10
+        (4, "q w e r t y u i o p"),    # no repeats: untouched
+        (5, ""),                        # empty doc
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup.span_profile(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+
+    def ph(s):
+        a = 0
+        for ch in s:
+            a = (a * 31 + ord(ch)) % hashing.P
+        return a
+
+    r1 = out[1]
+    assert (r1.sp_dup_starts, r1.sp_spans, r1.sp_dup_tokens) == (1, 1, 8)
+    assert r1.sp_kept_hash == ph("x1 y1")
+    r2 = out[2]
+    assert (r2.sp_dup_starts, r2.sp_spans, r2.sp_dup_tokens) == (2, 2, 16)
+    assert r2.sp_kept_hash == ph("mid1 mid2")
+    r3 = out[3]
+    assert (r3.sp_dup_starts, r3.sp_spans, r3.sp_dup_tokens) == (2, 2, 16)
+    assert r3.sp_kept_hash == ph("z0 i")
+    r4 = out[4]
+    assert (r4.sp_dup_starts, r4.sp_spans, r4.sp_dup_tokens) == (0, 0, 0)
+    assert r4.sp_dup_ratio == 0.0 and r4.sp_kept_hash == ph("q w e r t y u i o p")
+    r5 = out[5]
+    assert (r5.sp_dup_tokens, r5.sp_dup_ratio, r5.sp_kept_hash) == (0, 0.0, 0)
+
+
+def test_span_profile_adjacent_runs_fuse(spark):
+    """Two duplicated 8-gram families whose coverage abuts with NO gap
+    must merge into ONE maximal span (the s <= last_e + 1 rule), and a
+    long repeated run yields overlapping starts that collapse to a
+    single island covering the whole run."""
+    run_a = "a b c d e f g h"
+    run_b = "p q r s t u v w"
+    docs = [
+        (1, f"{run_a} {run_b}"),       # abutting coverage: one 16-token span
+        (2, f"{run_a} x {run_b}"),     # gap token: two spans
+        (3, f"k0 {run_a}"),
+        (4, f"k1 {run_b}"),
+        (5, f"{run_a} {run_a}"),       # 9 overlapping dup starts, one island
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup.span_profile(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert (out[1].sp_spans, out[1].sp_dup_tokens) == (1, 16)
+    assert (out[2].sp_spans, out[2].sp_dup_tokens) == (2, 16)
+    # doc 5: every 8-window of "run_a run_a" repeats somewhere (the run
+    # itself is corpus-hot and the doc is periodic) -> full coverage
+    assert (out[5].sp_spans, out[5].sp_dup_tokens, out[5].sp_kept_hash) == (1, 16, 0)

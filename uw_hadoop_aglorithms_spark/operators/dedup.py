@@ -1050,3 +1050,142 @@ def semantic_dedup_pairs_scaled(
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+#: Span-level exact dedup (round 6): token-gram width. A token position
+#: is "duplicated" when any SPAN_L-token window covering it occurs >= 2
+#: times CORPUS-WIDE (a second copy inside the same document counts —
+#: boilerplate is boilerplate wherever it repeats). Published pipelines
+#: (ExactSubstr, Lee et al. 2022 "Deduplicating Training Data Makes
+#: Language Models Better") use 50-token substrings over a suffix
+#: array; the DataFrame-native form trades the suffix array for
+#: fixed-width rolling grams — same removal semantics at gram
+#: granularity, and every stage is a plain shuffle the optimizer
+#: already handles.
+SPAN_L = 8
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-SPAN profile + cleaned-text certificate.
+
+    The doc-level family above answers "is this document a copy?";
+    this answers the other question a 100 TB curation pass needs:
+    "which token RANGES inside surviving documents are copies?" —
+    repeated boilerplate (headers, license blocks, navigation chrome)
+    that exact/near dedup cannot touch because the hosting documents
+    differ. Output per document:
+
+      sp_dup_starts  — duplicated-gram start positions in the doc
+      sp_spans       — maximal merged duplicated ranges
+      sp_dup_tokens  — tokens covered by at least one duplicated gram
+      sp_dup_ratio   — sp_dup_tokens / n_tokens (0.0 for empty docs)
+      sp_kept_hash   — polyhash of the cleaned text (covered tokens
+                       removed, survivors re-joined) — the removal
+                       itself, value-hash-checkable without shipping
+                       corpus text through the result
+
+    Plan shape (scale story): per-token char polyhash + SPAN_L-window
+    fold are map-side array arithmetic inside codegen (the flat-fold
+    idiom _token_ngram_hashes measured 20x over nested lambdas); the
+    only corpus-sized shuffles are (a) the gram-frequency count — map-
+    side partial agg on int64 hashes, the word-count shape — and (b)
+    the start-position collect per doc, bounded by document length.
+    Interval merging, coverage, and clean-text reassembly then run
+    per-row over arrays: no joins back to exploded tokens, nothing
+    quadratic, no driver state. At 100 TB the gram-count state is the
+    corpus's distinct-gram table — the same magnitude decontaminate
+    already shuffles, and AQE's skew split handles hot boilerplate
+    grams like any hot word.
+
+    Deliberate diamond: the positional-gram frame feeds both the
+    frequency count and the join back, so the pruned 2-column scan +
+    char-hash fold run twice (visible as two FileScans). The
+    single-scan alternative — count(*) OVER (PARTITION BY gh) — was
+    rejected for scale, not convenience: a hot boilerplate gram (a
+    million identical license headers) serializes into ONE window
+    task's spill buffer with no AQE escape, while the groupBy+join
+    form partial-aggregates map-side and lets AQE split the hot key.
+    Scan recompute is embarrassingly parallel; skew is what kills the
+    job.
+    """
+    return span_profile(spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id"))
+
+
+def span_profile(docs: DataFrame) -> DataFrame:
+    """span_dedup's core over any (doc_id, text) frame (tests hand it
+    synthetic corpora with known repeated runs)."""
+    ts = tokens("text")
+    th = F.transform(ts, lambda t: polyhash(t))
+    base = docs.select("doc_id", ts.alias("ts"), th.alias("th"))
+
+    def flat_gram(i: F.Column) -> F.Column:
+        g = F.element_at(F.col("th"), i)
+        for j in range(1, SPAN_L):
+            g = (g * F.lit(31) + F.element_at(F.col("th"), i + F.lit(j))) % F.lit(P)
+        return g
+
+    n_grams = F.greatest(F.size("th") - F.lit(SPAN_L - 1), F.lit(0))
+    grams = F.when(
+        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), flat_gram)
+    ).otherwise(F.array().cast("array<long>"))
+    pos = base.select(
+        "doc_id", F.posexplode(grams).alias("i", "gh")
+    ).select("doc_id", (F.col("i") + 1).alias("s"), "gh")  # 1-based starts
+    dup_ghs = (
+        pos.groupBy("gh").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    starts = (
+        pos.join(dup_ghs, "gh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    )
+
+    # sorted starts -> maximal merged [b, e] token ranges (adjacent
+    # covered runs fuse: next start s extends the open span iff
+    # s <= last.e + 1; starts ascend, so the new end s+L-1 >= last.e)
+    last_e = F.lit(SPAN_L - 1)
+
+    def fold_span(acc: F.Column, s: F.Column) -> F.Column:
+        last = F.element_at(acc, -1)
+        ext = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["b"].alias("b"), (s + last_e).alias("e"))),
+        )
+        new = F.concat(
+            acc, F.array(F.struct(s.alias("b"), (s + last_e).alias("e")))
+        )
+        return F.when(
+            (F.size(acc) > 0) & (s <= last["e"] + 1), ext
+        ).otherwise(new)
+
+    empty_spans = F.array().cast("array<struct<b:int,e:int>>")
+    prof = (
+        base.join(starts, "doc_id", "left")
+        .withColumn("ss", F.coalesce("ss", F.array().cast("array<int>")))
+        .withColumn("spans", F.aggregate("ss", empty_spans, fold_span))
+    )
+    dup_tokens = F.aggregate(
+        F.col("spans"),
+        F.lit(0),
+        lambda a, p: a + p["e"] - p["b"] + F.lit(1),
+    )
+    kept = F.filter(
+        F.col("ts"),
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda p: (i + F.lit(1) >= p["b"]) & (i + F.lit(1) <= p["e"]),
+        ),
+    )
+    n_tok = F.size("ts")
+    return prof.select(
+        "doc_id",
+        F.size("ss").cast("long").alias("sp_dup_starts"),
+        F.size("spans").cast("long").alias("sp_spans"),
+        dup_tokens.cast("long").alias("sp_dup_tokens"),
+        F.when(n_tok > 0, dup_tokens / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("sp_dup_ratio"),
+        polyhash(F.concat_ws(" ", kept)).alias("sp_kept_hash"),
+    ).orderBy("doc_id")

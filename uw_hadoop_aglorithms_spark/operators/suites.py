@@ -744,30 +744,33 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five per-doc profiles computed CONCURRENTLY (each thread eagerly
-    localCheckpoints its member — five simultaneous jobs, the
+    """Six per-doc profiles computed CONCURRENTLY (each thread eagerly
+    localCheckpoints its member — six simultaneous jobs, the
     pagerank_suite trick) then stitched IN-PLAN with doc_id equi-joins.
     Nothing corpus-sized ever reaches the driver: the round-4 form
-    collected all five members and dict-stitched them driver-side,
+    collected the members and dict-stitched them driver-side,
     making this the one registered plan whose driver footprint grew
     with the corpus. lang-ID covers only the held-out split, so
     uncovered docs carry pred/actual NULL and `correct` pinned FALSE in
     both engines (NULL booleans don't survive the driver canonicalizer);
     lm covers docs with ≥1 token, so empty docs pin n_oov 0 /
-    avg_logprob 0.0."""
+    avg_logprob 0.0. Round 6 adds the span-level exact-dedup profile
+    (dedup.span_dedup — duplicated-range stats + cleaned-text hash),
+    which covers every doc, so its join is inner."""
     from concurrent.futures import ThreadPoolExecutor
 
     def mat(fn):
         return fn(spark, sf_dir).localCheckpoint(eager=True)
 
-    with ThreadPoolExecutor(5) as pool:
+    with ThreadPoolExecutor(6) as pool:
         f_ds = pool.submit(mat, textstats.doc_stats)
         f_qs = pool.submit(mat, textstats.quality_score)
         f_rep = pool.submit(mat, textstats.repetition_score)
         f_li = pool.submit(mat, textstats.lang_id)
         f_lm = pool.submit(mat, textstats.lm_score)
-        ds, qs, rep, li, lm = (
-            f.result() for f in (f_ds, f_qs, f_rep, f_li, f_lm)
+        f_sd = pool.submit(mat, dedup.span_dedup)
+        ds, qs, rep, li, lm, sd = (
+            f.result() for f in (f_ds, f_qs, f_rep, f_li, f_lm, f_sd)
         )
 
     return (
@@ -775,6 +778,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep, "doc_id")
         .join(li, "doc_id", "left")
         .join(lm, "doc_id", "left")
+        .join(sd, "doc_id")
         .select(
             "doc_id", "n_chars_obs", "n_ws_tokens", "n_re_tokens",
             "n_bpe_tokens", "n_distinct_tokens", "avg_token_len",
@@ -785,6 +789,8 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("correct", F.lit(False)).alias("correct"),
             F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+            "sp_dup_starts", "sp_spans", "sp_dup_tokens",
+            "sp_dup_ratio", "sp_kept_hash",
         )
         .orderBy("doc_id")
     )
@@ -1192,7 +1198,8 @@ def _suite_oracles() -> dict[str, str]:
              qs AS ({TEXTSTATS_ORACLES["quality_score"]}),
              rep AS ({TEXTSTATS_ORACLES["repetition_score"]}),
              li AS ({TEXTSTATS_ORACLES["lang_id"]}),
-             lm AS ({TEXTSTATS_ORACLES["lm_score"]})
+             lm AS ({TEXTSTATS_ORACLES["lm_score"]}),
+             sd AS ({DEDUP_ORACLES["span_dedup"]})
         SELECT ds.doc_id, ds.n_chars_obs, ds.n_ws_tokens, ds.n_re_tokens,
                ds.n_bpe_tokens, ds.n_distinct_tokens, ds.avg_token_len,
                qs.stopword_ratio, qs.unique_ratio, qs.length_score, qs.quality,
@@ -1201,12 +1208,15 @@ def _suite_oracles() -> dict[str, str]:
                li.pred_lang, li.actual_lang,
                coalesce(li.correct, FALSE) AS correct,
                coalesce(lm.n_oov, 0) AS n_oov,
-               coalesce(lm.avg_logprob, 0e0) AS avg_logprob
+               coalesce(lm.avg_logprob, 0e0) AS avg_logprob,
+               sd.sp_dup_starts, sd.sp_spans, sd.sp_dup_tokens,
+               sd.sp_dup_ratio, sd.sp_kept_hash
         FROM ds
         JOIN qs USING (doc_id)
         JOIN rep USING (doc_id)
         LEFT JOIN li USING (doc_id)
         LEFT JOIN lm USING (doc_id)
+        JOIN sd USING (doc_id)
         ORDER BY ds.doc_id
     """
 
@@ -1579,6 +1589,7 @@ SUBSUMED: frozenset[str] = frozenset(
         "simhash_dedup",
         "embedding_cosine_dups",
         "winnow_dup_pairs",
+        "span_dedup",
         "semantic_dedup_pairs",
         "semantic_dedup_scaled",
         "decontaminate_bloom",

@@ -739,6 +739,103 @@ DEDUP_ORACLES: dict[str, str] = {
 }
 
 
+def _span_dedup_sql() -> str:
+    """Span-level exact dedup (mirrors dedup.span_dedup): positional
+    SPAN_L-token rolling-gram hashes, corpus-wide frequency >= 2 marks
+    duplicated starts, gaps-and-islands merges them into maximal
+    ranges, and the cleaned text (covered tokens removed) is
+    re-polyhashed — bit-identical to the Spark column pipeline."""
+    from uw_hadoop_aglorithms_spark.operators.dedup import SPAN_L
+
+    L = SPAN_L
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, list_transform(ts, t -> {polyhash_sql('t')}) AS hs
+            FROM toks
+        ),
+        gr AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(hs) - {L - 1}, 0) + 1),
+                       i -> list_reduce(
+                           list_prepend(0::BIGINT, hs[i:i + {L - 1}]),
+                           (a, h) -> (a * 31 + h) % {_P})) AS gs
+            FROM th
+        ),
+        st0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(gs) + 1),
+                                         i -> {{'s': i, 'gh': gs[i]}})) AS r
+            FROM gr
+        ),
+        st AS (SELECT doc_id, r['s'] AS s, r['gh'] AS gh FROM st0),
+        hot AS (SELECT gh FROM st GROUP BY gh HAVING count(*) >= 2),
+        ds AS (SELECT st.doc_id, st.s FROM st JOIN hot USING (gh)),
+        brk AS (
+            SELECT doc_id, s,
+                   CASE WHEN s > coalesce(max(s) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                            -{L + 1}) + {L}
+                        THEN 1 ELSE 0 END AS nb
+            FROM ds
+        ),
+        isl AS (
+            SELECT doc_id, s,
+                   sum(nb) OVER (PARTITION BY doc_id ORDER BY s) AS g
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, g, count(*) AS n_starts,
+                   min(s) AS b, max(s) + {L - 1} AS e
+            FROM isl GROUP BY doc_id, g
+        ),
+        tp0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts) + 1),
+                                         i -> {{'pos': i, 'tok': ts[i]}})) AS r
+            FROM toks
+        ),
+        tp AS (SELECT doc_id, r['pos'] AS pos, r['tok'] AS tok FROM tp0),
+        cov AS (
+            SELECT tp.doc_id, tp.pos, tp.tok, (sp.b IS NOT NULL) AS c
+            FROM tp LEFT JOIN spans sp
+              ON sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.b AND sp.e
+        ),
+        prof AS (
+            SELECT doc_id,
+                   count(*) FILTER (WHERE c) AS dup_toks,
+                   coalesce(string_agg(tok, ' ' ORDER BY pos)
+                            FILTER (WHERE NOT c), '') AS kept
+            FROM cov GROUP BY doc_id
+        ),
+        per AS (
+            SELECT t.doc_id, len(t.ts) AS n,
+                   coalesce(ss.n_starts, 0) AS sp_dup_starts,
+                   coalesce(ss.n_spans, 0) AS sp_spans,
+                   coalesce(p.dup_toks, 0) AS sp_dup_tokens,
+                   coalesce(p.kept, '') AS kept
+            FROM toks t
+            LEFT JOIN (SELECT doc_id, sum(n_starts) AS n_starts,
+                              count(*) AS n_spans
+                       FROM spans GROUP BY doc_id) ss USING (doc_id)
+            LEFT JOIN prof p USING (doc_id)
+        )
+        SELECT doc_id, sp_dup_starts, sp_spans, sp_dup_tokens,
+               CASE WHEN n > 0 THEN sp_dup_tokens / n ELSE 0e0 END
+                 AS sp_dup_ratio,
+               {polyhash_sql('kept')} AS sp_kept_hash
+        FROM per ORDER BY doc_id
+    """
+
+
 def _winnow_pairs_sql() -> str:
     """Cross-doc winnowing match: the doc_fingerprint oracle feeds a
     DF-capped fp self-join (mirrors dedup.winnow_dup_pairs)."""
@@ -1474,6 +1571,7 @@ CURATION_ORACLES: dict[str, str] = {
 # Registered here (after TEXTSTATS_ORACLES exists — the winnow oracle
 # composes the doc_fingerprint CTE); both ride the neardup suite key.
 DEDUP_ORACLES["winnow_dup_pairs"] = _winnow_pairs_sql()
+DEDUP_ORACLES["span_dedup"] = _span_dedup_sql()
 DEDUP_ORACLES["semantic_dedup_pairs"] = _semantic_dedup_sql()
 DEDUP_ORACLES["semantic_dedup_scaled"] = _semantic_dedup_scaled_sql()
 
