@@ -659,3 +659,135 @@ def test_span_profile_adjacent_runs_fuse(spark):
     # doc 5: every 8-window of "run_a run_a" repeats somewhere (the run
     # itself is corpus-hot and the doc is periodic) -> full coverage
     assert (out[5].sp_spans, out[5].sp_dup_tokens, out[5].sp_kept_hash) == (1, 16, 0)
+
+
+def _span_rows(df):
+    return {
+        r.doc_id: (r.sp_dup_starts, r.sp_spans, r.sp_dup_tokens,
+                   r.sp_dup_ratio, r.sp_kept_hash)
+        for r in df.collect()
+    }
+
+
+def test_span_index_incremental_matches_full_rebuild(spark):
+    """Maintenance invariant of the span index, both directions:
+    (a) every profile incremental_span_profiles returns equals the
+    from-scratch span_profile(old ∪ batch) for that doc, and (b) the
+    refreshed set is EXACTLY the indexed docs whose profile the batch
+    changed (grams crossing count 1 -> >= 2)."""
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, SF_TEST).documents.select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    prefix = _uniq("spanidx")
+    try:
+        dedup.save_span_index(old, prefix)
+        inc = dedup.incremental_span_profiles(spark, prefix, new, old)
+        rows = inc.collect()
+        batch = {r.doc_id for r in rows if r.origin == "batch"}
+        refreshed = {r.doc_id for r in rows if r.origin == "refreshed"}
+        assert batch == {r.doc_id for r in new.select("doc_id").collect()}
+
+        full = _span_rows(dedup.span_profile(docs))
+        got = _span_rows(inc.drop("origin"))
+        assert all(got[d] == full[d] for d in got), "profiles drift from full rebuild"
+
+        old_only = _span_rows(dedup.span_profile(old))
+        truly_changed = {d for d in old_only if old_only[d] != full[d]}
+        assert refreshed == truly_changed
+        assert truly_changed, "fixture halves should share spans (dup docs exist)"
+    finally:
+        for t in (f"{prefix}_grams", f"{prefix}_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_span_index_extend_equals_fresh_build(spark):
+    """index(old) extended with the admitted batch must serve the next
+    incremental query exactly like index(old ∪ batch) built fresh."""
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, SF_TEST).documents.select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    mid = docs.filter(F.col("doc_id") % 3 == 1)
+    nxt = docs.filter(F.col("doc_id") % 3 == 2)
+    grown, fresh = _uniq("spangrow"), _uniq("spanfresh")
+    try:
+        dedup.save_span_index(old, grown)
+        dedup.extend_span_index(mid, grown)
+        dedup.save_span_index(old.unionAll(mid), fresh)
+        base = old.unionAll(mid)
+        a = dedup.incremental_span_profiles(spark, grown, nxt, base)
+        b = dedup.incremental_span_profiles(spark, fresh, nxt, base)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and ra
+    finally:
+        for p in (grown, fresh):
+            for t in (f"{p}_grams", f"{p}_tombstones"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_span_index_removal_refresh_chain(spark):
+    """add -> remove -> add against the tombstoned/compacted index: a
+    retraction un-duplicates the surviving copy (refresh reports its
+    coverage collapsing), compaction preserves behavior, and a later
+    batch restoring the gram re-duplicates the same doc."""
+    run = "a b c d e f g h"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    d1 = (1, f"x1 {run} y1")
+    d2 = (2, f"x2 {run} y2")
+    d3 = (3, "m n o p q r s t u v")
+    prefix = _uniq("spanrm")
+    try:
+        dedup.save_span_index(mk([d1, d2, d3]), prefix)
+        # retract doc 2: the shared run's live count drops 2 -> 1
+        dedup.remove_from_span_index(spark, prefix, [2])
+        ref = _span_rows(
+            dedup.removal_span_refresh(
+                spark, prefix, mk([d2]), mk([d1, d3])
+            )
+        )
+        assert set(ref) == {1}
+        assert ref[1][2] == 0 and ref[1][4] != 0  # coverage gone, text kept
+        # compaction: tombstones applied physically, same live behavior
+        dedup.compact_span_index(spark, prefix)
+        assert spark.table(f"{prefix}_grams").filter(
+            F.col("doc_id") == 2
+        ).count() == 0
+        # a new batch restores the run: doc 1 must re-duplicate
+        inc = dedup.incremental_span_profiles(
+            spark, prefix, mk([(4, f"z4 {run} w4")]), mk([d1, d3])
+        )
+        rows = {r.doc_id: r for r in inc.collect()}
+        assert rows[4].origin == "batch" and rows[4].sp_dup_tokens == 8
+        assert rows[1].origin == "refreshed" and rows[1].sp_dup_tokens == 8
+        assert set(rows) == {1, 4}
+    finally:
+        for t in (f"{prefix}_grams", f"{prefix}_grams__gen",
+                  f"{prefix}_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_span_index_count_groupby_is_exchange_free(spark):
+    """Plan certificate: the index-side gram-frequency count must run
+    bucket-local — the point of bucketing `{prefix}_grams` on gh is
+    that every incremental query's count pass pays no Exchange on the
+    corpus-sized side (the bucket layout was paid at write time)."""
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, SF_TEST).documents.select("doc_id", "text")
+    prefix = _uniq("spanplan")
+    try:
+        dedup.save_span_index(docs, prefix)
+        cnt = (
+            dedup._live_index(spark, prefix, "grams")
+            .groupBy("gh")
+            .agg(F.count("*").alias("ci"))
+        )
+        plan = cnt._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in plan, "gram count must not reshuffle the index"
+    finally:
+        for t in (f"{prefix}_grams", f"{prefix}_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

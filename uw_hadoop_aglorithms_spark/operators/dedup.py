@@ -1114,9 +1114,28 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def span_profile(docs: DataFrame) -> DataFrame:
     """span_dedup's core over any (doc_id, text) frame (tests hand it
     synthetic corpora with known repeated runs)."""
+    base = _span_base(docs)
+    pos = _span_gram_rows(base)
+    dup_ghs = (
+        pos.groupBy("gh").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    return _span_profiles_from_starts(base, _span_starts(pos, dup_ghs))
+
+
+def _span_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, ts, th): tokens + per-token polyhashes."""
     ts = tokens("text")
-    th = F.transform(ts, lambda t: polyhash(t))
-    base = docs.select("doc_id", ts.alias("ts"), th.alias("th"))
+    return docs.select(
+        "doc_id", ts.alias("ts"), F.transform(ts, lambda t: polyhash(t)).alias("th")
+    )
+
+
+def _span_gram_rows(base: DataFrame) -> DataFrame:
+    """(doc_id, s, gh): POSITIONAL SPAN_L-gram rolling hashes, s
+    1-based (the flat chained fold of _token_ngram_hashes, positions
+    kept instead of distinct-ed)."""
 
     def flat_gram(i: F.Column) -> F.Column:
         g = F.element_at(F.col("th"), i)
@@ -1128,23 +1147,28 @@ def span_profile(docs: DataFrame) -> DataFrame:
     grams = F.when(
         n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), flat_gram)
     ).otherwise(F.array().cast("array<long>"))
-    pos = base.select(
+    return base.select(
         "doc_id", F.posexplode(grams).alias("i", "gh")
-    ).select("doc_id", (F.col("i") + 1).alias("s"), "gh")  # 1-based starts
-    dup_ghs = (
-        pos.groupBy("gh").agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("gh")
-    )
-    starts = (
-        pos.join(dup_ghs, "gh")
+    ).select("doc_id", (F.col("i") + 1).alias("s"), "gh")
+
+
+def _span_starts(gram_rows: DataFrame, hot_ghs: DataFrame) -> DataFrame:
+    """(doc_id, ss): sorted duplicated-gram start positions per doc —
+    the gram rows semi-joined against the hot (count >= 2) gram set."""
+    return (
+        gram_rows.join(hot_ghs.select("gh"), "gh", "left_semi")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("s")).alias("ss"))
     )
 
-    # sorted starts -> maximal merged [b, e] token ranges (adjacent
-    # covered runs fuse: next start s extends the open span iff
-    # s <= last.e + 1; starts ascend, so the new end s+L-1 >= last.e)
+
+def _span_profiles_from_starts(
+    base: DataFrame, starts: DataFrame
+) -> DataFrame:
+    """The per-row array half of the pipeline: sorted starts -> maximal
+    merged [b, e] token ranges (adjacent covered runs fuse: next start
+    s extends the open span iff s <= last.e + 1; starts ascend, so the
+    new end s+L-1 >= last.e) -> coverage stats + cleaned-text hash."""
     last_e = F.lit(SPAN_L - 1)
 
     def fold_span(acc: F.Column, s: F.Column) -> F.Column:
@@ -1188,4 +1212,156 @@ def span_profile(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("sp_dup_ratio"),
         polyhash(F.concat_ws(" ", kept)).alias("sp_kept_hash"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Span-dedup index lifecycle (round 6): how span_dedup actually runs on
+# a lake. One bucketed table, `{prefix}_grams` (doc_id, s, gh) bucketed
+# on gh, is the whole state: gram frequencies are a bucket-local groupBy
+# (no Exchange — the layout was paid at write time), postings lookups
+# are broadcast joins against it, and per-batch work is |batch| plus the
+# docs whose coverage actually changed. Mirrors the near-dup band-index
+# lifecycle (save/extend/tombstone/compact) one screen up.
+# --------------------------------------------------------------------------
+
+
+def save_span_index(docs: DataFrame, prefix: str) -> None:
+    """Persist the positional-gram table for a corpus slice, bucketed
+    on gh: frequency counts and crossing-gram probes both run without
+    shuffling the index side."""
+    from uw_hadoop_aglorithms_spark.plans import bucketing
+
+    bucketing.write_bucketed(
+        _span_gram_rows(_span_base(docs)), f"{prefix}_grams", "gh"
+    )
+
+
+def extend_span_index(docs: DataFrame, prefix: str) -> None:
+    """Grow the index with an ADMITTED batch: append its gram rows into
+    the same bucket layout (fresh-build equivalence tested)."""
+    from uw_hadoop_aglorithms_spark.plans import bucketing
+
+    bucketing.append_bucketed(
+        _span_gram_rows(_span_base(docs)), f"{prefix}_grams", "gh"
+    )
+
+
+def remove_from_span_index(spark: SparkSession, prefix: str, doc_ids) -> None:
+    """Retract documents: same tombstone mechanism as the near-dup
+    index (O(|retractions|) append; logical immediately, physical at
+    compaction; every reader anti-joins the tombstones broadcast, so
+    the bucketed layout survives)."""
+    remove_from_neardup_index(spark, prefix, doc_ids)
+
+
+def compact_span_index(
+    spark: SparkSession, prefix: str, buckets: int | None = None
+) -> None:
+    """Apply tombstones physically and bound file growth: one
+    generation rewrite pre-shuffled to the bucket spec (one file per
+    bucket), swapped in via ALTER TABLE RENAME — the session-catalog
+    form of a lake format's rewrite-then-commit."""
+    from uw_hadoop_aglorithms_spark.plans import bucketing
+
+    if buckets is None:
+        buckets = bucketing.DEFAULT_BUCKETS
+    table = f"{prefix}_grams"
+    tmp = f"{table}__gen"
+    live = _live_index(spark, prefix, "grams").repartition(
+        buckets, F.col("gh")
+    )
+    bucketing.write_bucketed(live, tmp, "gh", buckets)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {_tombstone_table(prefix)}")
+
+
+def incremental_span_profiles(
+    spark: SparkSession, prefix: str, new_docs: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Span profiles for an ARRIVING batch against the persisted index,
+    plus refreshed profiles for exactly the indexed docs whose coverage
+    the batch changed. `corpus` is the indexed corpus's source table
+    (doc_id, text): changed docs are re-tokenized from it via a
+    semi-join (on a lake: a partition-pruned read of the source), so
+    the index never stores text.
+
+    Span dedup is RETROACTIVE in a way pair finding is not: admitting a
+    batch can flip an old doc's unique gram to duplicated (some new doc
+    repeats it), so the maintenance invariant has two parts, both
+    tested: (a) every returned profile equals span_profile(index corpus
+    ∪ batch) for that doc, and (b) the refreshed set is exactly the old
+    docs whose union profile differs from their index-only profile —
+    grams crossing count 1 -> >=2 (an index count of 0 cannot affect an
+    old doc, and >=2 was already duplicated).
+
+    Plan shape: batch grams are counted once (|batch| shuffle); index
+    counts are a bucket-local groupBy; the hot set is their outer-join
+    sum; crossing grams (index count == 1, batch count >= 1) probe the
+    index via a broadcast join that leaves the bucketed side in place.
+    Per-batch work is |batch| + |changed docs| — never |corpus|.
+    """
+    base_new = _span_base(new_docs).cache()
+    g_new = _span_gram_rows(base_new)
+    c_new = g_new.groupBy("gh").agg(F.count("*").alias("cn"))
+    g_idx = _live_index(spark, prefix, "grams")
+    c_idx = g_idx.groupBy("gh").agg(F.count("*").alias("ci"))
+    totals = (
+        c_idx.join(c_new, "gh", "full_outer")
+        .select(
+            "gh",
+            F.coalesce("ci", F.lit(0)).alias("ci"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+        .withColumn("c", F.col("ci") + F.col("cn"))
+    )
+    hot = totals.filter(F.col("c") >= 2).select("gh")
+    prof_new = _span_profiles_from_starts(
+        base_new, _span_starts(g_new, hot)
+    ).withColumn("origin", F.lit("batch"))
+
+    crossing = totals.filter(
+        (F.col("ci") == 1) & (F.col("cn") >= 1)
+    ).select("gh")
+    changed_ids = (
+        g_idx.join(F.broadcast(crossing), "gh").select("doc_id").distinct()
+    )
+    base_old = _span_base(
+        corpus.join(changed_ids, "doc_id", "left_semi")
+    ).cache()
+    prof_old = _span_profiles_from_starts(
+        base_old, _span_starts(_span_gram_rows(base_old), hot)
+    ).withColumn("origin", F.lit("refreshed"))
+    return prof_new.unionAll(prof_old).orderBy("doc_id")
+
+
+def removal_span_refresh(
+    spark: SparkSession, prefix: str, removed_docs: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """The symmetric retraction question, asked AFTER
+    remove_from_span_index: which surviving docs LOSE coverage because
+    a retracted doc held the other copy of their gram? A gram changes
+    state iff its live count is exactly 1 and the retracted docs held
+    >= 1 copy (live 0 has no holders left; live >= 2 stays duplicated).
+    Returns refreshed profiles for exactly those holders, computed
+    against the post-retraction hot set. `removed_docs` is the
+    retracted slice's (doc_id, text) — recomputing its grams from text
+    avoids scanning the gh-bucketed index by doc_id."""
+    g_rm = _span_gram_rows(_span_base(removed_docs))
+    c_rm = g_rm.groupBy("gh").agg(F.count("*").alias("cr"))
+    g_live = _live_index(spark, prefix, "grams")
+    c_live = g_live.groupBy("gh").agg(F.count("*").alias("cl"))
+    downs = (
+        c_rm.join(c_live, "gh")
+        .filter((F.col("cl") == 1) & (F.col("cr") >= 1))
+        .select("gh")
+    )
+    changed_ids = (
+        g_live.join(F.broadcast(downs), "gh").select("doc_id").distinct()
+    )
+    base = _span_base(corpus.join(changed_ids, "doc_id", "left_semi"))
+    hot_live = c_live.filter(F.col("cl") >= 2).select("gh")
+    return _span_profiles_from_starts(
+        base, _span_starts(_span_gram_rows(base), hot_live)
     ).orderBy("doc_id")
