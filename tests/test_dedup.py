@@ -698,7 +698,7 @@ def test_span_index_incremental_matches_full_rebuild(spark):
         assert refreshed == truly_changed
         assert truly_changed, "fixture halves should share spans (dup docs exist)"
     finally:
-        for t in (f"{prefix}_grams", f"{prefix}_tombstones"):
+        for t in (f"{prefix}_grams", f"{prefix}_grams_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -724,7 +724,7 @@ def test_span_index_extend_equals_fresh_build(spark):
         assert ra == rb and ra
     finally:
         for p in (grown, fresh):
-            for t in (f"{p}_grams", f"{p}_tombstones"):
+            for t in (f"{p}_grams", f"{p}_grams_tombstones"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -765,7 +765,7 @@ def test_span_index_removal_refresh_chain(spark):
         assert set(rows) == {1, 4}
     finally:
         for t in (f"{prefix}_grams", f"{prefix}_grams__gen",
-                  f"{prefix}_tombstones"):
+                  f"{prefix}_grams_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -789,5 +789,42 @@ def test_span_index_count_groupby_is_exchange_free(spark):
         assert "Bucketed: true" in plan
         assert "Exchange" not in plan, "gram count must not reshuffle the index"
     finally:
-        for t in (f"{prefix}_grams", f"{prefix}_tombstones"):
+        for t in (f"{prefix}_grams", f"{prefix}_grams_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_family_tombstones_are_isolated_per_index(spark):
+    """Regression (round-6 review finding): a near-dup index and a span
+    index under the SAME prefix must keep separate tombstone tables —
+    compacting one family must not discard (nor prematurely apply) the
+    other family's pending retractions."""
+    run = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"x1 {run} y1"), (2, f"x2 {run} y2"), (3, "m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    prefix = _uniq("fams")
+    try:
+        dedup.save_neardup_index(docs, prefix)
+        dedup.save_span_index(docs, prefix)
+        # retract doc 2 from the SPAN index only, then compact the
+        # NEAR-DUP index: before the fix both wrote {prefix}_tombstones
+        # and this compaction dropped the pending span retraction
+        dedup.remove_from_span_index(spark, prefix, [2])
+        dedup.compact_neardup_index(spark, prefix)
+        live_span_ids = {
+            r.doc_id
+            for r in dedup._live_span_index(spark, prefix)
+            .select("doc_id").distinct().collect()
+        }
+        assert 2 not in live_span_ids, "span retraction resurrected"
+        # and the near-dup side never saw the span tombstone: doc 2's
+        # bands/hsets survive its compaction untouched
+        assert spark.table(f"{prefix}_hsets").filter(
+            F.col("doc_id") == 2
+        ).count() == 1
+    finally:
+        for t in ("bands", "hsets", "grams", "tombstones",
+                  "grams_tombstones", "bands__gen", "hsets__gen",
+                  "grams__gen"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")

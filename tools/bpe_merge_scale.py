@@ -114,6 +114,11 @@ def main() -> None:
     rows_before = init.count() if init is not None else None
     before = rss_mb()
     t0 = time.perf_counter()
+    # times[0] still spans the trainer's own init materialization (the
+    # pre-loop checkpoint), not a merge round — reset the clock here so
+    # it at least excludes synthetic_state/count/RSS setup, and drop it
+    # from the head window below
+    last[0] = t0
     try:
         if batch_k > 1:
             merges, st = bpe.bpe_train_batched(
@@ -130,7 +135,7 @@ def main() -> None:
     rows_after = st.count()
     after = rss_mb()
 
-    head = times[:50]
+    head = times[1:51]  # times[0] = trainer init, not a merge round
     tail = times[-50:]
     print(
         f"bpe_train n_merges={n_merges} mode={mode} batch_k={batch_k} "
@@ -140,8 +145,8 @@ def main() -> None:
         f"init_rows={rows_before}"
     )
     print(
-        f"per-merge trend: first50={sum(head) / len(head):.3f}s "
-        f"last50={sum(tail) / len(tail):.3f}s"
+        f"per-merge trend: first50={sum(head) / max(len(head), 1):.3f}s "
+        f"last50={sum(tail) / max(len(tail), 1):.3f}s"
     )
     print(f"final symbol-state rows={rows_after}")
     print(f"driver RSS {before}->{after} MB")

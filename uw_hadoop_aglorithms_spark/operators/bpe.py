@@ -88,41 +88,15 @@ def bpe_train(
     `init_state` overrides the corpus-derived (w, freq, pos, sym) state
     (tools/bpe_merge_scale.py trains over a synthetic tokenizer-scale
     vocabulary; the testdata corpus has only 31 distinct words).
+
+    Delegates to bpe_train_batched(batch_k=1): a 1-batch is always
+    conflict-free, so the prefix selection degenerates to the serial
+    argmax — same merges, same weights, same state
+    (tests/test_bpe.py::test_bpe_train_batched_k1_is_serial pins it).
     """
-    merges: list[tuple[int, str, str, int]] = []
-    wnd = Window.partitionBy("w").orderBy("pos")
-
-    init = (
-        init_state
-        if init_state is not None
-        else word_symbol_state(spark, sf_dir)
+    return bpe_train_batched(
+        spark, sf_dir, n_merges=n_merges, batch_k=1, init_state=init_state
     )
-    # size the per-merge shuffles to the SYMBOL state (vocabulary ×
-    # avg word length rows), exactly like the PageRank loop: tiny at
-    # the testdata vocab, growing partition counts at a real one
-    with _loop_shuffle_partitions(spark, init.count()) as n_parts:
-        st = (
-            init
-            .repartition(n_parts, "w")
-            .localCheckpoint(eager=True)
-        )
-        for step in range(1, n_merges + 1):
-            best = (
-                st.withColumn("nxt", F.lead("sym").over(wnd))
-                .filter(F.col("nxt").isNotNull())
-                .groupBy("sym", "nxt")
-                .agg(F.sum("freq").alias("pf"))
-                .orderBy(F.col("pf").desc(), "sym", "nxt")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            left, right, pf = best[0].sym, best[0].nxt, int(best[0].pf)
-            merges.append((step, left, right, pf))
-            st = apply_merge(st, left, right).localCheckpoint(eager=True)
-
-    return merges, st
 
 
 def select_merge_batch(
@@ -183,11 +157,19 @@ def bpe_train_batched(
     merges: list[tuple[int, str, str, int]] = []
     wnd = Window.partitionBy("w").orderBy("pos")
 
+    # materialize BEFORE counting: the corpus-derived symbol state is a
+    # tokenize+groupBy+posexplode lineage, and sizing the loop off a
+    # bare .count() would execute that lineage once for the count and
+    # again for the first repartition (unlike the PageRank idiom being
+    # copied, where the counted frame is already cached)
     init = (
         init_state
         if init_state is not None
         else word_symbol_state(spark, sf_dir)
-    )
+    ).localCheckpoint(eager=True)
+    # size the per-merge shuffles to the SYMBOL state (vocabulary ×
+    # avg word length rows), exactly like the PageRank loop: tiny at
+    # the testdata vocab, growing partition counts at a real one
     with _loop_shuffle_partitions(spark, init.count()) as n_parts:
         st = init.repartition(n_parts, "w").localCheckpoint(eager=True)
         while len(merges) < n_merges:
@@ -240,7 +222,15 @@ def apply_merge_batch(
     """
     seen: set[str] = set()
     for left, right in pairs:
-        assert left not in seen and right not in seen, pairs
+        # all three memberships, matching select_merge_batch's filter:
+        # a later pair's CONCAT colliding with an earlier symbol (or
+        # another concat) breaks disjointness just as surely as a
+        # reused left/right
+        assert (
+            left not in seen
+            and right not in seen
+            and (left + right) not in seen
+        ), pairs
         seen.update({left, right, left + right})
     wnd = Window.partitionBy("w").orderBy("pos")
     cum = wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -314,20 +314,72 @@ def extend_neardup_index(docs: DataFrame, prefix: str) -> None:
 
 
 def _tombstone_table(prefix: str) -> str:
+    """Tombstones for the near-dup family ({prefix}_bands/_hsets). The
+    span index keeps its OWN tombstone table (_span_tombstone_table):
+    each family's compaction applies-and-drops only its own pending
+    retractions, so compacting one index under a shared prefix can
+    never silently resurrect docs retracted from the other."""
     return f"{prefix}_tombstones"
 
 
-def _live_index(spark: SparkSession, prefix: str, kind: str) -> DataFrame:
-    """The `{prefix}_{kind}` index table minus retracted documents:
-    a BROADCAST anti-join against the tombstone table (map-side, so the
-    bucketed layout of the index side survives and the band join still
-    pays no Exchange on the index side). Reads the raw table when no
-    retraction has ever happened."""
-    df = spark.table(f"{prefix}_{kind}")
-    tomb = _tombstone_table(prefix)
+def _span_tombstone_table(prefix: str) -> str:
+    """Tombstones for the span index ({prefix}_grams)."""
+    return f"{prefix}_grams_tombstones"
+
+
+def _live_table(spark: SparkSession, table: str, tomb: str) -> DataFrame:
+    """An index table minus retracted documents: a BROADCAST anti-join
+    against its tombstone table (map-side, so the bucketed layout of
+    the index side survives and bucket-local joins/aggregations still
+    pay no Exchange). Reads the raw table when no retraction has ever
+    happened."""
+    df = spark.table(table)
     if spark.catalog.tableExists(tomb):
         df = df.join(F.broadcast(spark.table(tomb)), "doc_id", "left_anti")
     return df
+
+
+def _live_index(spark: SparkSession, prefix: str, kind: str) -> DataFrame:
+    """Near-dup family live view of `{prefix}_{kind}`."""
+    return _live_table(spark, f"{prefix}_{kind}", _tombstone_table(prefix))
+
+
+def _retract_ids(spark: SparkSession, doc_ids, tomb: str) -> None:
+    """Append retracted ids to a tombstone table (shared mechanism)."""
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+    ids.write.mode("append").format("parquet").saveAsTable(tomb)
+
+
+def _compact_tables(
+    spark: SparkSession,
+    prefix: str,
+    kinds_keys: list[tuple[str, str]],
+    tomb: str,
+    buckets: int | None,
+) -> None:
+    """Generation rewrite shared by both index families: each bucketed
+    table is rewritten ONCE pre-shuffled to its bucket spec (one file
+    per bucket) and swapped in via ALTER TABLE RENAME; the family's OWN
+    tombstone table is dropped once applied."""
+    from uw_hadoop_aglorithms_spark.plans import bucketing
+
+    if buckets is None:
+        buckets = bucketing.DEFAULT_BUCKETS
+    for kind, key in kinds_keys:
+        table = f"{prefix}_{kind}"
+        tmp = f"{table}__gen"
+        live = _live_table(spark, table, tomb).repartition(
+            buckets, F.col(key)
+        )
+        bucketing.write_bucketed(live, tmp, key, buckets)
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {tomb}")
 
 
 def remove_from_neardup_index(
@@ -342,15 +394,7 @@ def remove_from_neardup_index(
     delete pattern (Iceberg/Delta delete files): the bucketed band/hset
     history is immutable between compactions, so retraction never
     rewrites data in the hot path."""
-    if isinstance(doc_ids, DataFrame):
-        ids = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
-    else:
-        ids = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id long"
-        )
-    ids.write.mode("append").format("parquet").saveAsTable(
-        _tombstone_table(prefix)
-    )
+    _retract_ids(spark, doc_ids, _tombstone_table(prefix))
 
 
 def compact_neardup_index(
@@ -367,20 +411,13 @@ def compact_neardup_index(
     table is dropped once applied. Run cadence is a policy knob (e.g.
     every N appends or when files/bucket exceeds a threshold); between
     compactions queries stay correct via the tombstone anti-join."""
-    from uw_hadoop_aglorithms_spark.plans import bucketing
-
-    if buckets is None:
-        buckets = bucketing.DEFAULT_BUCKETS
-    for kind, key in (("bands", "h1"), ("hsets", "doc_id")):
-        table = f"{prefix}_{kind}"
-        tmp = f"{table}__gen"
-        live = _live_index(spark, prefix, kind).repartition(
-            buckets, F.col(key)
-        )
-        bucketing.write_bucketed(live, tmp, key, buckets)
-        spark.sql(f"DROP TABLE {table}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {_tombstone_table(prefix)}")
+    _compact_tables(
+        spark,
+        prefix,
+        [("bands", "h1"), ("hsets", "doc_id")],
+        _tombstone_table(prefix),
+        buckets,
+    )
 
 
 def incremental_neardup_pairs(
@@ -396,7 +433,9 @@ def incremental_neardup_pairs(
     in place — its Exchange was paid at write time), plus a delta
     self-join; union of candidates, then one exact-Jaccard verification
     against the two hset tables."""
-    new_hsets = hsets_from_docs(new_docs).cache()
+    # localCheckpoint, not cache: released on GC by the ContextCleaner,
+    # so per-batch ingest calls don't accumulate executor storage
+    new_hsets = hsets_from_docs(new_docs).localCheckpoint(eager=True)
     new_bands = bands_from_hsets(new_hsets)
     idx_bands = _live_index(spark, prefix, "bands")
     on = ["band_no", "h1", "h2"]
@@ -1247,12 +1286,22 @@ def extend_span_index(docs: DataFrame, prefix: str) -> None:
     )
 
 
+def _live_span_index(spark: SparkSession, prefix: str) -> DataFrame:
+    """Span-index live view of `{prefix}_grams` (its OWN tombstones —
+    see _tombstone_table for why the families never share one)."""
+    return _live_table(
+        spark, f"{prefix}_grams", _span_tombstone_table(prefix)
+    )
+
+
 def remove_from_span_index(spark: SparkSession, prefix: str, doc_ids) -> None:
     """Retract documents: same tombstone mechanism as the near-dup
     index (O(|retractions|) append; logical immediately, physical at
     compaction; every reader anti-joins the tombstones broadcast, so
-    the bucketed layout survives)."""
-    remove_from_neardup_index(spark, prefix, doc_ids)
+    the bucketed layout survives) — into the span index's OWN
+    tombstone table, so compacting a near-dup index under the same
+    prefix cannot discard a pending span retraction."""
+    _retract_ids(spark, doc_ids, _span_tombstone_table(prefix))
 
 
 def compact_span_index(
@@ -1262,19 +1311,13 @@ def compact_span_index(
     generation rewrite pre-shuffled to the bucket spec (one file per
     bucket), swapped in via ALTER TABLE RENAME — the session-catalog
     form of a lake format's rewrite-then-commit."""
-    from uw_hadoop_aglorithms_spark.plans import bucketing
-
-    if buckets is None:
-        buckets = bucketing.DEFAULT_BUCKETS
-    table = f"{prefix}_grams"
-    tmp = f"{table}__gen"
-    live = _live_index(spark, prefix, "grams").repartition(
-        buckets, F.col("gh")
+    _compact_tables(
+        spark,
+        prefix,
+        [("grams", "gh")],
+        _span_tombstone_table(prefix),
+        buckets,
     )
-    bucketing.write_bucketed(live, tmp, "gh", buckets)
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {_tombstone_table(prefix)}")
 
 
 def incremental_span_profiles(
@@ -1302,10 +1345,14 @@ def incremental_span_profiles(
     index via a broadcast join that leaves the bucketed side in place.
     Per-batch work is |batch| + |changed docs| — never |corpus|.
     """
-    base_new = _span_base(new_docs).cache()
+    # localCheckpoint, not cache: checkpoint blocks are released by
+    # the ContextCleaner when the frame is GC'd, so a long-lived
+    # ingest session calling this per batch does not accumulate
+    # executor storage (DataFrame cache entries outlive the call)
+    base_new = _span_base(new_docs).localCheckpoint(eager=True)
     g_new = _span_gram_rows(base_new)
     c_new = g_new.groupBy("gh").agg(F.count("*").alias("cn"))
-    g_idx = _live_index(spark, prefix, "grams")
+    g_idx = _live_span_index(spark, prefix)
     c_idx = g_idx.groupBy("gh").agg(F.count("*").alias("ci"))
     totals = (
         c_idx.join(c_new, "gh", "full_outer")
@@ -1329,7 +1376,7 @@ def incremental_span_profiles(
     )
     base_old = _span_base(
         corpus.join(changed_ids, "doc_id", "left_semi")
-    ).cache()
+    ).localCheckpoint(eager=True)
     prof_old = _span_profiles_from_starts(
         base_old, _span_starts(_span_gram_rows(base_old), hot)
     ).withColumn("origin", F.lit("refreshed"))
@@ -1350,7 +1397,7 @@ def removal_span_refresh(
     avoids scanning the gh-bucketed index by doc_id."""
     g_rm = _span_gram_rows(_span_base(removed_docs))
     c_rm = g_rm.groupBy("gh").agg(F.count("*").alias("cr"))
-    g_live = _live_index(spark, prefix, "grams")
+    g_live = _live_span_index(spark, prefix)
     c_live = g_live.groupBy("gh").agg(F.count("*").alias("cl"))
     downs = (
         c_rm.join(c_live, "gh")

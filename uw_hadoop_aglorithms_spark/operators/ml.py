@@ -120,7 +120,8 @@ def _sgd_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # envelope mid-sum (and in the oracle's regrouped-by-step
             # partials) while the final score sneaks back under it —
             # the abs-sum bounds every subset/reordering of the terms.
-            abs_sum = sum(abs(w.get(int(f), 0.0)) for f in feats)
+            vals = [w.get(int(f), 0.0) for f in feats]
+            abs_sum = sum(abs(v) for v in vals)
             if not abs_sum < 8192.0:
                 raise ValueError(
                     f"serial-SGD exactness envelope exceeded: Σ|w[f]|="
@@ -128,7 +129,7 @@ def _sgd_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "leave the exact dyadic grid and the determinism "
                     "contract no longer holds"
                 )
-            score = sum(w.get(int(f), 0.0) for f in feats)
+            score = sum(vals)
             # clamp: exp overflow guard; reference relies on small scores
             p = 1.0 / (1.0 + math.exp(-max(min(score, 709.0), -709.0)))
             # dyadic-quantized gradient: bit-deterministic in any engine
