@@ -828,3 +828,57 @@ def test_family_tombstones_are_isolated_per_index(spark):
                   "grams_tombstones", "bands__gen", "hsets__gen",
                   "grams__gen"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_span_island_fold_matches_reference_on_random_starts(spark):
+    """Property check of the Catalyst island fold in isolation: for 100
+    seeded-random duplicated-start sets, _span_profiles_from_starts
+    must agree with a sequential interval merger on span count, covered
+    tokens, and the kept-token reassembly (one Spark job for all
+    cases — the fold is the trickiest expression in the pipeline:
+    slice/concat/struct surgery inside F.aggregate)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    L = dedup.SPAN_L
+    cases = []
+    for i in range(100):
+        n = rng.randint(0, 40) + (L if i % 5 else 0)
+        ts = [f"t{j}" for j in range(n)]
+        max_s = max(n - L + 1, 0)
+        k = rng.randint(0, max_s) if max_s else 0
+        ss = sorted(rng.sample(range(1, max_s + 1), k)) if k else []
+        cases.append((i, ts, ss))
+
+    base = spark.createDataFrame(
+        [(i, ts) for i, ts, _ in cases], "doc_id long, ts array<string>"
+    )
+    starts = spark.createDataFrame(
+        [(i, ss) for i, ts, ss in cases if ss],
+        "doc_id long, ss array<int>",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup._span_profiles_from_starts(base, starts).collect()
+    }
+
+    def ph(s):
+        a = 0
+        for ch in s:
+            a = (a * 31 + ord(ch)) % hashing.P
+        return a
+
+    for i, ts, ss in cases:
+        spans = []
+        for s in ss:
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = s + L - 1
+            else:
+                spans.append([s, s + L - 1])
+        covered = {p for b, e in spans for p in range(b, e + 1)}
+        kept = " ".join(t for j, t in enumerate(ts) if j + 1 not in covered)
+        r = got[i]
+        assert r.sp_dup_starts == len(ss), i
+        assert r.sp_spans == len(spans), i
+        assert r.sp_dup_tokens == len(covered), i
+        assert r.sp_kept_hash == ph(kept), i
