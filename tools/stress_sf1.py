@@ -122,6 +122,39 @@ def stress_incr_index(spark, d):
     return res
 
 
+def stress_span_index(spark, d):
+    """Round-6 span-index lifecycle at 10×: index ONE replica (within
+    it, nearly every gram is unique — index counts of 1), then run the
+    other nine replicas as the arriving batch. That is the DESIGNED
+    worst case for the retroactive-refresh path: almost every indexed
+    gram crosses the >= 2 threshold at once, so `changed` ≈ the whole
+    index and the per-batch work bound (|batch| + |changed|) degrades
+    to a full-corpus re-profile — which must still complete with a
+    flat driver (profiles are per-doc rows, text never leaves the
+    executors). A lower-half/upper-half split would exercise nothing:
+    five in-index twins make every gram pre-hot and `changed` empty."""
+    from uw_hadoop_aglorithms_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{d}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_orig = (docs.agg(F.max("doc_id")).first()[0] + 1) // REPLICAS
+    old = docs.filter(F.col("doc_id") < n_orig)
+    new = docs.filter(F.col("doc_id") >= n_orig)
+    prefix = f"stress_span_{os.getpid()}"
+    try:
+        dedup.save_span_index(old, prefix)
+        res = dedup.incremental_span_profiles(
+            spark, prefix, new, old
+        ).localCheckpoint()
+        dedup.extend_span_index(new, prefix)
+        dedup.compact_span_index(spark, prefix)
+    finally:
+        for t in (f"{prefix}_grams", f"{prefix}_grams_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return res
+
+
 def stress_sem_scaled(spark, d):
     """semantic_dedup_pairs_scaled at the operating point it exists
     for: corpus 10× -> codebook 10× (64 -> 640 cells), holding |cell|
@@ -174,6 +207,9 @@ def run(spark) -> dict:
         # SemDeDup (640 cells at 10× vs 64 at 1×)
         ("incr_index_lifecycle", stress_incr_index),
         ("sem_scaled_640", stress_sem_scaled),
+        # round-6 addition: span-index lifecycle, worst-case retroactive
+        # refresh under the twin layout
+        ("span_index_lifecycle", stress_span_index),
     ):
         before = rss_mb()
         t0 = time.perf_counter()
