@@ -158,3 +158,36 @@ def test_bpe_train_batched_k8_learns_serial_vocab(spark):
     assert bs - ss == {("co", "lum"), ("lu", "m")}
     key = lambda df: sorted((r.w, r.pos, r.sym) for r in df.collect())
     assert key(s_st) == key(b_st)
+
+
+def test_encode_words_broadcast_equals_relational(spark):
+    """The map-side rank-priority encoder must reproduce the relational
+    rule-replay encoder EXACTLY — the equivalence argument (new
+    adjacencies always involve the newly created, later-ranked symbol)
+    made executable. 40 rules deep so created-symbol rules actually
+    fire, over corpus words plus unseen strings with repeated runs."""
+    from pyspark.sql import functions as F
+
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    merges, _ = bpe.bpe_train(spark, SF_TEST, n_merges=40)
+    corpus_words = [
+        r.w
+        for r in Catalog(spark, SF_TEST)
+        .documents.select(F.explode(tokens("text")).alias("w"))
+        .distinct()
+        .limit(40)
+        .collect()
+    ]
+    novel = ["zzzzq", "abracadabra", "aaaaaaa", corpus_words[0] * 3]
+    wdf = spark.createDataFrame(
+        [(w,) for w in sorted(set(corpus_words + novel))], "w string"
+    )
+    rel = {r.w: list(r.syms) for r in bpe.encode_words(wdf, merges).collect()}
+    bcast = {
+        r.w: list(r.syms)
+        for r in bpe.encode_words_broadcast(wdf, merges).collect()
+    }
+    assert bcast == rel
+    for w, syms in bcast.items():
+        assert "".join(syms) == w + bpe.EOW

@@ -498,3 +498,79 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
 
 
 BPE_ORACLES: dict[str, str] = {"bpe_vocab": _bpe_oracle()}
+
+
+def encode_words_broadcast(
+    words: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Tokenizer APPLY at production rule counts: broadcast the learned
+    rules, encode each word map-side — (w) → (w, syms array<string>),
+    same result as encode_words (asserted in tests).
+
+    Why a second encoder: encode_words replays rules RELATIONALLY, one
+    window pass per rule — the right shape for the oracle contract and
+    for rule counts like the registered N_MERGES=10, but at the 32k
+    rules a production tokenizer carries it is 32k sequential passes
+    over the symbol state regardless of how few rules fire. Real
+    tokenizers (the HuggingFace/SentencePiece apply step) invert the
+    loop: per word, repeatedly merge the PRESENT pair with the lowest
+    learned rank. Work becomes O(word_len × merges_that_fire) per
+    word, zero driver round-trips, and the rules ride an executor
+    broadcast (~1 MB at 32k rules).
+
+    Equivalence (also pinned empirically): the two strategies produce
+    the same segmentation because a merge only creates adjacencies
+    INVOLVING its new symbol, and every rule consuming that symbol was
+    learned later (higher rank) — so a completed earlier-rule pass can
+    never be invalidated by a later merge, and rank-order exhaustion
+    equals in-order single passes.
+
+    This is the sanctioned pandas escape hatch: per-word iterative
+    merging under a priority order is genuinely sequential per row —
+    no Catalyst expression expresses "repeat until no rule applies" —
+    and the UDF is Arrow-batched over DISTINCT words (corpus tokens
+    never reach Python).
+    """
+    import pandas as pd
+
+    rank = {(l, r): i for i, (_, l, r, _) in enumerate(merges)}
+    bc = words.sparkSession.sparkContext.broadcast(rank)
+
+    def enc(w: str) -> list[str]:
+        rk = bc.value
+        syms = list(w) + [EOW]
+        while len(syms) > 1:
+            best = best_pair = None
+            for i in range(len(syms) - 1):
+                r = rk.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_pair = r, (syms[i], syms[i + 1])
+            if best is None:
+                break
+            left, right = best_pair
+            out, i = [], 0
+            while i < len(syms):  # greedy left-to-right, all occurrences
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"w": pdf["w"], "syms": [enc(w) for w in pdf["w"]]}
+            )
+
+    return (
+        words.select("w")
+        .distinct()
+        .mapInPandas(run, "w string, syms array<string>")
+    )
