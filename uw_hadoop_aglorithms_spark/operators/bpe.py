@@ -353,7 +353,18 @@ def bpe_suite_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("syms").cast("long").alias("cnt"),
     )
-    return mdf.unionAll(vocab).unionAll(enc)
+    # the PRODUCTION apply path (broadcast rank-priority pandas
+    # encoder) emits the same encodings under its own variant tag: the
+    # driver's value hash then certifies a mapInPandas implementation
+    # against the oracle's relational replay — not just pytest parity
+    enc_bc = encode_words_broadcast(top_words, merges).select(
+        F.lit("bpe_encode_bcast").alias("variant"),
+        F.concat(F.col("w"), F.lit("="), F.array_join("syms", "+")).alias(
+            "word"
+        ),
+        F.size("syms").cast("long").alias("cnt"),
+    )
+    return mdf.unionAll(vocab).unionAll(enc).unionAll(enc_bc)
 
 
 def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,6 +502,15 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
               GROUP BY sym ORDER BY vf DESC, sym LIMIT {VOCAB_TOP})
         UNION ALL
         SELECT 'bpe_encode' AS variant,
+               w || '=' || string_agg(sym, '+' ORDER BY pos) AS word,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM est{n_merges} GROUP BY w
+        UNION ALL
+        -- same replayed segmentation, re-tagged: the Spark side
+        -- produces these rows through encode_words_broadcast (the
+        -- pandas rank-priority encoder), so the value hash certifies
+        -- the PRODUCTION apply path against the relational replay
+        SELECT 'bpe_encode_bcast' AS variant,
                w || '=' || string_agg(sym, '+' ORDER BY pos) AS word,
                CAST(count(*) AS BIGINT) AS cnt
         FROM est{n_merges} GROUP BY w
