@@ -117,7 +117,10 @@ def stress_incr_index(spark, d):
         )
         dedup.compact_neardup_index(spark, prefix)
     finally:
-        for t in (f"{prefix}_bands", f"{prefix}_hsets", f"{prefix}_tombstones"):
+        for t in (
+            f"{prefix}_bands", f"{prefix}_hsets", f"{prefix}_tombstones",
+            f"{prefix}_bands__gen", f"{prefix}_hsets__gen",  # compaction scratch
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return res
 
@@ -150,7 +153,11 @@ def stress_span_index(spark, d):
         dedup.extend_span_index(new, prefix)
         dedup.compact_span_index(spark, prefix)
     finally:
-        for t in (f"{prefix}_grams", f"{prefix}_grams_tombstones"):
+        for t in (
+            f"{prefix}_grams",
+            f"{prefix}_grams__gen",  # compaction scratch, leaks if the
+            f"{prefix}_grams_tombstones",  # rename never ran
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return res
 

@@ -271,6 +271,16 @@ def apply_merge_batch(
 ENCODE_CHECKPOINT_EVERY = 1
 
 
+def _distinct_nonempty(words: DataFrame) -> DataFrame:
+    """Shared encoder input contract: DISTINCT, non-null, non-empty
+    words (see encode_words' comment for why each matters)."""
+    return (
+        words.select("w")
+        .filter(F.col("w").isNotNull() & (F.length("w") >= 1))
+        .distinct()
+    )
+
+
 def encode_words(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
     """Apply LEARNED merge rules (in learned order — rule priority, the
     standard BPE tokenizer apply step) to NEW words: (w) → (w, syms
@@ -289,8 +299,12 @@ def encode_words(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> D
     # duplicate (w, pos, sym) rows, and the merge stage's row_number
     # over ties would then reassign positions nondeterministically
     # across the copies — silent corruption. Enforce the distinct-words
-    # precondition here instead of trusting the caller.
-    words = words.select("w").distinct()
+    # precondition here instead of trusting the caller. Degenerate rows
+    # are dropped for the same reason (shared with the broadcast
+    # encoder so the two paths stay row-for-row comparable): NULL would
+    # vanish here via posexplode anyway, and '' would hit sequence(1,0)
+    # DESCENDING — two phantom empty symbols; tokens() emits neither.
+    words = _distinct_nonempty(words)
     st = words.select(
         "w", F.lit(1).cast("long").alias("freq"), F.posexplode(syms).alias("pos", "sym")
     ).select("w", "freq", F.col("pos").cast("long").alias("pos"), "sym")
@@ -346,23 +360,26 @@ def bpe_suite_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(ENCODE_TOP)
         .select("w")
     )
-    enc = encode_words(top_words, merges).select(
-        F.lit("bpe_encode").alias("variant"),
-        F.concat(F.col("w"), F.lit("="), F.array_join("syms", "+")).alias(
-            "word"
-        ),
-        F.size("syms").cast("long").alias("cnt"),
-    )
+    # one corpus scan feeds BOTH encoders (each would otherwise
+    # re-execute the explode+groupBy+sort lineage independently)
+    top_words = top_words.localCheckpoint(eager=True)
+
+    def _enc_rows(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("variant"),
+            F.concat(
+                F.col("w"), F.lit("="), F.array_join("syms", "+")
+            ).alias("word"),
+            F.size("syms").cast("long").alias("cnt"),
+        )
+
+    enc = _enc_rows(encode_words(top_words, merges), "bpe_encode")
     # the PRODUCTION apply path (broadcast rank-priority pandas
     # encoder) emits the same encodings under its own variant tag: the
     # driver's value hash then certifies a mapInPandas implementation
     # against the oracle's relational replay — not just pytest parity
-    enc_bc = encode_words_broadcast(top_words, merges).select(
-        F.lit("bpe_encode_bcast").alias("variant"),
-        F.concat(F.col("w"), F.lit("="), F.array_join("syms", "+")).alias(
-            "word"
-        ),
-        F.size("syms").cast("long").alias("cnt"),
+    enc_bc = _enc_rows(
+        encode_words_broadcast(top_words, merges), "bpe_encode_bcast"
     )
     return mdf.unionAll(vocab).unionAll(enc).unionAll(enc_bc)
 
@@ -501,19 +518,16 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
         FROM (SELECT sym, sum(freq) AS vf FROM st{n_merges}
               GROUP BY sym ORDER BY vf DESC, sym LIMIT {VOCAB_TOP})
         UNION ALL
-        SELECT 'bpe_encode' AS variant,
-               w || '=' || string_agg(sym, '+' ORDER BY pos) AS word,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM est{n_merges} GROUP BY w
-        UNION ALL
-        -- same replayed segmentation, re-tagged: the Spark side
-        -- produces these rows through encode_words_broadcast (the
-        -- pandas rank-priority encoder), so the value hash certifies
-        -- the PRODUCTION apply path against the relational replay
-        SELECT 'bpe_encode_bcast' AS variant,
-               w || '=' || string_agg(sym, '+' ORDER BY pos) AS word,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM est{n_merges} GROUP BY w
+        -- one replayed segmentation, tagged for BOTH Spark apply
+        -- paths: 'bpe_encode' (relational window replay) and
+        -- 'bpe_encode_bcast' (the pandas rank-priority encoder) — the
+        -- value hash certifies the PRODUCTION path against the same
+        -- relational replay
+        SELECT tag AS variant, word, cnt
+        FROM (SELECT w || '=' || string_agg(sym, '+' ORDER BY pos) AS word,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM est{n_merges} GROUP BY w)
+        CROSS JOIN (SELECT unnest(['bpe_encode', 'bpe_encode_bcast']) AS tag)
     """
 
 
@@ -589,8 +603,6 @@ def encode_words_broadcast(
                 {"w": pdf["w"], "syms": [enc(w) for w in pdf["w"]]}
             )
 
-    return (
-        words.select("w")
-        .distinct()
-        .mapInPandas(run, "w string, syms array<string>")
+    return _distinct_nonempty(words).mapInPandas(
+        run, "w string, syms array<string>"
     )

@@ -91,7 +91,10 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the top-20 corpus words encoded with the learned rules all ride
     the same (variant, word, cnt) schema — merge step k as
     'bpe_merge_0k' with word 'left+right', encodings as 'bpe_encode'
-    with word 'w=sym1+sym2+…'."""
+    with word 'w=sym1+sym2+…' (and, round 6, the same 20 encodings
+    again as 'bpe_encode_bcast', produced through the broadcast
+    rank-priority pandas encoder so the production apply path sits
+    under the value-hash contract too)."""
     allw = text.word_count(spark, sf_dir)
     having = text.word_count_having(spark, sf_dir)
     return (
