@@ -191,3 +191,23 @@ def test_encode_words_broadcast_equals_relational(spark):
     assert bcast == rel
     for w, syms in bcast.items():
         assert "".join(syms) == w + bpe.EOW
+
+
+def test_encoders_share_degenerate_input_contract(spark):
+    """Both encoders must agree row-for-row on arbitrary caller frames:
+    NULL and '' rows drop identically (relational sequence(1,0) would
+    otherwise fabricate phantom empty symbols; the pandas path would
+    crash on None), duplicates collapse."""
+    merges, _ = bpe.bpe_train(spark, SF_TEST, n_merges=10)
+    wdf = spark.createDataFrame(
+        [("the",), ("",), (None,), ("the",), ("zq",)], "w string"
+    )
+    rel = sorted(
+        (r.w, tuple(r.syms)) for r in bpe.encode_words(wdf, merges).collect()
+    )
+    bc = sorted(
+        (r.w, tuple(r.syms))
+        for r in bpe.encode_words_broadcast(wdf, merges).collect()
+    )
+    assert rel == bc
+    assert [w for w, _ in rel] == ["the", "zq"]
