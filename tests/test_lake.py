@@ -38,3 +38,164 @@ def test_roundtrip_preserves_rows(spark, lake_dir):
         spark.read.parquet(lake_dir).count()
         == Catalog(spark, SF_TEST).events.count()
     )
+
+
+# --------------------------------------------------------------------------
+# copy-on-write MERGE (upsert)
+# --------------------------------------------------------------------------
+
+
+def _merge_fixture(spark):
+    """(lake path, base df, updates df): a fresh lake plus a
+    deterministic update batch — same-day content patches (%97, first
+    10 days only so some partitions stay out of the blast radius) and
+    future-day inserts (%131, shifted key + ts)."""
+    ev = Catalog(spark, SF_TEST).events.select(
+        "event_id", "ts", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="lake_merge_")
+    lake.write_date_partitioned(ev, f"{d}/events")
+    upd = (
+        ev.filter((F.col("event_id") % 97 == 0) & (F.dayofmonth("ts") <= 10))
+        .withColumn("event_type", F.lit("patched"))
+        .withColumn("value", F.col("value") + 1000.0)
+    )
+    ins = (
+        ev.filter(F.col("event_id") % 131 == 0)
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000_000))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 90 DAYS"))
+        .withColumn("event_type", F.lit("backfill"))
+    )
+    return d, ev, upd.unionByName(ins)
+
+
+def _symdiff(a, b) -> int:
+    return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+
+def test_merge_upsert_semantics_and_idempotence(spark):
+    import shutil
+
+    d, ev, updates = _merge_fixture(spark)
+    try:
+        lake.merge_into_lake(spark, f"{d}/events", updates)
+        got = spark.read.parquet(f"{d}/events").drop("dt")
+        keys = updates.select("event_id")
+        expect = ev.join(keys, "event_id", "left_anti").unionByName(updates)
+        assert _symdiff(got, expect) == 0
+        # merging the same batch again must be a no-op on content
+        lake.merge_into_lake(spark, f"{d}/events", updates)
+        got2 = spark.read.parquet(f"{d}/events").drop("dt")
+        assert _symdiff(got2, expect) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_merge_rewrites_only_affected_partitions(spark):
+    import shutil
+    import time
+
+    d, _ev, updates = _merge_fixture(spark)
+    try:
+        before = lake.snapshot_files(f"{d}/events")
+        time.sleep(0.05)  # mtime_ns resolution guard
+        days = lake.merge_into_lake(spark, f"{d}/events", updates)
+        after = lake.snapshot_files(f"{d}/events")
+        changed = {
+            rel.split("/")[0]
+            for rel in set(before) | set(after)
+            if before.get(rel) != after.get(rel)
+        }
+        assert changed, "merge must rewrite the affected partitions"
+        assert changed <= {f"dt={x}" for x in days}, (
+            f"rewrote partitions outside the affected set: "
+            f"{changed - {f'dt={x}' for x in days}}"
+        )
+        untouched = [r for r in before if r.split("/")[0] not in changed]
+        assert untouched, "fixture must leave some partitions untouched"
+        assert all(before[r] == after[r] for r in untouched)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_erases_keys_and_only_touches_their_days(spark):
+    import shutil
+    import time
+
+    d, ev, _updates = _merge_fixture(spark)
+    try:
+        before = lake.snapshot_files(f"{d}/events")
+        time.sleep(0.05)
+        kill = ev.filter(
+            (F.col("event_id") % 89 == 0) & (F.dayofmonth("ts") <= 10)
+        ).select("event_id")
+        days = lake.delete_from_lake(spark, f"{d}/events", kill)
+        got = spark.read.parquet(f"{d}/events").drop("dt")
+        expect = ev.join(kill, "event_id", "left_anti")
+        assert _symdiff(got, expect) == 0
+        # physical erasure: no file still holds a deleted key
+        assert (
+            spark.read.parquet(f"{d}/events")
+            .join(kill, "event_id", "left_semi")
+            .count()
+            == 0
+        )
+        after = lake.snapshot_files(f"{d}/events")
+        changed = {
+            rel.split("/")[0]
+            for rel in set(before) | set(after)
+            if before.get(rel) != after.get(rel)
+        }
+        assert changed <= {f"dt={x}" for x in days}
+        untouched = [r for r in before if r.split("/")[0] not in changed]
+        assert untouched and all(before[r] == after[r] for r in untouched)
+        # absent keys: a no-op that reports no affected days
+        assert lake.delete_from_lake(
+            spark, f"{d}/events",
+            spark.range(1).select((F.col("id") + 77_000_000_000).alias("event_id")),
+        ) == []
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_vacates_fully_deleted_partition(spark):
+    import os
+    import shutil
+
+    d, ev, _updates = _merge_fixture(spark)
+    try:
+        day = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+            F.min("d").alias("d")
+        ).first().d
+        whole_day = ev.filter(
+            F.date_format("ts", "yyyy-MM-dd") == day
+        ).select("event_id")
+        n_day = whole_day.count()
+        assert n_day > 0
+        days = lake.delete_from_lake(spark, f"{d}/events", whole_day)
+        assert day in days
+        assert not os.path.exists(f"{d}/events/dt={day}"), (
+            "fully-vacated partition directory must be removed"
+        )
+        got = spark.read.parquet(f"{d}/events").drop("dt")
+        assert got.count() == ev.count() - n_day
+        assert _symdiff(got, ev.join(whole_day, "event_id", "left_anti")) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_merge_rejects_day_moving_updates(spark):
+    import shutil
+
+    d, ev, _updates = _merge_fixture(spark)
+    try:
+        before = lake.snapshot_files(f"{d}/events")
+        bad = ev.filter(F.col("event_id") % 997 == 0).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 400 DAYS")
+        )
+        with pytest.raises(ValueError, match="moves keys"):
+            lake.merge_into_lake(spark, f"{d}/events", bad)
+        # the rejected merge must not have touched the lake
+        assert lake.snapshot_files(f"{d}/events") == before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

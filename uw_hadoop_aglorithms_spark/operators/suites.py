@@ -1129,6 +1129,91 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(z_dir, ignore_errors=True)
 
+    # --- merge: copy-on-write upsert + delete, only affected partitions
+    # (sources/lake.merge_into_lake, round-6). Updates = same-day content
+    # patches (event_id % 97 in the first 10 days of the month →
+    # 'patched', value+1000; the day cap keeps most partitions out of
+    # the blast radius so the untouched-set certificate is non-vacuous
+    # at every SF) plus future-day inserts (% 131 → shifted key, ts+90d,
+    # 'backfill' — all-new partitions). cert = surgical
+    # rewrite: every untouched day-directory's files are byte-identical
+    # before/after (snapshot_files), and every changed directory is in
+    # the merge's affected-day set. v is the integer-exact
+    # sum(floor(value*100)) so the hash is float-order-neutral.
+    m_dir = tempfile.mkdtemp(prefix="layout_m_")
+    try:
+        ev4 = cat.events.select("event_id", "ts", "event_type", "value")
+        lake_mod.write_date_partitioned(ev4, f"{m_dir}/events")
+        before = lake_mod.snapshot_files(f"{m_dir}/events")
+        upd = (
+            ev4.filter(
+                (F.col("event_id") % 97 == 0) & (F.dayofmonth("ts") <= 10)
+            )
+            .withColumn("event_type", F.lit("patched"))
+            .withColumn("value", F.col("value") + 1000.0)
+        )
+        ins = (
+            ev4.filter(F.col("event_id") % 131 == 0)
+            .withColumn("event_id", F.col("event_id") + F.lit(10_000_000_000))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 90 DAYS"))
+            .withColumn("event_type", F.lit("backfill"))
+        )
+        m_days = lake_mod.merge_into_lake(
+            spark, f"{m_dir}/events", upd.unionByName(ins)
+        )
+        after = lake_mod.snapshot_files(f"{m_dir}/events")
+        changed = {
+            rel.split("/")[0]
+            for rel in set(before) | set(after)
+            if before.get(rel) != after.get(rel)
+        }
+        untouched = [r for r in before if r.split("/")[0] not in changed]
+        m_cert = (
+            changed <= {f"dt={x}" for x in m_days}
+            and bool(untouched)
+            and all(before[r] == after[r] for r in untouched)
+        )
+        # delete leg: physical erasure of %89 keys from the MERGED lake
+        # (takedown batch). cert extends: the delete's rewrites stay
+        # inside its own affected days, and afterwards no file holds a
+        # deleted key.
+        kill = (
+            spark.read.parquet(f"{m_dir}/events")
+            .filter(F.col("event_id") % 89 == 0)
+            .select("event_id")
+        )
+        d_days = lake_mod.delete_from_lake(spark, f"{m_dir}/events", kill)
+        final = lake_mod.snapshot_files(f"{m_dir}/events")
+        d_changed = {
+            rel.split("/")[0]
+            for rel in set(after) | set(final)
+            if after.get(rel) != final.get(rel)
+        }
+        erased = (
+            spark.read.parquet(f"{m_dir}/events")
+            .filter(F.col("event_id") % 89 == 0)
+            .count()
+            == 0
+        )
+        m_cert = (
+            m_cert and erased and d_changed <= {f"dt={x}" for x in d_days}
+        )
+        m_agg = (
+            spark.read.parquet(f"{m_dir}/events")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 100).cast("long"))
+                .cast("double")
+                .alias("v"),
+            )
+        )
+        rows += [
+            ("merge", r.event_type, r.n, r.v, m_cert) for r in m_agg.collect()
+        ]
+    finally:
+        shutil.rmtree(m_dir, ignore_errors=True)
+
     return spark.createDataFrame(
         rows, "variant string, k string, n long, v double, cert boolean"
     ).orderBy("variant", "k")
@@ -1292,6 +1377,32 @@ def _suite_oracles() -> dict[str, str]:
                              count(*) OVER () AS n_ev
                       FROM events) t
                     WHERE rn = CAST(floor(0.45 * (n_ev - 1)) AS BIGINT))
+            GROUP BY event_type
+            UNION ALL
+            -- merge: upsert semantics replayed relationally — %97 keys
+            -- in the first 10 days patched in place, %131 rows
+            -- duplicated as inserts (their originals keep their own
+            -- keys and stay). v is the integer-exact
+            -- sum(floor(value*100)) (float-order-neutral); the
+            -- surgical-rewrite certificate is asserted TRUE.
+            SELECT 'merge', event_type, count(*),
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE),
+                   TRUE
+            FROM (
+                SELECT event_id,
+                       CASE WHEN event_id % 97 = 0
+                             AND EXTRACT(day FROM ts) <= 10 THEN 'patched'
+                            ELSE event_type END AS event_type,
+                       CASE WHEN event_id % 97 = 0
+                             AND EXTRACT(day FROM ts) <= 10 THEN value + 1000
+                            ELSE value END AS value
+                FROM events
+                UNION ALL
+                SELECT event_id + 10000000000, 'backfill', value
+                FROM events WHERE event_id % 131 = 0
+            )
+            -- delete leg: %89 keys of the merged lake physically erased
+            WHERE event_id % 89 <> 0
             GROUP BY event_type
         """,
         "window_counts": _u(
