@@ -184,6 +184,75 @@ def test_delete_vacates_fully_deleted_partition(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_merge_widens_schema_and_rejects_column_drops(spark):
+    import shutil
+
+    d, ev, updates = _merge_fixture(spark)
+    try:
+        wide = updates.withColumn("crawl_src", F.lit("recrawl-2024"))
+        days = lake.merge_into_lake(spark, f"{d}/events", wide)
+        got = lake.read_lake(spark, f"{d}/events")
+        assert "crawl_src" in got.columns
+        # updated rows carry the new column; pre-existing rows are null
+        tagged = got.filter(F.col("crawl_src").isNotNull())
+        assert tagged.count() == wide.count()
+        # ...and ONLY the updated rows: no null-column row has an updated key
+        keys = wide.select("event_id")
+        assert (
+            got.filter(F.col("crawl_src").isNull())
+            .join(keys, "event_id", "left_semi")
+            .count()
+            == 0
+        )
+        # untouched partitions are readable and still lack the column
+        other_day = sorted(
+            {r.dt for r in got.select("dt").distinct().collect()}
+            - {x for x in days}
+        )
+        assert other_day, "widening merge must leave narrow partitions"
+        # dropping a base column must raise, not null data out
+        with pytest.raises(ValueError, match="missing base columns"):
+            lake.merge_into_lake(
+                spark, f"{d}/events", updates.drop("value")
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_day_reduces_files_and_preserves_content(spark):
+    import shutil
+    import time
+
+    ev = Catalog(spark, SF_TEST).events.select(
+        "event_id", "ts", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="lake_compact_")
+    try:
+        # 8 shuffle-spread tasks → up to 8 files per day directory
+        lake.write_date_partitioned(ev.repartition(8), f"{d}/events")
+        day = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("dd")).agg(
+            F.min("dd").alias("dd")
+        ).first().dd
+        before = lake.snapshot_files(f"{d}/events")
+        n_before = sum(1 for r in before if r.startswith(f"dt={day}/"))
+        assert n_before > 1, "fixture must start fragmented"
+        time.sleep(0.05)
+        n_after = lake.compact_day(spark, f"{d}/events", day)
+        assert n_after == 1
+        after = lake.snapshot_files(f"{d}/events")
+        changed = {
+            rel.split("/")[0]
+            for rel in set(before) | set(after)
+            if before.get(rel) != after.get(rel)
+        }
+        assert changed == {f"dt={day}"}, f"compaction leaked into {changed}"
+        got = lake.read_day(spark, f"{d}/events", day)
+        want = ev.filter(F.date_format("ts", "yyyy-MM-dd") == day)
+        assert _symdiff(got, want) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_merge_rejects_day_moving_updates(spark):
     import shutil
 

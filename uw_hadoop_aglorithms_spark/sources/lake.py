@@ -38,6 +38,16 @@ def read_day(spark: SparkSession, path: str, day: str) -> DataFrame:
     return spark.read.parquet(path).filter(F.col("dt") == day).drop("dt")
 
 
+def read_lake(spark: SparkSession, path: str) -> DataFrame:
+    """Read a lake whose partitions may have DIVERGENT file schemas
+    (after a widening merge): mergeSchema unions the footers, so
+    partitions written before a column existed surface it as null.
+    Costs one footer read per file at planning time — fine for a
+    maintained lake (compact_day bounds file counts); a deployment
+    caching table schemas in a metastore skips it entirely."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def snapshot_files(path: str) -> dict[str, tuple[int, int]]:
     """{relative file path: (size, mtime_ns)} over every data file under
     a lake directory — the before/after probe for the surgical-rewrite
@@ -91,8 +101,14 @@ def merge_into_lake(
     replaces content at the same event time). A key changing days would
     leave its old row in a partition the merged slice no longer covers —
     dynamic overwrite cannot clear it — so that case raises. Deletions
-    are likewise a separate op (see the tombstone lifecycle in
-    operators/dedup.py).
+    go through `delete_from_lake` (physical erasure), not here.
+
+    Schema WIDENING is allowed: updates may carry columns the lake does
+    not have yet (a re-crawl adds fields). Affected partitions gain the
+    column (old rows null); untouched partitions keep their bytes, so
+    reads must go through `read_lake` (mergeSchema) once a lake has
+    mixed file schemas. Updates MISSING a base column raise — silently
+    nulling existing data is never what a re-crawl means.
 
     Under the contract, affected days == the updates' own days, so the
     whole-lake semi-join exists only to DETECT violations — it is an
@@ -130,9 +146,17 @@ def merge_into_lake(
                 "updates to existing keys must keep their day "
                 "(dynamic overwrite cannot clear a vacated partition)"
             )
+    missing = set(base.columns) - set(up.columns)
+    if missing:
+        raise ValueError(
+            f"updates are missing base columns {sorted(missing)}: a merge "
+            "may widen the schema but never drop data from existing columns"
+        )
     days = sorted(new_days)
     affected = base.filter(F.col("dt").isin(days))
-    merged = affected.join(F.broadcast(up_keys), key_col, "left_anti").unionByName(up)
+    merged = affected.join(F.broadcast(up_keys), key_col, "left_anti").unionByName(
+        up, allowMissingColumns=True
+    )
 
     _stage_and_overwrite(spark, merged, path)
     return days
@@ -153,6 +177,34 @@ def _stage_and_overwrite(spark: SparkSession, slice_df: DataFrame, path: str) ->
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def compact_day(
+    spark: SparkSession, path: str, day: str, target_files: int = 1
+) -> int:
+    """Rewrite ONE day's files into `target_files` — the small-files
+    repair a mutated lake needs (each merge/delete rewrite re-shards an
+    affected day by the cluster's task count; a hot day mutated often
+    accumulates files until scans pay per-file open cost). Returns the
+    resulting file count.
+
+    Content-preserving by construction (same rows, one coalesce), and
+    surgical like the other maintenance ops: the pruned read touches
+    only `dt=day`, the staged slice carries only that partition, and
+    dynamic overwrite replaces only it (other days certified
+    byte-identical in tests/test_lake.py). The dedup index has the same
+    lifecycle step (operators/dedup.compact_neardup_index) for its
+    bucketed tables; this is the lake-side analog."""
+    one_day = (
+        spark.read.parquet(path)
+        .withColumn("dt", F.col("dt").cast("string"))
+        .filter(F.col("dt") == day)
+        .coalesce(target_files)
+    )
+    _stage_and_overwrite(spark, one_day, path)
+    return sum(
+        1 for rel in snapshot_files(path) if rel.startswith(f"dt={day}/")
+    )
 
 
 def delete_from_lake(
