@@ -593,3 +593,53 @@ def test_stream_dedup_multi_copy_chains_follow_watermark_state_machine(spark, tm
                 anchor_exp = i + horizon
             # drops never extend state
     assert got == expect, (sorted(got - expect), sorted(expect - got))
+
+
+def test_stream_merge_to_lake_exactly_once_and_upsert(spark, replay, tmp_path):
+    """Streaming lake ingestion (foreachBatch + idempotent upsert):
+
+    1. a full replay lands exactly the batch events table in the lake;
+    2. restart mid-replay from the same checkpoint stays exactly-once;
+    3. a FULL re-replay with a FRESH checkpoint (worst-case
+       at-least-once redelivery: every batch delivered twice) leaves
+       the lake unchanged — the idempotence that makes foreachBatch
+       upsert exactly-once in effect.
+    """
+    import os
+    import shutil
+
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    lake_path = str(tmp_path / "lake")
+    ev_dir = str(tmp_path / "ev")
+    os.makedirs(ev_dir)
+    parts = sorted(
+        f
+        for f in os.listdir(f"{replay}/events")
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    half = len(parts) // 2
+    for f in parts[:half]:
+        shutil.copy(f"{replay}/events/{f}", f"{ev_dir}/{f}")
+    runner.stream_merge_to_lake(spark, ev_dir, str(tmp_path / "cp"), lake_path)
+    for f in parts[half:]:
+        shutil.copy(f"{replay}/events/{f}", f"{ev_dir}/{f}")
+    runner.stream_merge_to_lake(spark, ev_dir, str(tmp_path / "cp"), lake_path)
+
+    ev = Catalog(spark, SF_TEST).events
+    got = spark.read.parquet(lake_path).drop("dt")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    assert (
+        got.join(ev, [c for c in ev.columns], "left_anti").count() == 0
+    ), "lake rows must match the batch events table exactly"
+
+    # worst-case at-least-once: replay EVERYTHING again, fresh checkpoint
+    runner.stream_merge_to_lake(
+        spark, ev_dir, str(tmp_path / "cp_redeliver"), lake_path
+    )
+    again = spark.read.parquet(lake_path).drop("dt")
+    assert again.count() == ev.count()
+    assert (
+        again.join(ev, [c for c in ev.columns], "left_anti").count() == 0
+    )

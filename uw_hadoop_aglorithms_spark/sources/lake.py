@@ -131,6 +131,8 @@ def merge_into_lake(
     base = spark.read.parquet(path).withColumn("dt", F.col("dt").cast("string"))
     up_keys = up.select(key_col).distinct()
     new_days = {r.dt for r in up.select("dt").distinct().collect()}
+    if not new_days:
+        return []  # empty batch (e.g. a streaming no-data flush): no-op
     if check_day_moves:
         moved = {
             r.dt
