@@ -162,6 +162,58 @@ def stress_span_index(spark, d):
     return res
 
 
+def stress_lake_lifecycle(spark, d):
+    """Round-6 lake mutation lifecycle at 10×: a 1M-row (sf0.1 × 10)
+    date-partitioned events lake goes through the full maintenance
+    sequence — merge (patches + future-day inserts), physical delete of
+    a takedown batch, and one-day compaction. The events replica packs
+    10× rows into the SAME 30 days (ids shifted, ts kept), so each
+    affected partition is 10× denser — the blast-radius bound, not the
+    partition count, is what's under test. Returns the final per-type
+    counts (bounded result)."""
+    from uw_hadoop_aglorithms_spark.sources import lake as lake_mod
+
+    ev = spark.read.parquet(f"{d}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    rep = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    big = (
+        ev.crossJoin(rep)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * n_ev)
+        .drop("rep")
+    )
+    scratch = tempfile.mkdtemp(prefix="stress_lake_")
+    lp = f"{scratch}/events"
+    try:
+        lake_mod.write_date_partitioned(big, lp)
+        upd = (
+            big.filter(
+                (F.col("event_id") % 97 == 0) & (F.dayofmonth("ts") <= 10)
+            )
+            .withColumn("event_type", F.lit("patched"))
+        )
+        ins = (
+            big.filter(F.col("event_id") % 131 == 0)
+            .withColumn("event_id", F.col("event_id") + F.lit(10**12))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 90 DAYS"))
+            .withColumn("event_type", F.lit("backfill"))
+        )
+        lake_mod.merge_into_lake(spark, lp, upd.unionByName(ins))
+        lake_mod.delete_from_lake(
+            spark, lp, big.filter(F.col("event_id") % 89 == 0).select("event_id")
+        )
+        lake_mod.compact_day(spark, lp, "2024-01-05")
+        return (
+            spark.read.parquet(lp)
+            .groupBy("event_type")
+            .count()
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def stress_sem_scaled(spark, d):
     """semantic_dedup_pairs_scaled at the operating point it exists
     for: corpus 10× -> codebook 10× (64 -> 640 cells), holding |cell|
@@ -214,9 +266,11 @@ def run(spark) -> dict:
         # SemDeDup (640 cells at 10× vs 64 at 1×)
         ("incr_index_lifecycle", stress_incr_index),
         ("sem_scaled_640", stress_sem_scaled),
-        # round-6 addition: span-index lifecycle, worst-case retroactive
-        # refresh under the twin layout
+        # round-6 additions: span-index lifecycle, worst-case retroactive
+        # refresh under the twin layout; and the lake mutation lifecycle
+        # (merge -> delete -> compact) at 10× partition density
         ("span_index_lifecycle", stress_span_index),
+        ("lake_lifecycle", stress_lake_lifecycle),
     ):
         before = rss_mb()
         t0 = time.perf_counter()

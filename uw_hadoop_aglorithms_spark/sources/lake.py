@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -166,8 +166,15 @@ def merge_into_lake(
 
 def _stage_and_overwrite(spark: SparkSession, slice_df: DataFrame, path: str) -> None:
     """Write a dt-partitioned slice to staging, then dynamic-partition
-    overwrite the lake with it — never read-and-overwrite one path."""
-    staging = tempfile.mkdtemp(prefix="lake_stage_")
+    overwrite the lake with it — never read-and-overwrite one path.
+
+    Staging lives UNDER the lake as a dot-prefixed child: Spark's file
+    index skips hidden dirs, so concurrent lake reads never see it, and
+    the lake's own filesystem is by definition the one every executor
+    can write (a driver-local tempdir would break on a real cluster).
+    On object storage this also keeps the final overwrite a same-bucket
+    copy, not a cross-filesystem transfer."""
+    staging = os.path.join(path, f".staging_{uuid.uuid4().hex}")
     try:
         slice_df.write.mode("overwrite").partitionBy("dt").parquet(staging)
         (
