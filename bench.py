@@ -50,6 +50,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: median of warm runs). Default 3 so round-over-round comparisons
 #: aren't single-run noise; set 1 for a quick local pass.
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+#: Comma-separated key filter for targeted A/B runs (empty = all keys).
+#: A filtered run still writes BENCH_local.json — keep full-suite runs
+#: and A/B runs in separate checkouts or stash the artifact first.
+ONLY = {k for k in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if k}
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -133,6 +137,8 @@ def main() -> None:
     errors: dict[str, str] = {}
     tracker = StageMetrics(spark)
     for name, fn in sorted(entry_mod.queries().items()):
+        if ONLY and name not in ONLY:
+            continue
         samples = []
         # A failing query must cost ONLY its own timing, never the run:
         # round 2 lost ALL bench data because one broken query aborted

@@ -94,3 +94,87 @@ def test_pq_adc_recall_and_exact_rerank(spark, brute):
     from collections import Counter
     per_q = Counter(r.query_id for r in pq)
     assert all(v == similarity.TOP_K for v in per_q.values())
+
+
+def _uniq(tag: str) -> str:
+    """Unique catalog-table prefix per test invocation (fixed names
+    collide across concurrent runs sharing one warehouse)."""
+    import uuid
+
+    return f"{tag}_{uuid.uuid4().hex[:10]}"
+
+
+def test_ann_index_lifecycle_maintenance_invariants(spark):
+    """The persisted-IVF maintenance contract: save(A)+extend(B) answers
+    queries exactly like the one-shot IVF over A∪B; retraction hides
+    neighbors logically; compaction changes nothing a query sees, drops
+    the tombstones, and bounds file counts; re-adding the retracted
+    batch restores one-shot parity bit-for-bit."""
+    import glob
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    pfx = _uniq("annidx")
+    cents = similarity._ivf_centroids(spark, SF_TEST)
+    emb = similarity._normed(spark, SF_TEST)
+    ref = similarity.ann_ivf_topk(spark, SF_TEST).collect()
+    try:
+        similarity.save_ann_index(
+            spark, emb.filter(F.col("vec_id") < 250), pfx, cents
+        )
+        similarity.extend_ann_index(
+            spark, emb.filter(F.col("vec_id") >= 250), pfx
+        )
+        got = similarity.ann_index_topk(spark, SF_TEST, pfx).collect()
+        assert got == ref  # fresh-build equivalence, bit-for-bit
+
+        # the probed-cell partition prune must be visible in the plan
+        plan = (
+            similarity.ann_index_topk(spark, SF_TEST, pfx)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+        assert pf and any("cell" in ln for ln in pf)
+
+        sub = [
+            int(r.vec_id)
+            for r in spark.table(f"{pfx}_cells")
+            .where("vec_id % 7 = 3")
+            .select("vec_id")
+            .collect()
+        ][:20]
+        similarity.remove_from_ann_index(spark, pfx, sub)
+        tomb = similarity.ann_index_topk(spark, SF_TEST, pfx).collect()
+        assert all(r.neighbor_id not in set(sub) for r in tomb)
+
+        # many tiny appends to give compaction real work
+        for vid in sub[:4]:
+            similarity.extend_ann_index(
+                spark, emb.filter(F.col("vec_id") == vid), pfx
+            )
+        similarity.remove_from_ann_index(spark, pfx, sub[:4])
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        files_before = len(
+            glob.glob(f"{warehouse}/{pfx}_cells/cell=*/*.parquet")
+        )
+        similarity.compact_ann_index(spark, pfx)
+        files_after = len(
+            glob.glob(f"{warehouse}/{pfx}_cells/cell=*/*.parquet")
+        )
+        assert files_after < files_before
+        assert files_after <= similarity.IVF_NLIST
+        assert not spark.catalog.tableExists(f"{pfx}_cells_tombstones")
+        assert similarity.ann_index_topk(spark, SF_TEST, pfx).collect() == tomb
+
+        similarity.extend_ann_index(
+            spark, emb.filter(F.col("vec_id").isin(sub)), pfx
+        )
+        assert similarity.ann_index_topk(spark, SF_TEST, pfx).collect() == ref
+    finally:
+        for t in (f"{pfx}_cells", f"{pfx}_centroids",
+                  f"{pfx}_cells_tombstones", f"{pfx}_cells__gen"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

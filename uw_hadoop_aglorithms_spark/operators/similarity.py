@@ -531,3 +531,217 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --- persisted IVF index: the lake-maintenance form --------------------------
+#
+# At 100 TB the corpus' cell assignments are not recomputed per query
+# run: the quantizer is trained once and FROZEN, and the assigned
+# vectors are PERSISTED partitioned by cell — the standard IVF
+# deployment shape (Jégou et al.; the docstring promise in
+# ann_ivf_topk). Queries then prune to their probed cells at the scan
+# (PartitionFilters), so a 2-of-8 probe reads 2/8 of the files, and at
+# a realistic NLIST (thousands of cells) reads a vanishing fraction.
+# Ingest batches are assigned against the frozen codebook and appended
+# into the same partition layout; takedowns tombstone; compaction
+# applies tombstones physically and bounds file counts — the same
+# lifecycle contract as the near-dup band index (dedup.py), tested with
+# the same maintenance invariants in tests/test_similarity.py.
+
+def _ann_tombstone_table(prefix: str) -> str:
+    return f"{prefix}_cells_tombstones"
+
+
+def _write_cells(df: DataFrame, table: str, mode: str) -> None:
+    """(Re)write/append `(vec_id, v, nrm, cell)` rows as a catalog table
+    partitioned by cell — partition pruning is the probe mechanism."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # an orphaned location from a previous session (in-memory
+        # catalog) blocks managed-table creation; clear it
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    (
+        df.select("vec_id", "v", "nrm", "cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def save_ann_index(
+    spark: SparkSession, vectors: DataFrame, prefix: str, cents
+) -> None:
+    """Persist an IVF index over `vectors` ((vec_id, v, nrm) rows, e.g.
+    a slice of `_normed`): `{prefix}_centroids` stores the FROZEN
+    quantizer (idx, v, nrm — doubles roundtrip parquet exactly, so
+    later assignments bit-match build-time ones), `{prefix}_cells`
+    stores the assigned vectors partitioned by cell."""
+    cent_df = spark.createDataFrame(
+        [(i, list(v), float(n)) for i, v, n in cents],
+        "idx int, v array<double>, nrm double",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_centroids")
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{prefix}_centroids", ignore_errors=True)
+    cent_df.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_centroids"
+    )
+    assigned = vectors.withColumn(
+        "cell",
+        -F.array_max(
+            _ivf_assign_structs(F.col("v"), F.col("nrm"), cents)
+        )["nj"],
+    )
+    _write_cells(assigned, f"{prefix}_cells", "overwrite")
+
+
+def load_ann_centroids(
+    spark: SparkSession, prefix: str
+) -> list[tuple[int, list[float], float]]:
+    """The frozen quantizer back from the catalog — a BOUNDED collect
+    (≤IVF_NLIST rows), the codebook-load analog of _ivf_centroids."""
+    return [
+        (int(r.idx), list(r.v), float(r.nrm))
+        for r in spark.table(f"{prefix}_centroids").orderBy("idx").collect()
+    ]
+
+
+def extend_ann_index(
+    spark: SparkSession, vectors: DataFrame, prefix: str
+) -> None:
+    """Ingest a batch: assign against the FROZEN codebook (never
+    retrained — retraining would silently shift every prior cell
+    boundary) and append into the same partition layout. Fresh-build
+    equivalence is tested: index(old) extended with new answers every
+    query exactly like index(old ∪ new)."""
+    cents = load_ann_centroids(spark, prefix)
+    assigned = vectors.withColumn(
+        "cell",
+        -F.array_max(
+            _ivf_assign_structs(F.col("v"), F.col("nrm"), cents)
+        )["nj"],
+    )
+    _write_cells(assigned, f"{prefix}_cells", "append")
+
+
+def remove_from_ann_index(spark: SparkSession, prefix: str, vec_ids) -> None:
+    """Retract vectors (takedowns, re-embeds): O(|retractions|) append
+    to a tombstone table consulted by every subsequent query — logical
+    immediately, physical at the next compact_ann_index. `vec_ids` is
+    an iterable of ids or a DataFrame with a vec_id column."""
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select(F.col("vec_id").cast("long").alias("vec_id"))
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id long"
+        )
+    ids.write.mode("append").format("parquet").saveAsTable(
+        _ann_tombstone_table(prefix)
+    )
+
+
+def _live_cells(spark: SparkSession, prefix: str) -> DataFrame:
+    """Index minus retracted vectors: a BROADCAST anti-join against the
+    tombstone table (map-side — partition pruning on cell survives).
+    Reads the raw table when no retraction has ever happened."""
+    df = spark.table(f"{prefix}_cells")
+    tomb = _ann_tombstone_table(prefix)
+    if spark.catalog.tableExists(tomb):
+        df = df.join(F.broadcast(spark.table(tomb)), "vec_id", "left_anti")
+    return df
+
+
+def compact_ann_index(spark: SparkSession, prefix: str) -> None:
+    """Apply tombstones physically and bound file counts after many
+    appends: the live rows are rewritten ONCE pre-clustered by cell
+    (each output task holds whole cells, so the compacted layout is one
+    file per cell per holding task) and swapped in via ALTER TABLE
+    RENAME — the session-catalog form of a lake format's
+    rewrite-then-commit. The tombstone table is dropped once applied."""
+    table = f"{prefix}_cells"
+    tmp = f"{table}__gen"
+    live = _live_cells(spark, prefix).repartition(
+        IVF_NLIST, F.col("cell")
+    )
+    _write_cells(live, tmp, "overwrite")
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    # renaming a PARTITIONED managed table leaves the catalog's
+    # per-partition locations pointing at the old path (observed: the
+    # renamed table scans to 0 rows); re-derive them from the files
+    spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
+    spark.sql(f"DROP TABLE IF EXISTS {_ann_tombstone_table(prefix)}")
+
+
+def ann_index_topk(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> DataFrame:
+    """IVF top-10 answered FROM THE PERSISTED INDEX: queries probe
+    their IVF_NPROBE nearest frozen-codebook cells; the probed cell set
+    (bounded: ≤IVF_NLIST distinct values) is collected and pushed as a
+    LITERAL partition filter, so the index scan prunes to the probed
+    partitions (PartitionFilters — certified in
+    tests/test_similarity.py); candidates equi-join on the cell id and
+    exact cosine reranks. With the live index covering the corpus this
+    is bit-identical to ann_ivf_topk (same frozen quantizer, same
+    folds), which is exactly the maintenance contract: persisting,
+    growing, retracting, and compacting the index must never change
+    what a query answers."""
+    cents = load_ann_centroids(spark, prefix)
+    emb = _normed(spark, sf_dir)
+    probe_structs = F.reverse(
+        F.array_sort(_ivf_assign_structs(F.col("v"), F.col("nrm"), cents))
+    )
+    q = (
+        emb.filter(_is_query(F.col("vec_id")))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.explode(F.slice(probe_structs, 1, IVF_NPROBE)).alias("pr"),
+        )
+        .select("vec_id", "v", "nrm", (-F.col("pr.nj")).alias("probe"))
+        .alias("q")
+    )
+    # bounded collect (≤IVF_NLIST ints): the probed-cell set, pushed as
+    # partition-pruning literals. The implicit alternative is dynamic
+    # partition pruning off the broadcast join; the literal form makes
+    # the pruning assertable in the plan.
+    probes = sorted(
+        r.probe for r in q.select("probe").distinct().collect()
+    )
+    c = (
+        _live_cells(spark, prefix)
+        .filter(F.col("cell").isin(probes))
+        .alias("c")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.probe") == F.col("c.cell"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cosine("q", "c").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

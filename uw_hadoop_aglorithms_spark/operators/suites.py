@@ -720,17 +720,56 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in fn(spark, sf_dir).collect()
         ]
 
-    with ThreadPoolExecutor(4) as pool:
+    def grab_idx():
+        # round 6: the PERSISTED-index form under the oracle contract —
+        # the full maintenance lifecycle (save half / extend half /
+        # retract a slice / compact / re-add the slice) ends with the
+        # live index covering the corpus, so the final query must be
+        # bit-identical to the one-shot IVF; the oracle is the same IVF
+        # replay relabeled. Mirrors neardup_pairs' grab_incr.
+        import os
+        import threading
+
+        prefix = f"ann_idx_{os.getpid()}_{threading.get_ident()}"
+        cents = similarity._ivf_centroids(spark, sf_dir)
+        emb = similarity._normed(spark, sf_dir)
+        split = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+        try:
+            similarity.save_ann_index(
+                spark, emb.filter(F.col("vec_id") <= split), prefix, cents
+            )
+            similarity.extend_ann_index(
+                spark, emb.filter(F.col("vec_id") > split), prefix
+            )
+            retract = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+            similarity.remove_from_ann_index(spark, prefix, retract)
+            similarity.compact_ann_index(spark, prefix)
+            similarity.extend_ann_index(
+                spark, emb.filter(F.col("vec_id") % 7 == 3), prefix
+            )
+            rows = similarity.ann_index_topk(spark, sf_dir, prefix).collect()
+        finally:
+            for t in (f"{prefix}_cells", f"{prefix}_centroids",
+                      f"{prefix}_cells_tombstones", f"{prefix}_cells__gen"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        return [
+            (int(r.query_id), int(r.neighbor_id), float(r.cosine), int(r.rank))
+            for r in rows
+        ]
+
+    with ThreadPoolExecutor(5) as pool:
         futs = {
             "brute": pool.submit(grab, similarity.ann_brute_topk),
             "lsh": pool.submit(grab, similarity.ann_lsh_topk),
             "ivf": pool.submit(grab, similarity.ann_ivf_topk),
             # round 5: PQ-ADC — the compressed-domain scoring leg
             "pq": pool.submit(grab, similarity.ann_pq_topk),
+            # round 6: persisted-IVF index after a full mutation lifecycle
+            "ivf_idx": pool.submit(grab_idx),
         }
         rows = [
             (m, q, nb, c, rk)
-            for m in ("brute", "lsh", "ivf", "pq")
+            for m in ("brute", "lsh", "ivf", "pq", "ivf_idx")
             for (q, nb, c, rk) in futs[m].result()
         ]
     return spark.createDataFrame(
@@ -1630,6 +1669,9 @@ def _suite_oracles() -> dict[str, str]:
             _wrap("lsh", SIMILARITY_ORACLES["ann_lsh_topk"], tag="method"),
             _wrap("ivf", SIMILARITY_ORACLES["ann_ivf_topk"], tag="method"),
             _wrap("pq", SIMILARITY_ORACLES["ann_pq_topk"], tag="method"),
+            # the persisted-index lifecycle must answer exactly like the
+            # one-shot IVF — same replay, different label
+            _wrap("ivf_idx", SIMILARITY_ORACLES["ann_ivf_topk"], tag="method"),
         ),
         "doc_profile": doc_profile_sql,
         "length_percentiles": (
