@@ -643,3 +643,73 @@ def test_stream_merge_to_lake_exactly_once_and_upsert(spark, replay, tmp_path):
     assert (
         again.join(ev, [c for c in ev.columns], "left_anti").count() == 0
     )
+
+
+def test_stream_neardup_ingest_chains_the_maintenance_invariant(spark, tmp_path):
+    """Streaming ingest through the persisted band index: after
+    draining the corpus batch-by-batch into an initially-empty index,
+    the union of per-batch pair files is EXACTLY the batch MinHash pair
+    set, and the drained index answers queries exactly like a fresh
+    build. Also exercises the two idempotence paths of the commit-log
+    recipe: a crash between the index extend and the log write (the
+    batch replays into an index that already holds it and must skip
+    straight to the log), and a full at-least-once re-replay."""
+    import uuid
+
+    from uw_hadoop_aglorithms_spark.operators import dedup
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    pfx = f"ndping_{uuid.uuid4().hex[:10]}"
+    pfx_fresh = f"{pfx}_fresh"
+    work = str(tmp_path)
+    docs = Catalog(spark, SF_TEST).documents
+    try:
+        replay = runner.prepare_doc_replay_dir(spark, SF_TEST, f"{work}/replay")
+        dedup.save_neardup_index(docs.where(F.lit(False)), pfx)
+        got = runner.stream_neardup_ingest(
+            spark, replay, f"{work}/ckpt", pfx, f"{work}/pairs"
+        )
+        mine = {(r.doc_a, r.doc_b, r.jaccard) for r in got.collect()}
+        ref = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.minhash_lsh_dedup(spark, SF_TEST).collect()
+        }
+        assert mine == ref
+        n_batches = spark.table(f"{pfx}_ingest_log").count()
+        assert n_batches >= 2
+
+        # crash window: extend applied, log write lost — drop the last
+        # batch's log row and re-replay; the probe must route the
+        # replayed batch straight to the log write, changing nothing
+        log = [int(r.batch_id) for r in spark.table(f"{pfx}_ingest_log").collect()]
+        keep = [(b,) for b in log if b != max(log)]
+        spark.sql(f"DROP TABLE {pfx}_ingest_log")
+        spark.createDataFrame(keep, "batch_id long").write.format(
+            "parquet"
+        ).saveAsTable(f"{pfx}_ingest_log")
+        got2 = runner.stream_neardup_ingest(
+            spark, replay, f"{work}/ckpt2", pfx, f"{work}/pairs"
+        )
+        assert {(r.doc_a, r.doc_b, r.jaccard) for r in got2.collect()} == ref
+        assert spark.table(f"{pfx}_ingest_log").count() == n_batches
+
+        # the drained index is indistinguishable from a fresh build
+        probe = docs.where(F.col("doc_id") < 20).select("doc_id", "text")
+        via_stream = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.incremental_neardup_pairs(spark, pfx, probe).collect()
+        }
+        dedup.save_neardup_index(docs.select("doc_id", "text"), pfx_fresh)
+        via_fresh = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.incremental_neardup_pairs(
+                spark, pfx_fresh, probe
+            ).collect()
+        }
+        assert via_stream == via_fresh
+    finally:
+        for t in (
+            f"{pfx}_bands", f"{pfx}_hsets", f"{pfx}_ingest_log",
+            f"{pfx}_tombstones", f"{pfx_fresh}_bands", f"{pfx_fresh}_hsets",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

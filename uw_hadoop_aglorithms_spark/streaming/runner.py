@@ -662,3 +662,115 @@ def stream_merge_to_lake(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    replay_dir: str,
+    checkpoint_dir: str,
+    prefix: str,
+    pairs_path: str,
+) -> DataFrame:
+    """Near-dup back pressure AT INGEST: each arriving micro-batch is
+    queried against the persisted band index (work ∝ |batch| +
+    collisions, never |corpus| — dedup.incremental_neardup_pairs), its
+    pairs land durably under `pairs_path`, and the batch is ADMITTED
+    into the index (dedup.extend_neardup_index). After the stream
+    drains an empty index over the whole corpus, the union of per-batch
+    pair files is EXACTLY the batch `minhash_lsh_dedup` pair set — the
+    maintenance invariant chained across every micro-batch (asserted in
+    tests/test_streaming.py). This is how the MinHash pass actually
+    runs on a lake: nobody re-minhashes 100 TB per crawl drop.
+
+    Exactly-once is idempotence over at-least-once foreachBatch
+    (the stream_merge_to_lake contract), via the commit-log recipe:
+
+    1. pairs are written into a `batch_id=<bid>` subdirectory the batch
+       owns outright — a replayed batch overwrites ITS OWN directory
+       with identical content, and the dir name doubles as the
+       partition column on read;
+    2. the index extend runs after the pairs write;
+    3. `{prefix}_ingest_log` records the batch id LAST — a batch in the
+       log is known fully applied and replays return immediately.
+
+    A crash between (2) and (3) replays into an index that already
+    holds the batch, which would change what (1) recomputes — so before
+    recomputing, a replay probes the index for the batch's first doc_id
+    and, if admitted, skips straight to the log write (the pairs
+    partition is already durable, having been written BEFORE the
+    extend). The probe reads `_hsets`, the LAST table the extend
+    appends: a crash mid-extend (bands in, hsets not) re-extends, and
+    the duplicate band rows that leaves are harmless — candidate pairs
+    are `.distinct()`-ed before verification and hsets stayed unique.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    from uw_hadoop_aglorithms_spark.operators import dedup
+
+    log_table = f"{prefix}_ingest_log"
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def _ingest(batch, bid: int) -> None:
+        # EVERYTHING here runs through the batch's own (cloned
+        # streaming) session: the index grows across micro-batches, and
+        # a session only invalidates ITS OWN cached table relation on
+        # append — reads through the outer session kept planning batch
+        # k+1's query over batch 0's file listing (observed: only the
+        # last batch's pairs survived, the index never "grew")
+        s = batch.sparkSession
+
+        if (
+            s.catalog.tableExists(log_table)
+            and s.table(log_table).where(F.col("batch_id") == bid).count() > 0
+        ):
+            return  # fully applied in a previous attempt
+        # pin the batch's content: everything below must see ONE
+        # materialization, not re-derive the source per action
+        b = batch.select("doc_id", "text").localCheckpoint(eager=True)
+        first = b.select(F.min("doc_id").alias("m")).first()
+        if first.m is None:
+            _log_batch(s, bid)
+            return
+        admitted = (
+            s.table(f"{prefix}_hsets")
+            .where(F.col("doc_id") == int(first.m))
+            .limit(1)
+            .count()
+            > 0
+        )
+        if not admitted:
+            pairs = dedup.incremental_neardup_pairs(s, prefix, b)
+            # each batch owns its batch_id= subdirectory outright, so
+            # the overwrite is scoped to it by construction; the dir
+            # name doubles as the partition column on read
+            pairs.repartition(1).write.mode("overwrite").parquet(
+                os.path.join(pairs_path, f"batch_id={int(bid)}")
+            )
+            dedup.extend_neardup_index(b, prefix)
+        _log_batch(s, bid)
+
+    def _log_batch(s: SparkSession, bid: int) -> None:
+        s.createDataFrame([(int(bid),)], "batch_id long").write.mode(
+            "append"
+        ).format("parquet").saveAsTable(log_table)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_path).orderBy("doc_a", "doc_b")
