@@ -214,6 +214,73 @@ def stress_lake_lifecycle(spark, d):
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def stress_ann_index(spark, d):
+    """Round-6 persisted-IVF lifecycle at 10×: 50k vectors (10 identical
+    copies of each sf0.1 embedding — every cell 10× denser), through
+    save half / extend half / retract one replica / compact / query.
+    The ANN_MAX_QUERIES cap BITES at this scale (1 000 queries exactly),
+    so the broadcast side is proven bounded while the corpus side is
+    10×. Returns the final top-k lists (bounded: |queries| × k)."""
+    from uw_hadoop_aglorithms_spark.operators import similarity as sim
+
+    cents = sim._ivf_centroids(spark, d)
+    emb = sim._normed(spark, d)
+    top = emb.agg(F.max("vec_id")).first()[0]
+    mid = top // 2
+    n_orig = (top + 1) // REPLICAS
+    prefix = f"stress_ann_{os.getpid()}"
+    try:
+        sim.save_ann_index(
+            spark, emb.filter(F.col("vec_id") <= mid), prefix, cents
+        )
+        sim.extend_ann_index(
+            spark, emb.filter(F.col("vec_id") > mid), prefix
+        )
+        sim.remove_from_ann_index(
+            spark, prefix,
+            emb.filter(
+                (F.col("vec_id") >= 7 * n_orig) & (F.col("vec_id") < 8 * n_orig)
+            ).select("vec_id"),
+        )
+        sim.compact_ann_index(spark, prefix)
+        return sim.ann_index_topk(spark, d, prefix).localCheckpoint()
+    finally:
+        for t in (
+            f"{prefix}_cells", f"{prefix}_centroids",
+            f"{prefix}_cells_tombstones", f"{prefix}_cells__gen",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def stress_stream_ingest(spark, d):
+    """Round-6 streaming near-dup ingest at 10×: the 50k-doc replica
+    corpus (9 exact twins per doc — LSH buckets maximally hot) drains
+    through an initially-empty band index in 8 real micro-batches.
+    Twins land in DIFFERENT batches under the block layout, so the
+    batch-vs-index join path carries most of the ~225k twin pairs; the
+    per-batch work bound (|batch| + collisions) is what's under test.
+    Returns the drained pair set (twin-quadratic by construction)."""
+    from uw_hadoop_aglorithms_spark.operators import dedup
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    prefix = f"stress_sni_{os.getpid()}"
+    scratch = tempfile.mkdtemp(prefix="stress_sni_")
+    try:
+        replay = runner.prepare_doc_replay_dir(spark, d, f"{scratch}/replay")
+        dedup.save_neardup_index(docs.where(F.lit(False)), prefix)
+        return runner.stream_neardup_ingest(
+            spark, replay, f"{scratch}/ckpt", prefix, f"{scratch}/pairs"
+        ).localCheckpoint()
+    finally:
+        for t in (
+            f"{prefix}_bands", f"{prefix}_hsets",
+            f"{prefix}_ingest_log", f"{prefix}_tombstones",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def stress_sem_scaled(spark, d):
     """semantic_dedup_pairs_scaled at the operating point it exists
     for: corpus 10× -> codebook 10× (64 -> 640 cells), holding |cell|
@@ -271,6 +338,12 @@ def run(spark) -> dict:
         # (merge -> delete -> compact) at 10× partition density
         ("span_index_lifecycle", stress_span_index),
         ("lake_lifecycle", stress_lake_lifecycle),
+        # round-6 late additions: the persisted-IVF mutation lifecycle
+        # (the ANN_MAX_QUERIES cap bites at 10× — bounded broadcast
+        # proven against a 10× corpus) and the streaming near-dup
+        # ingest (8 real micro-batches, twins split across batches)
+        ("ann_index_lifecycle", stress_ann_index),
+        ("stream_neardup_ingest", stress_stream_ingest),
     ):
         before = rss_mb()
         t0 = time.perf_counter()
