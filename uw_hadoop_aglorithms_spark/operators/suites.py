@@ -722,11 +722,16 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def grab_idx():
         # round 6: the PERSISTED-index form under the oracle contract —
-        # the full maintenance lifecycle (save half / extend half /
-        # retract a slice / compact / re-add the slice) ends with the
-        # live index covering the corpus, so the final query must be
-        # bit-identical to the one-shot IVF; the oracle is the same IVF
-        # replay relabeled. Mirrors neardup_pairs' grab_incr.
+        # index the lower half, admit the upper half as the arriving
+        # batch, answer from the persisted index; the live index then
+        # covers the corpus, so the result must be bit-identical to the
+        # one-shot IVF and the oracle is the same replay relabeled.
+        # Mirrors neardup_pairs' grab_incr exactly: the registered
+        # member certifies build+extend+query parity, while the
+        # retract/compact/re-add mutation legs live in
+        # tests/test_similarity.py and the sf1 stress (a full lifecycle
+        # here cost ~7 catalog writes ≈ 10 s of fixed overhead per rep —
+        # measured, SCALING.md §Similarity).
         import os
         import threading
 
@@ -740,12 +745,6 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             similarity.extend_ann_index(
                 spark, emb.filter(F.col("vec_id") > split), prefix
-            )
-            retract = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
-            similarity.remove_from_ann_index(spark, prefix, retract)
-            similarity.compact_ann_index(spark, prefix)
-            similarity.extend_ann_index(
-                spark, emb.filter(F.col("vec_id") % 7 == 3), prefix
             )
             rows = similarity.ann_index_topk(spark, sf_dir, prefix).collect()
         finally:
