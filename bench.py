@@ -13,10 +13,13 @@ shuffle/input bytes, peak JVM heap, errors — is written to
 ``BENCH_local_r{N}.json``), and also echoed to stderr for live runs.
 
 Timing protocol: one throwaway action first (JVM + codegen warm-up, not
-attributable to any query), then each query is executed once with a
-result-materializing action. Queries return small results by design
-(aggregates / top-k), so the action is collect(); row counts are sanity-
-checked to stay small.
+attributable to any query), then REPS whole-suite passes — every query
+runs once per pass, and each query reports its median ACROSS passes.
+Interleaving decorrelates the host's multi-minute slow windows from any
+single key (back-to-back reps all landed in the same window; see
+SCALING.md §Measurement variance). Queries return small results by
+design (aggregates / top-k), so the action is collect(); row counts are
+sanity-checked to stay small.
 
 Shuffle protocol (BASELINE.md §Measurement protocol): per-query shuffle
 read/write and input bytes come from the Spark UI REST API
@@ -129,49 +132,64 @@ def main() -> None:
     # warm-up: JVM, parquet footer reads, codegen pipeline
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
-    timings: dict[str, float] = {}
-    #: [min, max] per query across reps — the box-interference signal
-    #: (SCALING.md §Round-4 A/B: cross-run minima are the plan cost)
-    spreads: dict[str, list[float]] = {}
+    #: Reps are INTERLEAVED as whole-suite passes (pass 1 runs every
+    #: key once, then pass 2, …) rather than back-to-back per key: the
+    #: host virtualization exhibits multi-minute slow windows (uniform
+    #: 1.3-2× wall-clock with byte-identical plans/shuffle volumes —
+    #: measured round 6, SCALING.md §Measurement variance), and
+    #: consecutive reps all land inside the same window, poisoning that
+    #: key's median. Across interleaved passes a window taxes different
+    #: keys in different passes and the per-key median recovers.
+    samples: dict[str, list[float]] = {}
     metrics: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     tracker = StageMetrics(spark)
-    for name, fn in sorted(entry_mod.queries().items()):
-        if ONLY and name not in ONLY:
-            continue
-        samples = []
-        # A failing query must cost ONLY its own timing, never the run:
-        # round 2 lost ALL bench data because one broken query aborted
-        # the loop before a single timing was emitted.
-        try:
-            for rep in range(REPS):
+    qmap = [
+        (name, fn)
+        for name, fn in sorted(entry_mod.queries().items())
+        if not ONLY or name in ONLY
+    ]
+    for rep in range(REPS):
+        for name, fn in qmap:
+            if name in errors:
+                continue
+            # A failing query must cost ONLY its own timing, never the
+            # run: round 2 lost ALL bench data because one broken query
+            # aborted the loop before a single timing was emitted.
+            try:
                 t0 = time.perf_counter()
                 rows = fn(spark, SF_DIR).collect()
-                samples.append(time.perf_counter() - t0)
+                samples.setdefault(name, []).append(time.perf_counter() - t0)
                 del rows
                 if rep == 0:
                     m = tracker.delta()
                     if m:
                         metrics[name] = m
-                # per-query scratch caches (shingle sets, graph edges, …)
-                # must not accumulate across the run
-                spark.catalog.clearCache()
-            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
-            spreads[name] = [round(min(samples), 3), round(max(samples), 3)]
-        except Exception as exc:  # noqa: BLE001 — record and move on
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 — record and move on
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            # per-query scratch caches (shingle sets, graph edges, …)
+            # must not accumulate across the run
             spark.catalog.clearCache()
-        # re-baseline the stage set so later reps / failed queries don't
-        # leak their stages into the next query's first-rep delta
-        tracker.delta()
-        # Release cross-query garbage OUTSIDE the timers: clearCache does
-        # not free localCheckpoint RDDs or broadcasts — they die only when
-        # their Python refs are collected and the ContextCleaner runs, so
-        # without this, earlier queries' leftovers tax later timings
-        # (measured ~2× on the graph loops after 45 queries).
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+            # re-baseline the stage set so later reps / failed queries
+            # don't leak their stages into the next query's first-rep
+            # delta
+            tracker.delta()
+            # Release cross-query garbage OUTSIDE the timers: clearCache
+            # does not free localCheckpoint RDDs or broadcasts — they die
+            # only when their Python refs are collected and the
+            # ContextCleaner runs, so without this, earlier queries'
+            # leftovers tax later timings (measured ~2× on the graph
+            # loops after 45 queries).
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+    timings = {
+        name: round(sorted(s)[len(s) // 2], 3) for name, s in samples.items()
+    }
+    spreads = {
+        name: [round(min(s), 3), round(max(s), 3)]
+        for name, s in samples.items()
+    }
 
     compact = {
         "metric": "total_query_sec",

@@ -178,3 +178,39 @@ def test_ann_index_lifecycle_maintenance_invariants(spark):
         for t in (f"{pfx}_cells", f"{pfx}_centroids",
                   f"{pfx}_cells_tombstones", f"{pfx}_cells__gen"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_tombstone_view_equals_fresh_build_without_retracted(spark):
+    """Property (seeded-random retraction sets): answering from the
+    tombstoned live index is indistinguishable from building a fresh
+    index over the corpus minus the retracted vectors — retraction must
+    be a pure set-minus on what queries can see, never an approximation
+    of it. Query vectors themselves stay in the corpus (retracting a
+    query only removes it as a CANDIDATE; _is_query still selects it)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    cents = similarity._ivf_centroids(spark, SF_TEST)
+    emb = similarity._normed(spark, SF_TEST)
+    ids = [int(r.vec_id) for r in emb.select("vec_id").collect()]
+    rng = random.Random(0xC0FFEE)
+    for trial in range(3):
+        retract = rng.sample(ids, k=40)
+        pfx_t = _uniq(f"annprop{trial}t")
+        pfx_f = _uniq(f"annprop{trial}f")
+        try:
+            similarity.save_ann_index(spark, emb, pfx_t, cents)
+            similarity.remove_from_ann_index(spark, pfx_t, retract)
+            via_tomb = similarity.ann_index_topk(spark, SF_TEST, pfx_t).collect()
+
+            similarity.save_ann_index(
+                spark, emb.filter(~F.col("vec_id").isin(retract)), pfx_f, cents
+            )
+            via_fresh = similarity.ann_index_topk(spark, SF_TEST, pfx_f).collect()
+            assert via_tomb == via_fresh, f"trial {trial} diverged"
+            assert all(r.neighbor_id not in set(retract) for r in via_tomb)
+        finally:
+            for p in (pfx_t, pfx_f):
+                for t in (f"{p}_cells", f"{p}_centroids", f"{p}_cells_tombstones"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
