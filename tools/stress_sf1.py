@@ -215,12 +215,13 @@ def stress_lake_lifecycle(spark, d):
 
 
 def stress_ann_index(spark, d):
-    """Round-6 persisted-IVF lifecycle at 10×: 50k vectors (10 identical
+    """Round-6 persisted-IVF lifecycle at 10×: 20k vectors (10 identical
     copies of each sf0.1 embedding — every cell 10× denser), through
     save half / extend half / retract one replica / compact / query.
-    The ANN_MAX_QUERIES cap BITES at this scale (1 000 queries exactly),
-    so the broadcast side is proven bounded while the corpus side is
-    10×. Returns the final top-k lists (bounded: |queries| × k)."""
+    The query side grows only with the id range (400 stride-sampled
+    queries here, hard-capped at ANN_MAX_QUERIES) while the corpus side
+    is 10×. Returns the final top-k lists (bounded: |queries| × k;
+    measured rows=4000 = 400 × TOP_K)."""
     from uw_hadoop_aglorithms_spark.operators import similarity as sim
 
     cents = sim._ivf_centroids(spark, d)
