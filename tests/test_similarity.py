@@ -214,3 +214,58 @@ def test_ann_tombstone_view_equals_fresh_build_without_retracted(spark):
             for p in (pfx_t, pfx_f):
                 for t in (f"{p}_cells", f"{p}_centroids", f"{p}_cells_tombstones"):
                     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_persisted_codes_recall_exactness_and_plan(spark, brute):
+    """IVF-ADC from persisted codes: emitted cosines are EXACT (a
+    subset of brute's values per query), recall of the true top-1 is
+    high on the fixture, the codes scan reads NO vector column
+    (compressed-domain scoring certificate — the scan schema is codes +
+    recon2 + ids only), prunes to the probed cells, and extending a
+    half-built index answers exactly like the one-shot build."""
+    from pyspark.sql import functions as F
+
+    pfx = _uniq("ivfpq")
+    try:
+        similarity.save_pq_index(spark, SF_TEST, pfx)
+        res = similarity.ann_ivfpq_topk(spark, SF_TEST, pfx)
+        rows = res.collect()
+
+        bmap = {}
+        for r in brute:
+            bmap.setdefault(r.query_id, {})[r.neighbor_id] = r.cosine
+        top1 = {r.query_id: r.neighbor_id for r in brute if r.rank == 1}
+        hits = sum(
+            1 for r in rows if r.rank == 1 and top1.get(r.query_id) == r.neighbor_id
+        )
+        n_q = len({r.query_id for r in rows})
+        assert hits / n_q >= 0.5  # 2-of-8 cell probing, same bar as IVF
+        # exactness: any (q, n) also scored by brute carries the SAME double
+        for r in rows:
+            if r.neighbor_id in bmap.get(r.query_id, {}):
+                assert r.cosine == bmap[r.query_id][r.neighbor_id]
+
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.split("\n") if "pqcodes" in ln]
+        assert scans, "codes table scan missing from the plan"
+        assert all("v#" not in s and "embedding" not in s for s in scans), (
+            "ADC scoring must not read a vector column from the codes table"
+        )
+        pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+        assert pf and any("cell" in ln for ln in pf)
+
+        # extend equivalence: rebuild codes over half, extend the rest
+        emb = similarity._normed(spark, SF_TEST)
+        cents = similarity.load_ann_centroids(spark, pfx)
+        cb = similarity.load_pq_codebook(spark, pfx)
+        similarity._write_pq_codes(
+            similarity._pq_encode(emb.filter(F.col("vec_id") < 250), cents, cb),
+            f"{pfx}_pqcodes", "overwrite",
+        )
+        similarity.extend_pq_index(
+            spark, emb.filter(F.col("vec_id") >= 250), pfx
+        )
+        assert similarity.ann_ivfpq_topk(spark, SF_TEST, pfx).collect() == rows
+    finally:
+        for t in (f"{pfx}_pqcodes", f"{pfx}_centroids", f"{pfx}_pqcb"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -389,6 +389,75 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return [list(r.v) for r in rows]
 
 
+# All codebook-literal expressions are built as SQL STRINGS and parsed
+# JVM-side in one selectExpr: the Column-API form (thousands of
+# F.lit/F.struct py4j round-trips for PQ_M×K×SUBDIM literals) measured
+# 5.1 s of pure DRIVER time per call at sf0.1 — the plan was fine, its
+# construction wasn't. (A flat scalar-chain rewrite of the folds was
+# also tried and measured SLOWER than the HOF form — 14.7 s vs 8.7 s
+# standalone: ~1000-term trees blow up analysis.) Shared between the
+# full-scan ADC (ann_pq_topk) and the persisted IVF-ADC index
+# (save_pq_index / ann_ivfpq_topk).
+
+def _pq_lits(cb, k: int, m: int) -> str:
+    lo = m * PQ_SUBDIM
+    return ", ".join(f"{x!r}D" for x in cb[k][lo:lo + PQ_SUBDIM])
+
+
+def _pq_d2_sql(cb, k: int, m: int) -> str:
+    lo = m * PQ_SUBDIM
+    return (
+        f"aggregate(zip_with(slice(v, {lo + 1}, {PQ_SUBDIM}),"
+        f" array({_pq_lits(cb, k, m)}), (x, c) -> (x - c) * (x - c)),"
+        " 0.0D, (a, x) -> a + x)"
+    )
+
+
+def _pq_enc_exprs(cb) -> list[str]:
+    """`c{m} = argmin_k L2²(subvector_m, cb[m][k])` — struct-min with
+    (d2 ASC, k ASC) tie-break, map-side, no |corpus|×K join."""
+    out = []
+    for m in range(PQ_M):
+        structs = ", ".join(
+            f"named_struct('d', {_pq_d2_sql(cb, k, m)}, 'k', {k})"
+            for k in range(len(cb))
+        )
+        out.append(f"array_min(array({structs})).k AS c{m}")
+    return out
+
+
+def _pq_recon_expr(cb) -> str:
+    """norm² of the reconstruction, selected by the stored codes: the
+    per-subvector norms are Python left folds — the same IEEE sequence
+    as the oracle's list_reduce (the _ivf_centroids argument)."""
+    recon_terms = []
+    for m in range(PQ_M):
+        n2 = []
+        for k in range(len(cb)):
+            acc = 0.0
+            lo = m * PQ_SUBDIM
+            for x in cb[k][lo:lo + PQ_SUBDIM]:
+                acc = acc + x * x
+            n2.append(acc)
+        arr = ", ".join(f"{x!r}D" for x in n2)
+        recon_terms.append(f"element_at(array({arr}), c{m} + 1)")
+    return "0.0D + " + " + ".join(recon_terms) + " AS recon2"
+
+
+def _pq_tab_sql(cb, m: int) -> str:
+    """ADC lookup table for subspace m: tab_m[k] = dot(q_m, cb[m][k]).
+    Each table entry is the same fold the oracle computes per pair, so
+    the looked-up double is bit-identical."""
+    lo = m * PQ_SUBDIM
+    dots = ", ".join(
+        f"aggregate(zip_with(slice(v, {lo + 1}, {PQ_SUBDIM}),"
+        f" array({_pq_lits(cb, k, m)}), (x, y) -> x * y),"
+        " 0.0D, (a, x) -> a + x)"
+        for k in range(len(cb))
+    )
+    return f"array({dots}) AS tab{m}"
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC approximate top-10: encode map-side, score by lookup.
 
@@ -401,76 +470,24 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc_cosine = Σ_m dot(q_m, cb[m][code_m]) / (|q| · |reconstruction|).
     At 100 TB the coded corpus is what you STORE (PQ_M bytes + one
     float per vector); candidates come from an IVF cell join and ADC
-    replaces the exact dot until a final small rerank.
+    replaces the exact dot until a final small rerank — that deployment
+    shape is the persisted `ann_ivfpq_topk` below.
     """
     cb = _pq_codebook(spark, sf_dir)
-    k_n = len(cb)
     emb = _normed(spark, sf_dir)
 
-    # All codebook-literal expressions are built as SQL STRINGS and
-    # parsed JVM-side in one selectExpr: the Column-API form (thousands
-    # of F.lit/F.struct py4j round-trips for PQ_M×K×SUBDIM literals)
-    # measured 5.1 s of pure DRIVER time per call at sf0.1 — the plan
-    # was fine, its construction wasn't. (A flat scalar-chain rewrite
-    # of the folds was also tried and measured SLOWER than the HOF form
-    # — 14.7 s vs 8.7 s standalone: ~1000-term trees blow up analysis.)
-
-    def lits(k: int, m: int) -> str:
-        lo = m * PQ_SUBDIM
-        return ", ".join(f"{x!r}D" for x in cb[k][lo:lo + PQ_SUBDIM])
-
-    def d2_sql(k: int, m: int) -> str:
-        lo = m * PQ_SUBDIM
-        return (
-            f"aggregate(zip_with(slice(v, {lo + 1}, {PQ_SUBDIM}),"
-            f" array({lits(k, m)}), (x, c) -> (x - c) * (x - c)),"
-            " 0.0D, (a, x) -> a + x)"
-        )
-
-    enc_exprs = ["*"]
-    for m in range(PQ_M):
-        structs = ", ".join(
-            f"named_struct('d', {d2_sql(k, m)}, 'k', {k})" for k in range(k_n)
-        )
-        enc_exprs.append(f"array_min(array({structs})).k AS c{m}")
-    enc = emb.selectExpr(*enc_exprs)
-    # norm² of each codebook subvector: Python left fold — the same
-    # IEEE sequence as the oracle's list_reduce (the _ivf_centroids
-    # argument), selected by the stored code
-    recon_terms = []
-    for m in range(PQ_M):
-        n2 = []
-        for k in range(k_n):
-            acc = 0.0
-            lo = m * PQ_SUBDIM
-            for x in cb[k][lo:lo + PQ_SUBDIM]:
-                acc = acc + x * x
-            n2.append(acc)
-        arr = ", ".join(f"{x!r}D" for x in n2)
-        recon_terms.append(f"element_at(array({arr}), c{m} + 1)")
-    enc = enc.selectExpr(
-        "*", "0.0D + " + " + ".join(recon_terms) + " AS recon2"
-    ).localCheckpoint(eager=True)
+    enc = emb.selectExpr("*", *_pq_enc_exprs(cb))
+    enc = enc.selectExpr("*", _pq_recon_expr(cb)).localCheckpoint(eager=True)
 
     # THE ADC trick proper: each query precomputes its lookup tables
     # tab_m[k] = dot(q_m, cb[m][k]) ONCE (|queries|×PQ_M×K dots — the
     # broadcast side), so each of the |queries|×|corpus| pairs costs
     # PQ_M array lookups + adds instead of PQ_M subvector dots.
-    # Exactness: each table entry is the same fold the oracle computes
-    # per pair, so the looked-up double is bit-identical.
-    def tab_sql(m: int) -> str:
-        lo = m * PQ_SUBDIM
-        dots = ", ".join(
-            f"aggregate(zip_with(slice(v, {lo + 1}, {PQ_SUBDIM}),"
-            f" array({lits(k, m)}), (x, y) -> x * y),"
-            " 0.0D, (a, x) -> a + x)"
-            for k in range(k_n)
-        )
-        return f"array({dots}) AS tab{m}"
-
     q = (
         enc.filter(_is_query(F.col("vec_id")))
-        .selectExpr("vec_id", "v", "nrm", *[tab_sql(m) for m in range(PQ_M)])
+        .selectExpr(
+            "vec_id", "v", "nrm", *[_pq_tab_sql(cb, m) for m in range(PQ_M)]
+        )
         .alias("q")
     )
     c = enc.alias("c")
@@ -750,5 +767,201 @@ def ann_index_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+# --- persisted IVF-ADC index: compressed codes at rest -----------------------
+#
+# The production vector-lake layout (Jégou et al.'s IVFADC): what the
+# lake STORES per vector is PQ_M code bytes + one reconstruction float,
+# partitioned by IVF cell — ~60× smaller than the float64 vectors. A
+# query probes its IVF_NPROBE cells (partition pruning), scores the
+# probed codes in the COMPRESSED domain (ADC lookups — the original
+# vectors are never read for scoring), and only the per-query shortlist
+# touches the source embeddings table for the exact rerank. Both
+# quantizers are FROZEN in catalog tables at save time, the same
+# contract as save_ann_index.
+
+def save_pq_index(spark: SparkSession, sf_dir: str, prefix: str) -> None:
+    """Build the IVF-ADC index over the corpus at `sf_dir`:
+    `{prefix}_centroids` (the frozen IVF coarse quantizer),
+    `{prefix}_pqcb` (the frozen PQ codebook, k-ordered),
+    `{prefix}_pqcodes` (vec_id, c0..c{PQ_M-1} TINYINT codes, recon2)
+    partitioned by cell — one file per cell per holding task."""
+    import shutil
+    from urllib.parse import urlparse
+
+    cents = _ivf_centroids(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    cent_df = spark.createDataFrame(
+        [(i, list(v), float(n)) for i, v, n in cents],
+        "idx int, v array<double>, nrm double",
+    )
+    cb_df = spark.createDataFrame(
+        [(k, list(v)) for k, v in enumerate(cb)], "k int, v array<double>"
+    )
+    for name, df in ((f"{prefix}_centroids", cent_df), (f"{prefix}_pqcb", cb_df)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        df.write.mode("overwrite").format("parquet").saveAsTable(name)
+
+    _write_pq_codes(_pq_encode(_normed(spark, sf_dir), cents, cb),
+                    f"{prefix}_pqcodes", "overwrite")
+
+
+def _pq_encode(vectors: DataFrame, cents, cb) -> DataFrame:
+    """(vec_id, v, nrm) → (vec_id, c0.., recon2, cell): one map-side
+    pass computes the IVF cell and the PQ codes together."""
+    enc = vectors.withColumn(
+        "cell",
+        -F.array_max(
+            _ivf_assign_structs(F.col("v"), F.col("nrm"), cents)
+        )["nj"],
+    )
+    enc = enc.selectExpr("*", *_pq_enc_exprs(cb))
+    return enc.selectExpr("*", _pq_recon_expr(cb))
+
+
+def _write_pq_codes(enc: DataFrame, table: str, mode: str) -> None:
+    spark = enc.sparkSession
+    if mode == "overwrite":
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    code_cols = [f"CAST(c{m} AS TINYINT) AS c{m}" for m in range(PQ_M)]
+    (
+        enc.selectExpr("vec_id", *code_cols, "recon2", "cell")
+        .repartition(IVF_NLIST, F.col("cell"))
+        .write.mode(mode)
+        .partitionBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def load_pq_codebook(spark: SparkSession, prefix: str) -> list[list[float]]:
+    """The frozen PQ codebook back from the catalog — a BOUNDED collect
+    (≤PQ_K rows), the codebook-load analog of _pq_codebook."""
+    return [
+        list(r.v)
+        for r in spark.table(f"{prefix}_pqcb").orderBy("k").collect()
+    ]
+
+
+def extend_pq_index(
+    spark: SparkSession, vectors: DataFrame, prefix: str
+) -> None:
+    """Ingest a batch: encode against BOTH frozen quantizers and append
+    into the same cell-partition layout — fresh-build equivalence is
+    tested like the other two indexes'."""
+    cents = load_ann_centroids(spark, prefix)
+    cb = load_pq_codebook(spark, prefix)
+    _write_pq_codes(_pq_encode(vectors, cents, cb), f"{prefix}_pqcodes", "append")
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> DataFrame:
+    """IVF-ADC top-10 answered FROM THE PERSISTED CODES: queries probe
+    their IVF_NPROBE frozen-codebook cells (the probed-cell set pushed
+    as literal PartitionFilters, as in ann_index_topk), ADC-score the
+    probed partitions' codes in the compressed domain (PQ_M lookups +
+    adds per candidate — no vector column in the scan at all), shortlist
+    PQ_SHORTLIST per query, and rerank the shortlist with exact cosine
+    against the SOURCE embeddings table (the only place original
+    vectors are read). Every emitted cosine is exact; approximation
+    affects only which candidates reach the rerank."""
+    cents = load_ann_centroids(spark, prefix)
+    cb = load_pq_codebook(spark, prefix)
+    emb = _normed(spark, sf_dir)
+    probe_structs = F.reverse(
+        F.array_sort(_ivf_assign_structs(F.col("v"), F.col("nrm"), cents))
+    )
+    q = (
+        emb.filter(_is_query(F.col("vec_id")))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.explode(F.slice(probe_structs, 1, IVF_NPROBE)).alias("pr"),
+        )
+        .select("vec_id", "v", "nrm", (-F.col("pr.nj")).alias("probe"))
+        .selectExpr(
+            "vec_id", "v", "nrm", "probe",
+            *[_pq_tab_sql(cb, m) for m in range(PQ_M)],
+        )
+        .alias("q")
+    )
+    probes = sorted(
+        r.probe for r in q.select("probe").distinct().collect()
+    )
+    c = (
+        spark.table(f"{prefix}_pqcodes")
+        .filter(F.col("cell").isin(probes))
+        .alias("c")
+    )
+    adc = F.expr(
+        "0.0D + "
+        + " + ".join(f"element_at(q.tab{m}, c.c{m} + 1)" for m in range(PQ_M))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.probe") == F.col("c.cell"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            (adc / (F.col("q.nrm") * F.sqrt(F.col("c.recon2")))).alias(
+                "adc_cos"
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    exact = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )

@@ -756,7 +756,31 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in rows
         ]
 
-    with ThreadPoolExecutor(5) as pool:
+    def grab_ivfpq():
+        # round 6: IVF-ADC from PERSISTED CODES — the production
+        # vector-lake layout (both quantizers frozen in catalog tables,
+        # PQ_M tinyint codes + one float per vector partitioned by
+        # cell); queries prune to probed cells, score compressed-domain,
+        # rerank exactly against the source table. Full relational
+        # oracle (oracles._ann_ivfpq_sql). Extend-equivalence is
+        # pytest-covered (tests/test_similarity.py).
+        import os
+        import threading
+
+        prefix = f"ann_pq_{os.getpid()}_{threading.get_ident()}"
+        try:
+            similarity.save_pq_index(spark, sf_dir, prefix)
+            rows = similarity.ann_ivfpq_topk(spark, sf_dir, prefix).collect()
+        finally:
+            for t in (f"{prefix}_pqcodes", f"{prefix}_centroids",
+                      f"{prefix}_pqcb"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        return [
+            (int(r.query_id), int(r.neighbor_id), float(r.cosine), int(r.rank))
+            for r in rows
+        ]
+
+    with ThreadPoolExecutor(6) as pool:
         futs = {
             "brute": pool.submit(grab, similarity.ann_brute_topk),
             "lsh": pool.submit(grab, similarity.ann_lsh_topk),
@@ -765,10 +789,12 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pq": pool.submit(grab, similarity.ann_pq_topk),
             # round 6: persisted-IVF index after a full mutation lifecycle
             "ivf_idx": pool.submit(grab_idx),
+            # round 6: IVF-ADC over persisted compressed codes
+            "ivfpq": pool.submit(grab_ivfpq),
         }
         rows = [
             (m, q, nb, c, rk)
-            for m in ("brute", "lsh", "ivf", "pq", "ivf_idx")
+            for m in ("brute", "lsh", "ivf", "pq", "ivf_idx", "ivfpq")
             for (q, nb, c, rk) in futs[m].result()
         ]
     return spark.createDataFrame(
@@ -1671,6 +1697,7 @@ def _suite_oracles() -> dict[str, str]:
             # the persisted-index lifecycle must answer exactly like the
             # one-shot IVF — same replay, different label
             _wrap("ivf_idx", SIMILARITY_ORACLES["ann_ivf_topk"], tag="method"),
+            _wrap("ivfpq", SIMILARITY_ORACLES["ann_ivfpq_topk"], tag="method"),
         ),
         "doc_profile": doc_profile_sql,
         "length_percentiles": (
@@ -1752,6 +1779,7 @@ SUBSUMED: frozenset[str] = frozenset(
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_pq_topk",
+        "ann_ivfpq_topk",
         "doc_stats",
         "quality_score",
         "repetition_score",

@@ -1267,11 +1267,131 @@ def _ann_pq_sql() -> str:
     """
 
 
+def _ann_ivfpq_sql() -> str:
+    """IVF-ADC (the persisted vector-lake layout): the IVF oracle's
+    cell/probe CTEs restrict which (query, neighbor) pairs exist, the
+    PQ oracle's code/ADC CTEs score them in the compressed domain, the
+    shortlist reranks exactly. Both quantizers derive relationally
+    with the same ids/values the engine freezes into its catalog
+    tables at save time."""
+    sd = PQ_SUBDIM
+
+    def subfold(expr: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range({sd}), i -> {expr})), (a, x) -> a + x)"
+        )
+
+    d2 = subfold(
+        f"(e.v[t.m*{sd} + i + 1] - cb.v[t.m*{sd} + i + 1])"
+        f" * (e.v[t.m*{sd} + i + 1] - cb.v[t.m*{sd} + i + 1])"
+    )
+    n2 = subfold(f"cb.v[b.m*{sd} + i + 1] * cb.v[b.m*{sd} + i + 1]")
+    dm = subfold(f"q.v[b.m*{sd} + i + 1] * cb.v[b.m*{sd} + i + 1]")
+    mfold = "list_reduce(list_prepend(0.0::DOUBLE, list({x} ORDER BY m)), (a, x) -> a + x)"
+    dot_ec = _fold_sum(
+        "list_transform(range(len(e.v)), i -> e.v[i + 1] * cents.v[i + 1])"
+    )
+    return f"""
+    WITH {_NORMED_CTE},
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v, nrm
+        FROM e
+        WHERE vec_id % {IVF_CENTROID_MOD} = 0
+          AND vec_id < {IVF_CENTROID_MOD * IVF_NLIST}
+    ),
+    ass_ivf AS (
+        SELECT e.vec_id, cents.cidx,
+               {dot_ec} / (e.nrm * cents.nrm) AS cos
+        FROM e, cents
+    ),
+    ranked_ass AS (
+        SELECT vec_id, cidx, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn
+        FROM ass_ivf
+    ),
+    cellof AS (SELECT vec_id, cidx AS cell FROM ranked_ass WHERE rn = 1),
+    probes AS (
+        SELECT vec_id, cidx AS probe FROM ranked_ass
+        WHERE rn <= {IVF_NPROBE} AND {_IS_QUERY}
+    ),
+    cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v
+        FROM e WHERE vec_id % {PQ_CB_MOD} = 0 AND vec_id < {PQ_CB_MOD * PQ_K}
+    ),
+    ass AS (
+        SELECT e.vec_id, t.m, cb.k, {d2} AS d2
+        FROM e, unnest(range({PQ_M})) AS t(m), cb
+    ),
+    best AS (
+        SELECT vec_id, m, k FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+            FROM ass) WHERE rn = 1
+    ),
+    n2t AS (
+        SELECT b.vec_id, b.m, {n2} AS n2
+        FROM best b JOIN cb ON cb.k = b.k
+    ),
+    recon AS (
+        SELECT vec_id, {mfold.format(x='n2')} AS recon2
+        FROM n2t GROUP BY vec_id
+    ),
+    qd AS (SELECT vec_id, v, nrm FROM e WHERE {_IS_QUERY}),
+    cand AS (
+        SELECT p.vec_id AS query_id, co.vec_id AS neighbor_id
+        FROM probes p JOIN cellof co ON co.cell = p.probe
+        WHERE p.vec_id <> co.vec_id
+    ),
+    dots AS (
+        SELECT ca.query_id, ca.neighbor_id, b.m, {dm} AS dm
+        FROM cand ca
+        JOIN qd q ON q.vec_id = ca.query_id
+        JOIN best b ON b.vec_id = ca.neighbor_id
+        JOIN cb ON cb.k = b.k
+    ),
+    adcs AS (
+        SELECT query_id, neighbor_id, {mfold.format(x='dm')} AS adc
+        FROM dots GROUP BY query_id, neighbor_id
+    ),
+    adc_scored AS (
+        SELECT a.query_id, a.neighbor_id,
+               a.adc / (q.nrm * sqrt(r.recon2)) AS adc_cos
+        FROM adcs a
+        JOIN qd q ON q.vec_id = a.query_id
+        JOIN recon r ON r.vec_id = a.neighbor_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS arank
+            FROM adc_scored) WHERE arank <= {_PQ_SHORTLIST}
+    ),
+    scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_fold_sum("list_transform(range(len(q.v)), i -> q.v[i + 1] * c.v[i + 1])")}
+                 / (q.nrm * c.nrm) AS cosine
+        FROM shortlist s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e c ON c.vec_id = s.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, "rank"
+    FROM ranked WHERE "rank" <= {TOP_K}
+    ORDER BY query_id, "rank"
+    """
+
+
 SIMILARITY_ORACLES: dict[str, str] = {
     "ann_brute_topk": _ann_brute_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
     "ann_ivf_topk": _ann_ivf_sql(),
     "ann_pq_topk": _ann_pq_sql(),
+    "ann_ivfpq_topk": _ann_ivfpq_sql(),
     # mirrors operators/similarity.embed_quantize: floor(z+0.5) coding,
     # sequential error folds, 255e0/0e0 literals pin DOUBLE
     "embed_quantize": """
