@@ -253,6 +253,21 @@ def stress_ann_index(spark, d):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def stress_ivfpq_index(spark, d):
+    """Round-6 IVF-ADC at 10×: codes for 20k vectors built against the
+    frozen quantizers, queried compressed-domain from the persisted
+    cell-partitioned layout. Returns the top-k lists (bounded)."""
+    from uw_hadoop_aglorithms_spark.operators import similarity as sim
+
+    prefix = f"stress_ivfpq_{os.getpid()}"
+    try:
+        sim.save_pq_index(spark, d, prefix)
+        return sim.ann_ivfpq_topk(spark, d, prefix).localCheckpoint()
+    finally:
+        for t in (f"{prefix}_pqcodes", f"{prefix}_centroids", f"{prefix}_pqcb"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def stress_stream_ingest(spark, d):
     """Round-6 streaming near-dup ingest at 10×: the 50k-doc replica
     corpus (9 exact twins per doc — LSH buckets maximally hot) drains
@@ -344,6 +359,7 @@ def run(spark) -> dict:
         # proven against a 10× corpus) and the streaming near-dup
         # ingest (8 real micro-batches, twins split across batches)
         ("ann_index_lifecycle", stress_ann_index),
+        ("ivfpq_index", stress_ivfpq_index),
         ("stream_neardup_ingest", stress_stream_ingest),
     ):
         before = rss_mb()
