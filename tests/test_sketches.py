@@ -34,3 +34,97 @@ def test_cms_estimate_bounded_by_total_mass(spark):
     )
     # any single-bucket sum is at most the whole stream's mass
     assert all(r.cms_count <= total for r in rows)
+
+
+# --------------------------------------------------------------------------
+# engine-neutral HLL (round 6): mergeability, rollup persistence, bounds
+# --------------------------------------------------------------------------
+
+def _events(spark):
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    return Catalog(spark, SF_TEST).events
+
+
+def _reg_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_hll_register_ranges(spark):
+    regs = sketches.hll_day_registers(_events(spark), "user_id", ("event_type",))
+    rows = regs.collect()
+    assert rows
+    assert all(0 <= r.b < sketches.HLL_M for r in rows)
+    assert all(1 <= r.rho <= 31 for r in rows)
+
+
+def test_hll_merge_is_a_true_sketch_union(spark):
+    """max-merging registers built over ANY partition of the data equals
+    the registers built over the whole — the property that makes the
+    per-day rollup (and any distributed partial aggregation) exact."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark)
+    whole = sketches.hll_merge(
+        sketches.hll_day_registers(ev, "user_id", ("event_type",)),
+        ("event_type",),
+    )
+    halves = [
+        sketches.hll_day_registers(
+            ev.filter(F.col("event_id") % 2 == p), "user_id", ("event_type",)
+        )
+        for p in (0, 1)
+    ]
+    merged = sketches.hll_merge(halves[0].unionAll(halves[1]), ("event_type",))
+    assert _reg_set(merged) == _reg_set(whole)
+
+
+def test_hll_rollup_persists_and_answers_range_queries(spark, tmp_path):
+    """The deployment shape: per-day register rows persisted as parquet;
+    a later session answers a date-range distinct-count from the rollup
+    alone, identically to sketching the range's raw events."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark)
+    path = str(tmp_path / "hll_rollup")
+    sketches.hll_day_registers(ev, "user_id", ("event_type",)).write.parquet(path)
+
+    stored = spark.read.parquet(path)
+    days = sorted(r.dt for r in stored.select("dt").distinct().collect())
+    lo, hi = days[0], days[len(days) // 2]
+    from_rollup = sketches.hll_estimate(
+        sketches.hll_merge(stored.filter(F.col("dt").between(lo, hi)), ()), ()
+    ).collect()[0]
+    direct = sketches.hll_estimate(
+        sketches.hll_merge(
+            sketches.hll_day_registers(
+                ev.filter(F.date_format("ts", "yyyy-MM-dd").between(lo, hi)),
+                "user_id",
+                ("event_type",),
+            ),
+            (),
+        ),
+        (),
+    ).collect()[0]
+    assert tuple(from_rollup) == tuple(direct)
+
+
+def test_hll_suite_certs_hold(spark):
+    """Every registered HLL row's 20% bound cert must be TRUE on the
+    fixture (the oracle only proves both engines AGREE on the boolean;
+    this pins that the boolean is the passing one). Exercises both
+    estimator regimes: users sit in linear counting, event_ids in the
+    raw-estimate branch (asserted via v_empty)."""
+    from uw_hadoop_aglorithms_spark.operators import suites
+
+    rows = suites.distinct_users(spark, SF_TEST).collect()
+    by_variant = {}
+    for r in rows:
+        by_variant.setdefault(r.variant, []).append(r)
+    assert all(r.cert for r in rows)
+    assert {v for v in by_variant} == {
+        "exact", "hll_users", "hll_events", "hll_regsum", "hll_rollup"
+    }
+    # regime split on the fixture: few users -> empty buckets remain
+    assert all(r.aux > 0 for r in by_variant["hll_users"])
+    assert {r.k for r in by_variant["hll_rollup"]} == {"all_days", "first_week"}

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.functions.hashing import (
+    P as P_HASH,
+    hash_params,
     polyhash,
     polyhash_sql,
     uhash,
@@ -135,3 +137,213 @@ def _cms_oracle() -> str:
 SKETCH_ORACLES: dict[str, str] = {
     "cms_token_counts": _cms_oracle(),
 }
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog with ENGINE-NEUTRAL registers (mergeable distinct rollup)
+# --------------------------------------------------------------------------
+# Spark's own approx_count_distinct is an opaque JVM sketch: it can be
+# error-bound-certified (relational.distinct_users_certified) but never
+# value-replayed by another engine, and its binary form cannot be stored
+# as a queryable rollup table. This HLL is built from the same portable
+# hash family as the CMS above, so:
+#
+#   1. DuckDB reproduces the EXACT register table, estimate and all —
+#      the approximate value itself sits under the value-hash contract;
+#   2. registers are plain (group, dt, bucket, rho) BIGINT rows: a
+#      per-day rollup table persists as parquet, and ANY date range's
+#      distinct count is answered by max-merging ~days×M rows instead
+#      of rescanning the events — the datasketches pattern a 100 TB
+#      lake actually deploys (merge is max(): associative, commutative,
+#      idempotent, so partial aggregation and re-partitioning are free).
+#
+# Determinism over floats: every step is int64 arithmetic. The raw
+# estimate alpha*M^2/sum(2^-rho) is computed as floor(HLL_C / S) where
+# HLL_C = round(alpha*M^2*2^31) < 2^53 and S = sum(2^(31-rho)) — the
+# division is an exact integer-multiple division expressible portably as
+# round((C - C % S) / S) (both operands < 2^53, so the double division
+# is exact). Linear counting M*ln(M/V) is a 256-entry CASE lookup whose
+# values were computed ONCE in Python at module import — no runtime
+# ln(), hence no libm 1-ulp drift between the JVM and DuckDB.
+#
+# Hash mixing: the affine family alone is too structured for HLL — for
+# consecutive integer keys ((k*A+B) % P) % M walks an arithmetic
+# progression mod M (measured: 15 distinct users landed in 4 of 64
+# buckets, estimate 4.1). One squaring mod P between the affines breaks
+# the linearity (t*t < 2^60, safe in int64), and the bucket comes from
+# the HIGH bits (v*M // P) rather than a modulus. Measured accuracy over
+# consecutive and random key sets at n = 5..100k: worst |err| = 13.6%
+# ≈ 2 sigma for M=256 (sigma = 1.04/sqrt(M) = 6.5%); the certified
+# bound is 20%.
+
+HLL_M = 256
+HLL_SEED_MIX, HLL_SEED_B, HLL_SEED_RHO = 601, 602, 603
+#: v < P < 2^30, so bit_length(v) <= 30 and rho = 31 - bit_length in [1, 31].
+HLL_RHO_BITS = 30
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+#: integer numerator of the raw estimate; < 2^53 so double math is exact.
+HLL_C = round(HLL_ALPHA * HLL_M * HLL_M * (1 << 31))
+#: linear-counting crossover (Flajolet et al. 2007): est <= 2.5*M.
+HLL_LC_THRESH = round(2.5 * HLL_M)
+#: certified relative error bound (percent) — ~3 sigma for M=256.
+HLL_BOUND_PCT = 20
+
+
+def _hll_exact_div(num: str, den: str) -> str:
+    """ANSI fragment: exact floor(num/den) for integer num < 2^53.
+
+    (num - num % den) is an exact multiple of den and fits in a double,
+    so the division is exact and round() is the identity on it. Works
+    identically in Spark SQL and DuckDB — no engine-specific DIV."""
+    return f"round((({num}) - (({num}) % ({den}))) / ({den}))"
+
+
+def _hll_bitlen_case(expr: str) -> str:
+    """bit_length of a value in [0, 2^30) as a 30-branch CASE (shared
+    ANSI text — both engines evaluate it in exact integer arithmetic)."""
+    branches = " ".join(
+        f"WHEN ({expr}) >= {1 << (k - 1)} THEN {k}"
+        for k in range(HLL_RHO_BITS, 0, -1)
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+def _hll_pow2_case(expr: str) -> str:
+    """rho in [1,31] -> 2^(31-rho) without shift operators (portable)."""
+    branches = " ".join(f"WHEN {r} THEN {1 << (31 - r)}" for r in range(1, 32))
+    return f"CASE ({expr}) {branches} END"
+
+
+def _hll_lc_case(expr: str) -> str:
+    """V (empty buckets, 1..M) -> round(M*ln(M/V)): Python-precomputed
+    lookup, so neither engine calls ln() at query time."""
+    import math as _math
+
+    branches = " ".join(
+        f"WHEN {v} THEN {round(HLL_M * _math.log(HLL_M / v))}"
+        for v in range(1, HLL_M + 1)
+    )
+    return f"CASE ({expr}) {branches} END"
+
+
+def _hll_mix_sql(expr: str) -> str:
+    """Scrambled int64 in [0, P): affine, square mod P, for any int key
+    (negative keys square to non-negative — same truncated % both
+    engines)."""
+    a, b = hash_params(HLL_SEED_MIX)
+    t = f"(((({expr}) % {P_HASH}) * {a} + {b}) % {P_HASH})"
+    return f"(({t} * {t}) % {P_HASH})"
+
+
+def hll_bucket_sql(expr: str) -> str:
+    """Register index in [0, M): high bits of an affine of the mix."""
+    a, b = hash_params(HLL_SEED_B)
+    v = f"(({_hll_mix_sql(expr)} * {a} + {b}) % {P_HASH})"
+    return f"CAST({_hll_exact_div(f'({v} * {HLL_M})', str(P_HASH))} AS INT)"
+
+
+def hll_rho_sql(expr: str) -> str:
+    """Geometric rank in [1, 31]: leading zeros of an independent affine
+    of the mix, within its 30-bit range."""
+    a, b = hash_params(HLL_SEED_RHO)
+    v = f"(({_hll_mix_sql(expr)} * {a} + {b}) % {P_HASH})"
+    return f"({HLL_RHO_BITS} + 1 - {_hll_bitlen_case(v)})"
+
+
+def hll_day_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(group..., dt, b, rho) — the persistable per-day rollup rows.
+
+    One scan, one groupBy on (group, dt, b): at most |groups|*days*M
+    rows regardless of corpus size. The mix/bucket/rho fragments are
+    inline per-row int64 arithmetic inside whole-stage codegen — at
+    100 TB the cost is the scan itself. Merging any subset of days (or
+    groups) is groupBy(...).max(rho): max is associative/commutative/
+    idempotent, so this is the canonical mergeable-sketch rollup."""
+    g = list(group_cols)
+    return (
+        df.selectExpr(
+            *g,
+            f"date_format({ts_col}, 'yyyy-MM-dd') AS dt",
+            f"{hll_bucket_sql(key_col)} AS b",
+            f"{hll_rho_sql(key_col)} AS rho",
+        )
+        .groupBy(*g, "dt", "b")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(regs: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge register rows down to (group..., b, rho) — max per bucket."""
+    g = list(group_cols)
+    return regs.groupBy(*g, "b").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(merged: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merged registers -> (group..., v_empty, hll_est, sum_rho, sum_w).
+
+    hll_est is the HLL++-style two-regime estimate (raw / linear
+    counting), computed entirely in exact int64 arithmetic (module
+    docstring); sum_rho / sum_w are order-insensitive integer register
+    checksums pinning EXACT sketch equality against the oracle."""
+    g = list(group_cols)
+    agg = merged.groupBy(*g).agg(
+        F.count("*").alias("nb"),
+        F.expr(f"sum({_hll_pow2_case('rho')})").alias("sp"),
+        F.expr("sum(rho)").alias("sum_rho"),
+        F.expr("sum((b + 1) * rho)").alias("sum_w"),
+    )
+    s = f"(({HLL_M} - nb) * {1 << 31} + sp)"
+    raw = f"CAST({_hll_exact_div(str(HLL_C), s)} AS BIGINT)"
+    v = f"({HLL_M} - nb)"
+    est = (
+        f"CASE WHEN {v} > 0 AND {raw} <= {HLL_LC_THRESH} "
+        f"THEN CAST({_hll_lc_case(v)} AS BIGINT) ELSE {raw} END"
+    )
+    return agg.selectExpr(
+        *g,
+        f"CAST({v} AS BIGINT) AS v_empty",
+        f"{est} AS hll_est",
+        "sum_rho",
+        "sum_w",
+    )
+
+
+def hll_oracle_cte(key_expr: str, group_expr: str, source: str = "events") -> str:
+    """DuckDB CTE body replaying the identical sketch for one grouping:
+    SELECT {group} AS g, dt, b, rho registers (pre-merge, per day)."""
+    return f"""
+        SELECT {group_expr} AS g, strftime(ts, '%Y-%m-%d') AS dt,
+               {hll_bucket_sql(key_expr)} AS b,
+               max({hll_rho_sql(key_expr)}) AS rho
+        FROM {source}
+        GROUP BY 1, 2, 3
+    """
+
+
+def hll_oracle_estimate(regs_cte: str, where: str = "TRUE") -> str:
+    """DuckDB fragment: merged estimate over a register CTE filtered by
+    `where` — mirrors hll_merge + hll_estimate exactly."""
+    s = f"(({HLL_M} - nb) * {1 << 31} + sp)"
+    raw = f"CAST({_hll_exact_div(str(HLL_C), s)} AS BIGINT)"
+    v = f"({HLL_M} - nb)"
+    est = (
+        f"CASE WHEN {v} > 0 AND {raw} <= {HLL_LC_THRESH} "
+        f"THEN CAST({_hll_lc_case(v)} AS BIGINT) ELSE {raw} END"
+    )
+    return f"""
+        SELECT g, CAST({v} AS BIGINT) AS v_empty, {est} AS hll_est,
+               sum_rho, sum_w
+        FROM (
+            SELECT g, count(*) AS nb, sum({_hll_pow2_case('rho')}) AS sp,
+                   sum(rho) AS sum_rho, sum((b + 1) * rho) AS sum_w
+            FROM (
+                SELECT g, b, max(rho) AS rho FROM ({regs_cte})
+                WHERE {where} GROUP BY 1, 2
+            ) GROUP BY g
+        )
+    """

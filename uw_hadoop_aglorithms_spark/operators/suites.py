@@ -30,6 +30,7 @@ from uw_hadoop_aglorithms_spark.operators import (
     pipeline,
     relational,
     similarity,
+    sketches,
     text,
     textstats,
 )
@@ -63,21 +64,117 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # relational: exact + HLL distinct counts in ONE two-level aggregation.
-# The HLL sketch has no cross-engine oracle, but its ERROR BOUND does:
-# the plan computes both forms and emits a boolean bound check the
+# The built-in HLL sketch has no cross-engine oracle, but its ERROR BOUND
+# does: the plan computes both forms and emits a boolean bound check the
 # DuckDB oracle asserts as TRUE — the approximate operator becomes
 # hash-verifiable without the oracle replaying the sketch. The round-3
 # form mixed countDistinct with plain aggregates in one agg, which Spark
 # plans through a row-multiplying Expand (6.8× regression vs r1); the
 # relational module's two-level form avoids it.
+#
+# Round 6 adds the ENGINE-NEUTRAL mergeable HLL (operators/sketches.py):
+# portable-hash registers whose per-day rollup rows persist as a
+# queryable table, max-merged for any date range or group union. Unlike
+# the built-in sketch, its registers, checksums, AND estimate are
+# replayed exactly by DuckDB — the approximate VALUE itself is under the
+# value-hash contract, not just a bound flag.
 # --------------------------------------------------------------------------
 
 def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-level distinct count + HLL(rsd=2%) per event_type with
-    the in-plan `approx_within_5pct` certificate — composes
-    relational.distinct_users_certified (HLL is deterministic for fixed
-    data, so the flag is stable)."""
-    return relational.distinct_users_certified(spark, sf_dir)
+    """Distinct-count family, one tagged result:
+
+    - 'exact'      per-type two-level exact count + built-in-HLL 5% cert
+                   (relational.distinct_users_certified);
+    - 'hll_users'  per-type engine-neutral HLL estimate of distinct
+                   users vs the exact count, 20% cert (~3 sigma, M=256);
+    - 'hll_events' same sketch over event_id (raw-estimate regime, vs
+                   the users sketch's linear-counting regime — both
+                   branches of the estimator stay exercised);
+    - 'hll_regsum' per-type integer register checksums (sum_rho and the
+                   bucket-weighted sum) pinning EXACT sketch equality
+                   against the oracle replay;
+    - 'hll_rollup' the mergeable-rollup capability: per-day register
+                   rows max-merged across types+days ('all_days') and
+                   across a dt-filtered day subset ('first_week') — the
+                   persisted-rollup answers range-distinct queries
+                   without rescanning events (sketches.hll_day_registers
+                   docstring; persistence round-trip in
+                   tests/test_sketches.py).
+
+    Everything is in-plan DataFrame composition; the register frames are
+    localCheckpointed once (<= |types| x days x 256 rows — bounded by
+    construction, not by corpus size) and fanned out to the merge
+    consumers."""
+    ev = Catalog(spark, sf_dir).events
+    base = relational.distinct_users_certified(spark, sf_dir)
+
+    exact = base.selectExpr(
+        "'exact' AS variant", "event_type AS k", "n_users AS n",
+        "n_events AS v", "CAST(NULL AS BIGINT) AS aux",
+        "approx_within_5pct AS cert",
+    )
+
+    regs_u = sketches.hll_day_registers(
+        ev, "user_id", ("event_type",)
+    ).localCheckpoint(eager=False)
+    regs_e = sketches.hll_day_registers(ev, "event_id", ("event_type",))
+
+    bound = "(5 * abs(hll_est - n) <= n) AS cert"  # |est-n| <= 20% of n
+
+    mu = sketches.hll_estimate(
+        sketches.hll_merge(regs_u, ("event_type",)), ("event_type",)
+    )
+    ex_u = base.select("event_type", F.col("n_users").alias("n"))
+    hll_users = mu.join(ex_u, "event_type").selectExpr(
+        "'hll_users' AS variant", "event_type AS k", "n",
+        "hll_est AS v", "v_empty AS aux", bound,
+    )
+    regsum = mu.selectExpr(
+        "'hll_regsum' AS variant", "event_type AS k", "sum_rho AS n",
+        "sum_w AS v", "CAST(NULL AS BIGINT) AS aux", "TRUE AS cert",
+    )
+
+    me = sketches.hll_estimate(
+        sketches.hll_merge(regs_e, ("event_type",)), ("event_type",)
+    )
+    ex_e = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n")
+    )
+    hll_events = me.join(ex_e, "event_type").selectExpr(
+        "'hll_events' AS variant", "event_type AS k", "n",
+        "hll_est AS v", "v_empty AS aux", bound,
+    )
+
+    # rollup merges: across ALL types+days, and across a day subset.
+    # The week bound rides the plan as a broadcast 1-row frame (no
+    # driver collect); exact sides filter events by the same dt string.
+    wb = ev.agg(
+        F.date_format(F.date_add(F.to_date(F.min("ts")), 6), "yyyy-MM-dd")
+        .alias("_w1")
+    )
+    all_est = sketches.hll_estimate(sketches.hll_merge(regs_u, ()), ())
+    ex_all = ev.agg(F.countDistinct("user_id").alias("n"))
+    roll_all = all_est.crossJoin(F.broadcast(ex_all)).selectExpr(
+        "'hll_rollup' AS variant", "'all_days' AS k", "n",
+        "hll_est AS v", "v_empty AS aux", bound,
+    )
+    regs_w = regs_u.crossJoin(F.broadcast(wb)).filter(F.col("dt") <= F.col("_w1"))
+    w_est = sketches.hll_estimate(sketches.hll_merge(regs_w, ()), ())
+    ex_w = (
+        ev.crossJoin(F.broadcast(wb))
+        .filter(F.date_format("ts", "yyyy-MM-dd") <= F.col("_w1"))
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    roll_week = w_est.crossJoin(F.broadcast(ex_w)).selectExpr(
+        "'hll_rollup' AS variant", "'first_week' AS k", "n",
+        "hll_est AS v", "v_empty AS aux", bound,
+    )
+
+    return (
+        exact.unionAll(hll_users).unionAll(hll_events).unionAll(regsum)
+        .unionAll(roll_all).unionAll(roll_week)
+        .orderBy("variant", "k")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1287,6 +1384,62 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle composition (DuckDB side of every suite above)
 # --------------------------------------------------------------------------
 
+def _distinct_users_oracle() -> str:
+    """DuckDB replay of the whole distinct-count family: exact counts,
+    the engine-neutral HLL registers (generated portable-hash fragments
+    from operators/sketches.py), the two-regime integer-exact estimate,
+    the register checksums, and the dt-filtered rollup merges. The
+    'exact' rows' built-in-HLL 5% cert is asserted TRUE (the oracle
+    cannot replay Spark's opaque sketch; 20% certs on the neutral
+    sketch ARE replayed, as exact integer comparisons)."""
+    regs_u = sketches.hll_oracle_cte("user_id", "event_type")
+    regs_e = sketches.hll_oracle_cte("event_id", "event_type")
+    regs_all = sketches.hll_oracle_cte("user_id", "'ALL'")
+    bound = "(5 * abs(e.hll_est - x.n) <= x.n) AS cert"
+    est_u = sketches.hll_oracle_estimate("SELECT * FROM regs_u")
+    est_e = sketches.hll_oracle_estimate("SELECT * FROM regs_e")
+    est_all = sketches.hll_oracle_estimate("SELECT * FROM regs_all")
+    est_w = sketches.hll_oracle_estimate(
+        "SELECT * FROM regs_all", "dt <= (SELECT d FROM w1)"
+    )
+    return f"""
+        WITH regs_u AS ({regs_u}),
+             regs_e AS ({regs_e}),
+             regs_all AS ({regs_all}),
+             w1 AS (SELECT strftime(CAST(min(ts) AS DATE) + 6, '%Y-%m-%d') AS d
+                    FROM events)
+        SELECT 'exact' AS variant, event_type AS k,
+               count(DISTINCT user_id) AS n, count(*) AS v,
+               CAST(NULL AS BIGINT) AS aux, TRUE AS cert
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'hll_users', e.g, x.n, e.hll_est, e.v_empty, {bound}
+        FROM ({est_u}) e
+        JOIN (SELECT event_type AS g, count(DISTINCT user_id) AS n
+              FROM events GROUP BY 1) x USING (g)
+        UNION ALL
+        SELECT 'hll_events', e.g, x.n, e.hll_est, e.v_empty, {bound}
+        FROM ({est_e}) e
+        JOIN (SELECT event_type AS g, count(DISTINCT event_id) AS n
+              FROM events GROUP BY 1) x USING (g)
+        UNION ALL
+        SELECT 'hll_regsum', g, sum_rho, sum_w, CAST(NULL AS BIGINT), TRUE
+        FROM ({est_u})
+        UNION ALL
+        SELECT 'hll_rollup', 'all_days', x.n, e.hll_est, e.v_empty, {bound}
+        FROM ({est_all}) e
+        JOIN (SELECT 'ALL' AS g, count(DISTINCT user_id) AS n FROM events) x
+          USING (g)
+        UNION ALL
+        SELECT 'hll_rollup', 'first_week', x.n, e.hll_est, e.v_empty, {bound}
+        FROM ({est_w}) e
+        JOIN (SELECT 'ALL' AS g, count(DISTINCT user_id) AS n FROM events
+              WHERE strftime(ts, '%Y-%m-%d') <= (SELECT d FROM w1)) x
+          USING (g)
+        ORDER BY variant, k
+    """
+
+
 def _suite_oracles() -> dict[str, str]:
     from uw_hadoop_aglorithms_spark.operators.graph import GRAPH_ORACLES
     from uw_hadoop_aglorithms_spark.operators.graphstats import GRAPHSTATS_ORACLES
@@ -1377,11 +1530,7 @@ def _suite_oracles() -> dict[str, str]:
             _wrap("semi", RELATIONAL_ORACLES["semi_join"]),
             _wrap("anti", RELATIONAL_ORACLES["anti_join"]),
         ),
-        "distinct_users": """
-            SELECT event_type, count(DISTINCT user_id) AS n_users,
-                   count(*) AS n_events, TRUE AS approx_within_5pct
-            FROM events GROUP BY event_type ORDER BY event_type
-        """,
+        "distinct_users": _distinct_users_oracle(),
         "word_count": _u(
             _wrap("all", TEXT_ORACLES["word_count"]),
             _wrap("min100", TEXT_ORACLES["word_count_having"]),
