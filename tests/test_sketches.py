@@ -128,3 +128,24 @@ def test_hll_suite_certs_hold(spark):
     # regime split on the fixture: few users -> empty buckets remain
     assert all(r.aux > 0 for r in by_variant["hll_users"])
     assert {r.k for r in by_variant["hll_rollup"]} == {"all_days", "first_week"}
+
+
+def test_hll_exact_division_identity_property():
+    """The portability cornerstone: round((C - C%S)/S) computed in IEEE
+    doubles equals C//S for every reachable S (C < 2^53 guarantees both
+    operands are exactly representable and the division of an exact
+    multiple is exact). Checked over the S extremes and a dense sample —
+    in pure Python floats, which follow the same IEEE-754 semantics both
+    engines use."""
+    import random
+
+    c = sketches.HLL_C
+    assert c < 2**53
+    rng = random.Random(6)
+    s_values = (
+        [sketches.HLL_M, sketches.HLL_M * (1 << 31)]  # all-saturated / empty
+        + [rng.randrange(256, 256 * (1 << 31)) for _ in range(20000)]
+    )
+    for s in s_values:
+        exact = (c - (c % s)) / s  # the shared ANSI fragment, in doubles
+        assert exact == c // s, (s, exact, c // s)

@@ -104,7 +104,10 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is in-plan DataFrame composition; the register frames are
     localCheckpointed once (<= |types| x days x 256 rows — bounded by
     construction, not by corpus size) and fanned out to the merge
-    consumers."""
+    consumers. The CAPABILITY costs one events scan (the register
+    build); the additional scans here are the verification's exact
+    sides (count-distinct ground truths per grouping), which a
+    deployment doesn't run — it persists the rollup and queries it."""
     ev = Catalog(spark, sf_dir).events
     base = relational.distinct_users_certified(spark, sf_dir)
 
@@ -119,7 +122,10 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     regs_e = sketches.hll_day_registers(ev, "event_id", ("event_type",))
 
-    bound = "(5 * abs(hll_est - n) <= n) AS cert"  # |est-n| <= 20% of n
+    # |est - n| <= HLL_BOUND_PCT% of n, as an exact integer comparison
+    bound = (
+        f"({100 // sketches.HLL_BOUND_PCT} * abs(hll_est - n) <= n) AS cert"
+    )
 
     mu = sketches.hll_estimate(
         sketches.hll_merge(regs_u, ("event_type",)), ("event_type",)
@@ -1395,7 +1401,10 @@ def _distinct_users_oracle() -> str:
     regs_u = sketches.hll_oracle_cte("user_id", "event_type")
     regs_e = sketches.hll_oracle_cte("event_id", "event_type")
     regs_all = sketches.hll_oracle_cte("user_id", "'ALL'")
-    bound = "(5 * abs(e.hll_est - x.n) <= x.n) AS cert"
+    bound = (
+        f"({100 // sketches.HLL_BOUND_PCT} * abs(e.hll_est - x.n) <= x.n)"
+        " AS cert"
+    )
     est_u = sketches.hll_oracle_estimate("SELECT * FROM regs_u")
     est_e = sketches.hll_oracle_estimate("SELECT * FROM regs_e")
     est_all = sketches.hll_oracle_estimate("SELECT * FROM regs_all")
