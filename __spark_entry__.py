@@ -104,8 +104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n-gram Jaccard baseline + MinHash-LSH + SimHash + embedding
         # cosine, one tagged pair list
         "neardup_pairs": suites.neardup_pairs,
-        # connected components over the near-dup pair graph
-        "dedup_clusters": dedup.dedup_clusters,
+        # connected components over the near-dup pair graph + canonical
+        # selection (round 6): keep = argmax quality per cluster, ties
+        # toward min doc_id — the survivor-decision step of the dedup
+        # pipeline, value-hashed including the quality argmax window
+        "dedup_clusters": dedup.canonical_per_cluster,
         # test-set decontamination: token-8-gram overlap vs held-out docs
         # — exact index semi-join AND the broadcast Bloom-bitmap scale
         # mechanism, both hash-checked (FPs are deterministic)

@@ -882,3 +882,25 @@ def test_span_island_fold_matches_reference_on_random_starts(spark):
         assert r.sp_spans == len(spans), i
         assert r.sp_dup_tokens == len(covered), i
         assert r.sp_kept_hash == ph(kept), i
+
+
+def test_canonical_per_cluster_selection(spark):
+    """The survivor-decision contract: every cluster keeps exactly one
+    member; the kept member attains the cluster's max quality (ties
+    resolved toward min doc_id); the listed doc set is exactly the
+    clustered set."""
+    rows = dedup.canonical_per_cluster(spark, SF_TEST).collect()
+    assert rows
+    clustered = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, SF_TEST).collect()}
+    assert {r.doc_id for r in rows} == set(clustered)
+    by_cluster = {}
+    for r in rows:
+        assert clustered[r.doc_id] == r.cluster_id
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [r for r in members if r.keep]
+        assert len(kept) == 1, cid
+        best_q = max(r.quality for r in members)
+        assert kept[0].quality == best_q
+        ties = sorted(r.doc_id for r in members if r.quality == best_q)
+        assert kept[0].doc_id == ties[0]

@@ -578,6 +578,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster, KEEP the
+    member with the highest quality score (textstats.quality_score),
+    ties broken toward the smallest doc_id — the decision step a dedup
+    pipeline actually needs (cluster ids alone don't curate a corpus;
+    something must pick the survivor, and "keep the best copy" beats
+    dedup_clusters' min-id convention when near-dups differ in quality,
+    e.g. a clean article vs its boilerplate-wrapped mirror).
+
+    Output: (doc_id, cluster_id, quality, keep) for every CLUSTERED doc
+    — docs in no cluster are implicitly kept and not listed, so
+    downstream curation is an anti-join on keep = FALSE ids.
+
+    Scale: the cluster table is pair-graph-sized (near-dup docs only —
+    tiny next to the corpus), quality is a map-side scan joined on
+    doc_id, and the argmax window partitions by cluster_id (bounded
+    groups). No corpus-sized shuffle beyond the quality join's own key
+    exchange. Reference: no analog (its dedup ends at pair emission);
+    selection policy follows the SemDeDup/near-dup-curation literature
+    (keep-one-per-group with a quality criterion).
+    """
+    from pyspark.sql import Window
+
+    from uw_hadoop_aglorithms_spark.operators.textstats import quality_score
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_col() -> F.Column:
     """Aggregate exprs folding per-shingle hash bits into a signature."""
     bit_sums = [

@@ -1694,6 +1694,18 @@ DEDUP_ORACLES["winnow_dup_pairs"] = _winnow_pairs_sql()
 DEDUP_ORACLES["span_dedup"] = _span_dedup_sql()
 DEDUP_ORACLES["semantic_dedup_pairs"] = _semantic_dedup_sql()
 DEDUP_ORACLES["semantic_dedup_scaled"] = _semantic_dedup_scaled_sql()
+# canonical selection (dedup.canonical_per_cluster): the reachability
+# closure joined with the quality oracle; keep = argmax quality per
+# cluster, ties toward min doc_id — replayed as the identical window
+DEDUP_ORACLES["canonical_per_cluster"] = f"""
+    WITH cl AS ({DEDUP_ORACLES["dedup_clusters"]}),
+    q AS ({TEXTSTATS_ORACLES["quality_score"]})
+    SELECT cl.doc_id, cl.cluster_id, q.quality,
+           (row_number() OVER (PARTITION BY cl.cluster_id
+                               ORDER BY q.quality DESC, cl.doc_id) = 1) AS keep
+    FROM cl JOIN q USING (doc_id)
+    ORDER BY cl.doc_id
+"""
 
 
 def all_oracles() -> dict[str, str]:
@@ -1730,4 +1742,8 @@ def all_oracles() -> dict[str, str]:
     for key in SUBSUMED:
         merged.pop(key, None)
     merged.update(SUITE_ORACLES)
+    # round 6: the registered dedup_clusters key carries canonical
+    # selection on top of the closure (dedup.canonical_per_cluster);
+    # the bare-closure oracle stays addressable for unit tests
+    merged["dedup_clusters"] = merged.pop("canonical_per_cluster")
     return merged
