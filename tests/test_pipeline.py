@@ -107,21 +107,32 @@ def test_pack_sequences_is_a_valid_packing(spark):
 
 
 def test_corpus_curation_composes_dedup_and_quality(spark):
-    """Curation counts must equal the intersection of survivor and
-    above-threshold sets computed from the component operators."""
-    from uw_hadoop_aglorithms_spark.operators.dedup import exact_dedup
+    """Curation counts must equal the conjunction of the component
+    operators' decisions: exact-dedup survivors, minus near-dup
+    non-canonical members (round 6), intersected with the
+    above-threshold quality set."""
+    from uw_hadoop_aglorithms_spark.operators.dedup import (
+        canonical_per_cluster,
+        exact_dedup,
+    )
     from uw_hadoop_aglorithms_spark.operators.textstats import quality_score
 
     survivors = {r.doc_id for r in exact_dedup(spark, SF_TEST).collect()}
+    nd_drops = {
+        r.doc_id
+        for r in canonical_per_cluster(spark, SF_TEST).collect()
+        if not r.keep
+    }
     good = {
         r.doc_id
         for r in quality_score(spark, SF_TEST).collect()
         if r.quality >= pipeline.CURATION_MIN_QUALITY
     }
-    expect = len(survivors & good)
+    expect = len((survivors - nd_drops) & good)
     got = sum(r.n_docs for r in pipeline.corpus_curation(spark, SF_TEST).collect())
     assert got == expect
     assert 0 < got
+    assert nd_drops, "fixture should exercise the near-dup drop leg"
 
 
 def test_doc_chunks_cover_every_token(spark):

@@ -290,27 +290,47 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation report: exact-dedup survivors that clear the
-    quality bar, summarized per (lang, source) — the composition step a
-    training-data pipeline runs before packing: dedup → quality filter →
-    mix report. Built by COMPOSING the registered operators (exact_dedup
-    supplies survivors, quality_score supplies scores), so the pipeline
-    is the same plan fragments the driver already verifies individually.
+    """End-to-end curation report: the FULL dedup stack composed with the
+    quality bar, summarized per (lang, source) — the pipeline a
+    training-data run executes before packing:
+
+        exact dedup (keep min-id per normalized text)
+        ∧ near-dup canonical selection (keep argmax quality per
+          MinHash+LSH cluster — dedup.canonical_per_cluster, round 6)
+        ∧ quality >= CURATION_MIN_QUALITY
+
+    Built by COMPOSING the registered operators (exact_dedup,
+    canonical_per_cluster, quality_score), so the pipeline is the same
+    plan fragments the driver already verifies individually. The
+    near-dup leg is an anti-join on keep = FALSE ids: unclustered docs
+    pass untouched. Composition is conjunctive by design — a cluster's
+    canonical doc can still fail the quality bar (then the whole group
+    is dropped: its other members were worse copies of a bad doc).
 
     Scale: survivor membership joins on doc_id (32-byte digests did the
-    dedup shuffle), quality is map-side arithmetic, and the final
-    aggregate is |langs × sources| groups with map-side partials.
+    exact-dedup shuffle; the near-dup drop list is pair-graph-sized),
+    quality is map-side arithmetic, and the final aggregate is
+    |langs × sources| groups with map-side partials.
     """
-    from uw_hadoop_aglorithms_spark.operators.dedup import exact_dedup
+    from uw_hadoop_aglorithms_spark.operators.dedup import (
+        canonical_per_cluster,
+        exact_dedup,
+    )
     from uw_hadoop_aglorithms_spark.operators.textstats import quality_score
 
     survivors = exact_dedup(spark, sf_dir).select("doc_id")
+    neardup_drops = (
+        canonical_per_cluster(spark, sf_dir)
+        .where(~F.col("keep"))
+        .select("doc_id")
+    )
     quality = quality_score(spark, sf_dir).select("doc_id", "quality")
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", "lang", "source", "n_chars"
     )
     return (
         docs.join(survivors, "doc_id")
+        .join(neardup_drops, "doc_id", "left_anti")
         .join(quality, "doc_id")
         .where(F.col("quality") >= CURATION_MIN_QUALITY)
         .groupBy("lang", "source")
