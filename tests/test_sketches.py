@@ -149,3 +149,56 @@ def test_hll_exact_division_identity_property():
     for s in s_values:
         exact = (c - (c % s)) / s  # the shared ANSI fragment, in doubles
         assert exact == c // s, (s, exact, c // s)
+
+
+def test_hll_rollup_maintenance_follows_lake_mutations(spark, tmp_path):
+    """The lake-lifecycle tie-in: a merge's affected-day list is exactly
+    the rollup refresh set. After an upsert that rewrites some days'
+    rows, refreshing ONLY those rollup partitions must equal a full
+    rebuild from the mutated lake, and the other rollup partitions'
+    files must stay byte-identical (a max-sketch cannot decrement, so
+    day-rebuild is the maintenance contract)."""
+    from pyspark.sql import functions as F
+
+    from uw_hadoop_aglorithms_spark.sources import lake as lake_mod
+
+    ev = _events(spark).select("event_id", "ts", "user_id", "event_type")
+    lake = str(tmp_path / "lake")
+    roll = str(tmp_path / "rollup")
+    lake_mod.write_date_partitioned(ev, lake)
+    sketches.refresh_hll_rollup(spark, lake, roll, "user_id")
+
+    # patch: early-day events get REASSIGNED user ids (same event time,
+    # so the key keeps its day — the merge contract)
+    upd = (
+        ev.filter((F.col("event_id") % 7 == 0) & (F.dayofmonth("ts") <= 5))
+        .withColumn("user_id", F.col("user_id") + 1000)
+    )
+    affected = lake_mod.merge_into_lake(spark, lake, upd)
+    assert affected
+
+    before = lake_mod.snapshot_files(roll)
+    refreshed = sketches.refresh_hll_rollup(
+        spark, lake, roll, "user_id", days=affected
+    )
+    assert refreshed == sorted(affected)
+    after = lake_mod.snapshot_files(roll)
+    changed_parts = {
+        rel.split("/")[0]
+        for rel in set(before) | set(after)
+        if before.get(rel) != after.get(rel)
+    }
+    assert changed_parts <= {f"dt={d}" for d in affected}
+    untouched = [r for r in before if r.split("/")[0] not in changed_parts]
+    assert untouched and all(before[r] == after[r] for r in untouched)
+
+    # surgical refresh == full rebuild from the mutated lake
+    roll2 = str(tmp_path / "rollup_full")
+    sketches.refresh_hll_rollup(spark, lake, roll2, "user_id")
+    got = _reg_set(spark.read.parquet(roll))
+    want = _reg_set(spark.read.parquet(roll2))
+    assert got == want
+    # and the mutation is VISIBLE in the sketch (new ids -> new registers)
+    assert got != _reg_set(
+        sketches.hll_day_registers(ev, "user_id", ("event_type",))
+    )

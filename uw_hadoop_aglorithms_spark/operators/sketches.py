@@ -347,3 +347,47 @@ def hll_oracle_estimate(regs_cte: str, where: str = "TRUE") -> str:
             ) GROUP BY g
         )
     """
+
+
+def refresh_hll_rollup(
+    spark: SparkSession,
+    lake_path: str,
+    rollup_path: str,
+    key_col: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    days: list[str] | None = None,
+) -> list[str]:
+    """Maintain a persisted per-day HLL register rollup alongside a
+    dt-partitioned lake (sources/lake.py), surgically.
+
+    Appends merge into a max-sketch for free, but a lake UPSERT/DELETE
+    replaces rows — and a max cannot be decremented — so the rollup's
+    unit of incremental maintenance is the DAY: rebuild registers for
+    exactly the mutated days (`merge_into_lake` / `delete_from_lake`
+    return that list) and dynamic-partition-overwrite them into the
+    rollup; every other day's rows stay byte-stable (certified in
+    tests/test_sketches.py). With `days=None` the whole rollup is
+    (re)built — the bootstrap path.
+
+    Cost per refresh: scan of the mutated days only (partition-pruned),
+    one bounded groupBy (<= |groups| x |days| x M rows out), one staged
+    overwrite of |days| rollup partitions. At 100 TB a daily merge
+    refreshes one day's registers, and any range-distinct query keeps
+    reading the rollup instead of the lake.
+    """
+    from uw_hadoop_aglorithms_spark.sources.lake import _stage_and_overwrite
+
+    src = spark.read.parquet(lake_path)
+    if days is not None:
+        if not days:
+            return []
+        src = src.filter(F.col("dt").isin(sorted(days)))
+    regs = hll_day_registers(
+        src.drop("dt"), key_col, group_cols
+    )
+    _stage_and_overwrite(spark, regs, rollup_path)
+    return (
+        sorted(days)
+        if days is not None
+        else sorted(r.dt for r in regs.select("dt").distinct().collect())
+    )
