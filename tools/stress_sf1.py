@@ -335,6 +335,11 @@ def run(spark) -> dict:
     for name, fn in (
         ("pagerank_suite", suites.pagerank_suite),
         ("dedup_clusters", dedup.dedup_clusters),
+        # round-6 session addition: the registered key's full form —
+        # canonical selection over the 10× cluster table (9 exact twins
+        # per doc make every cluster ~10 members wide; the quality join
+        # and per-cluster argmax window ride on top of the LP clusters)
+        ("canonical_per_cluster", dedup.canonical_per_cluster),
         ("kmeans_clusters", cluster.kmeans_clusters),
         # round-4 additions: the distributed GD trainer and the
         # winnowing cross-doc match (10 exact twins per doc make every
