@@ -578,7 +578,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+def canonical_per_cluster(
+    spark: SparkSession, sf_dir: str, quality: DataFrame | None = None
+) -> DataFrame:
     """Canonical-document selection: for every near-dup cluster, KEEP the
     member with the highest quality score (textstats.quality_score),
     ties broken toward the smallest doc_id — the decision step a dedup
@@ -586,6 +588,11 @@ def canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     something must pick the survivor, and "keep the best copy" beats
     dedup_clusters' min-id convention when near-dups differ in quality,
     e.g. a clean article vs its boilerplate-wrapped mirror).
+
+    `quality` lets a caller that already computed the per-doc quality
+    frame (doc_id, quality) share it instead of re-tokenizing the
+    corpus (corpus_curation does — it needs the same frame for its
+    report side); None recomputes from textstats.quality_score.
 
     Output: (doc_id, cluster_id, quality, keep) for every CLUSTERED doc
     — docs in no cluster are implicitly kept and not listed, so
@@ -604,7 +611,8 @@ def canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uw_hadoop_aglorithms_spark.operators.textstats import quality_score
 
     clusters = dedup_clusters(spark, sf_dir)
-    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    if quality is None:
+        quality = quality_score(spark, sf_dir).select("doc_id", "quality")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )

@@ -319,12 +319,20 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uw_hadoop_aglorithms_spark.operators.textstats import quality_score
 
     survivors = exact_dedup(spark, sf_dir).select("doc_id")
+    # ONE quality computation feeds both the canonical selection and the
+    # report's threshold/average (localCheckpointed: per-doc rows,
+    # executor-side — the doc_profile stitch pattern; without it the
+    # tokenize subtree executes once per consumer)
+    quality = (
+        quality_score(spark, sf_dir)
+        .select("doc_id", "quality")
+        .localCheckpoint(eager=False)
+    )
     neardup_drops = (
-        canonical_per_cluster(spark, sf_dir)
+        canonical_per_cluster(spark, sf_dir, quality=quality)
         .where(~F.col("keep"))
         .select("doc_id")
     )
-    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", "lang", "source", "n_chars"
     )
