@@ -47,6 +47,10 @@ def _events(spark):
 
 
 def _reg_set(df):
+    from pyspark.sql import functions as F
+
+    if "dt" in df.columns:  # partition inference types dt as DATE
+        df = df.withColumn("dt", F.col("dt").cast("string"))
     return {tuple(r) for r in df.collect()}
 
 
@@ -201,4 +205,51 @@ def test_hll_rollup_maintenance_follows_lake_mutations(spark, tmp_path):
     # and the mutation is VISIBLE in the sketch (new ids -> new registers)
     assert got != _reg_set(
         sketches.hll_day_registers(ev, "user_id", ("event_type",))
+    )
+
+
+def test_hll_rollup_vacates_deleted_days(spark, tmp_path):
+    """GDPR-erasure flow: delete_from_lake vacates a whole day; feeding
+    its returned day list to refresh_hll_rollup must REMOVE that rollup
+    partition (not crash, not leave stale registers counting erased
+    users), while surviving listed days are rebuilt."""
+    from pyspark.sql import functions as F
+
+    from uw_hadoop_aglorithms_spark.sources import lake as lake_mod
+
+    ev = _events(spark).select("event_id", "ts", "user_id", "event_type")
+    lake = str(tmp_path / "lake")
+    roll = str(tmp_path / "rollup")
+    lake_mod.write_date_partitioned(ev, lake)
+    all_days = sketches.refresh_hll_rollup(spark, lake, roll, "user_id")
+    victim = all_days[0]
+
+    kill = (
+        spark.read.parquet(lake)
+        .withColumn("dt", F.col("dt").cast("string"))
+        .filter(
+            (F.col("dt") == victim)
+            | ((F.col("dt") == all_days[1]) & (F.col("event_id") % 3 == 0))
+        )
+        .select("event_id")
+    )
+    affected = lake_mod.delete_from_lake(spark, lake, kill)
+    assert victim in affected and all_days[1] in affected
+
+    refreshed = sketches.refresh_hll_rollup(
+        spark, lake, roll, "user_id", days=affected
+    )
+    assert refreshed == sorted(affected)
+    left = {
+        r.dt
+        for r in spark.read.parquet(roll)
+        .select(F.col("dt").cast("string").alias("dt"))
+        .distinct().collect()
+    }
+    assert victim not in left and all_days[1] in left
+    # and a full rebuild agrees with the surgical state
+    roll2 = str(tmp_path / "rollup_full")
+    sketches.refresh_hll_rollup(spark, lake, roll2, "user_id")
+    assert _reg_set(spark.read.parquet(roll)) == _reg_set(
+        spark.read.parquet(roll2)
     )

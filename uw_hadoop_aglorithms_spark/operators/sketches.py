@@ -283,6 +283,28 @@ def hll_merge(regs: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
     return regs.groupBy(*g, "b").agg(F.max("rho").alias("rho"))
 
 
+def _hll_est_exprs() -> tuple[str, str]:
+    """(v_empty, est) SQL over an aggregate row with columns (nb, sp) —
+    the ONE definition of the two-regime estimator, shared by the Spark
+    plan (hll_estimate) and the DuckDB replay (hll_oracle_estimate) so
+    the cross-engine contract cannot drift between two hand-maintained
+    copies."""
+    s = f"(({HLL_M} - nb) * {1 << 31} + sp)"
+    raw = f"CAST({_hll_exact_div(str(HLL_C), s)} AS BIGINT)"
+    v = f"({HLL_M} - nb)"
+    est = (
+        f"CASE WHEN {v} > 0 AND {raw} <= {HLL_LC_THRESH} "
+        f"THEN CAST({_hll_lc_case(v)} AS BIGINT) ELSE {raw} END"
+    )
+    return v, est
+
+
+def hll_bound_sql(est: str, n: str) -> str:
+    """Integer-exact |est - n| <= HLL_BOUND_PCT% of n — the certificate
+    comparison, one definition for both engine sides."""
+    return f"({100 // HLL_BOUND_PCT} * abs(({est}) - ({n})) <= ({n}))"
+
+
 def hll_estimate(merged: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Merged registers -> (group..., v_empty, hll_est, sum_rho, sum_w).
 
@@ -297,13 +319,7 @@ def hll_estimate(merged: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFra
         F.expr("sum(rho)").alias("sum_rho"),
         F.expr("sum((b + 1) * rho)").alias("sum_w"),
     )
-    s = f"(({HLL_M} - nb) * {1 << 31} + sp)"
-    raw = f"CAST({_hll_exact_div(str(HLL_C), s)} AS BIGINT)"
-    v = f"({HLL_M} - nb)"
-    est = (
-        f"CASE WHEN {v} > 0 AND {raw} <= {HLL_LC_THRESH} "
-        f"THEN CAST({_hll_lc_case(v)} AS BIGINT) ELSE {raw} END"
-    )
+    v, est = _hll_est_exprs()
     return agg.selectExpr(
         *g,
         f"CAST({v} AS BIGINT) AS v_empty",
@@ -327,14 +343,8 @@ def hll_oracle_cte(key_expr: str, group_expr: str, source: str = "events") -> st
 
 def hll_oracle_estimate(regs_cte: str, where: str = "TRUE") -> str:
     """DuckDB fragment: merged estimate over a register CTE filtered by
-    `where` — mirrors hll_merge + hll_estimate exactly."""
-    s = f"(({HLL_M} - nb) * {1 << 31} + sp)"
-    raw = f"CAST({_hll_exact_div(str(HLL_C), s)} AS BIGINT)"
-    v = f"({HLL_M} - nb)"
-    est = (
-        f"CASE WHEN {v} > 0 AND {raw} <= {HLL_LC_THRESH} "
-        f"THEN CAST({_hll_lc_case(v)} AS BIGINT) ELSE {raw} END"
-    )
+    `where` — the SAME _hll_est_exprs the Spark plan evaluates."""
+    v, est = _hll_est_exprs()
     return f"""
         SELECT g, CAST({v} AS BIGINT) AS v_empty, {est} AS hll_est,
                sum_rho, sum_w
@@ -369,25 +379,57 @@ def refresh_hll_rollup(
     tests/test_sketches.py). With `days=None` the whole rollup is
     (re)built — the bootstrap path.
 
-    Cost per refresh: scan of the mutated days only (partition-pruned),
-    one bounded groupBy (<= |groups| x |days| x M rows out), one staged
-    overwrite of |days| rollup partitions. At 100 TB a daily merge
-    refreshes one day's registers, and any range-distinct query keeps
-    reading the rollup instead of the lake.
-    """
-    from uw_hadoop_aglorithms_spark.sources.lake import _stage_and_overwrite
+    A refreshed day the lake no longer has (vacated by
+    `delete_from_lake` — its return list feeds `days` too) VACATES the
+    rollup partition as well: dynamic overwrite cannot write an empty
+    partition, so absent days are removed explicitly, the same pattern
+    delete_from_lake uses on the lake itself. The lake is read via
+    `read_lake` (mergeSchema): a widening merge leaves mixed file
+    schemas, and a plain read would resolve columns from one sampled
+    footer.
 
-    src = spark.read.parquet(lake_path)
-    if days is not None:
-        if not days:
-            return []
-        src = src.filter(F.col("dt").isin(sorted(days)))
+    Cost per refresh: scan of the mutated days only (partition-pruned),
+    one bounded groupBy (<= |groups| x |days| x M rows out — small
+    enough to localCheckpoint, so the present-day probe and the write
+    share one materialization), one staged overwrite of |days| rollup
+    partitions. With `days=None` the whole rollup is replaced outright
+    (a full rebuild must also CLEAR days the lake no longer has, which
+    dynamic overwrite cannot). At 100 TB a daily merge refreshes one
+    day's registers, and any range-distinct query keeps reading the
+    rollup instead of the lake.
+    """
+    import os
+    import shutil
+
+    from uw_hadoop_aglorithms_spark.sources.lake import (
+        _stage_and_overwrite,
+        read_lake,
+    )
+
+    src = read_lake(spark, lake_path)
+    if days is None:
+        regs = hll_day_registers(src.drop("dt"), key_col, group_cols)
+        regs.write.mode("overwrite").partitionBy("dt").parquet(rollup_path)
+        # partition-column inference types dt as DATE; normalize to the
+        # writer's string form (the lake functions' convention)
+        return sorted(
+            r.dt
+            for r in spark.read.parquet(rollup_path)
+            .select(F.col("dt").cast("string").alias("dt"))
+            .distinct().collect()
+        )
+    if not days:
+        return []
+    days = sorted(days)
     regs = hll_day_registers(
-        src.drop("dt"), key_col, group_cols
-    )
-    _stage_and_overwrite(spark, regs, rollup_path)
-    return (
-        sorted(days)
-        if days is not None
-        else sorted(r.dt for r in regs.select("dt").distinct().collect())
-    )
+        src.filter(F.col("dt").isin(days)).drop("dt"), key_col, group_cols
+    ).localCheckpoint(eager=True)
+    present = {r.dt for r in regs.select("dt").distinct().collect()}
+    if present:
+        _stage_and_overwrite(spark, regs, rollup_path)
+    for d in days:
+        if d not in present:
+            shutil.rmtree(
+                os.path.join(rollup_path, f"dt={d}"), ignore_errors=True
+            )
+    return days

@@ -122,10 +122,7 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     regs_e = sketches.hll_day_registers(ev, "event_id", ("event_type",))
 
-    # |est - n| <= HLL_BOUND_PCT% of n, as an exact integer comparison
-    bound = (
-        f"({100 // sketches.HLL_BOUND_PCT} * abs(hll_est - n) <= n) AS cert"
-    )
+    bound = f"{sketches.hll_bound_sql('hll_est', 'n')} AS cert"
 
     mu = sketches.hll_estimate(
         sketches.hll_merge(regs_u, ("event_type",)), ("event_type",)
@@ -1401,10 +1398,7 @@ def _distinct_users_oracle() -> str:
     regs_u = sketches.hll_oracle_cte("user_id", "event_type")
     regs_e = sketches.hll_oracle_cte("event_id", "event_type")
     regs_all = sketches.hll_oracle_cte("user_id", "'ALL'")
-    bound = (
-        f"({100 // sketches.HLL_BOUND_PCT} * abs(e.hll_est - x.n) <= x.n)"
-        " AS cert"
-    )
+    bound = f"{sketches.hll_bound_sql('e.hll_est', 'x.n')} AS cert"
     est_u = sketches.hll_oracle_estimate("SELECT * FROM regs_u")
     est_e = sketches.hll_oracle_estimate("SELECT * FROM regs_e")
     est_all = sketches.hll_oracle_estimate("SELECT * FROM regs_all")

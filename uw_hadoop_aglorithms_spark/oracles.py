@@ -1647,45 +1647,14 @@ TEXTSTATS_ORACLES: dict[str, str] = {
 
 
 # --- curation composition (operators/pipeline.py corpus_curation) -----------
-# Mirrors the quality_score oracle's arithmetic SHAPE exactly (same CTE
-# structure → bit-identical doubles → the threshold filter selects the
-# same rows), composed with the exact_dedup survivor set.
+# Filled AFTER the canonical_per_cluster oracle exists (below): the live
+# SQL composes the exact_dedup, canonical, and quality oracles — one
+# definition each, so the "bit-identical doubles" threshold contract
+# cannot drift between copies.
 
 from uw_hadoop_aglorithms_spark.operators.pipeline import CURATION_MIN_QUALITY
 
-CURATION_ORACLES: dict[str, str] = {
-    "corpus_curation": f"""
-        WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
-        m AS (
-            SELECT doc_id,
-                   len(list_filter(ts, t -> list_contains({_STOP_LIST}, t)))
-                     / len(ts) AS stopword_ratio,
-                   len(list_distinct(ts)) / len(ts) AS unique_ratio,
-                   least(len(ts) / {LEN_SATURATION}, 1.0) AS length_score
-            FROM t
-        ),
-        q AS (
-            SELECT doc_id,
-                   {W_LEN} * length_score + {W_STOP} * (1.0 - stopword_ratio)
-                     + {W_DIV} * unique_ratio AS quality
-            FROM m
-        ),
-        surv AS (
-            SELECT min(doc_id) AS doc_id
-            FROM (SELECT doc_id,
-                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-                  FROM documents)
-            GROUP BY norm
-        )
-        SELECT d.lang, d.source, count(*) AS n_docs,
-               CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
-               round(avg(q.quality), 9) AS avg_quality
-        FROM documents d JOIN surv USING (doc_id) JOIN q USING (doc_id)
-        WHERE q.quality >= {CURATION_MIN_QUALITY}
-        GROUP BY d.lang, d.source
-        ORDER BY d.lang, d.source
-    """,
-}
+CURATION_ORACLES: dict[str, str] = {}
 
 
 # Registered here (after TEXTSTATS_ORACLES exists — the winnow oracle
@@ -1707,32 +1676,16 @@ DEDUP_ORACLES["canonical_per_cluster"] = f"""
     ORDER BY cl.doc_id
 """
 
-# corpus_curation composes the FULL dedup stack (round 6): the base
-# report defined in CURATION_ORACLES gains the near-dup canonical
-# anti-join (keep = FALSE ids dropped) — defined here because the
-# canonical oracle must exist first.
+# corpus_curation composes the FULL dedup stack (round 6) from the
+# component oracles — exact_dedup survivors, canonical keep=FALSE
+# drops, quality threshold — defined here because the canonical oracle
+# must exist first.
 CURATION_ORACLES["corpus_curation"] = f"""
-    WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
-    m AS (
-        SELECT doc_id,
-               len(list_filter(ts, t -> list_contains({_STOP_LIST}, t)))
-                 / len(ts) AS stopword_ratio,
-               len(list_distinct(ts)) / len(ts) AS unique_ratio,
-               least(len(ts) / {LEN_SATURATION}, 1.0) AS length_score
-        FROM t
-    ),
-    q AS (
-        SELECT doc_id,
-               {W_LEN} * length_score + {W_STOP} * (1.0 - stopword_ratio)
-                 + {W_DIV} * unique_ratio AS quality
-        FROM m
+    WITH q AS (
+        SELECT doc_id, quality FROM ({TEXTSTATS_ORACLES["quality_score"]})
     ),
     surv AS (
-        SELECT min(doc_id) AS doc_id
-        FROM (SELECT doc_id,
-                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-              FROM documents)
-        GROUP BY norm
+        SELECT doc_id FROM ({DEDUP_ORACLES["exact_dedup"]})
     ),
     nd_drop AS (
         SELECT doc_id FROM ({DEDUP_ORACLES["canonical_per_cluster"]})
