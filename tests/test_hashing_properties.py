@@ -105,3 +105,94 @@ def test_dyadic_quantizer_three_way_bit_identity(spark, duck, xs):
     for a, b, c in zip(py, sp, dk):
         assert bits(a) == bits(b) == bits(c), (a, b, c)
         assert a * Q == math.floor(a * Q), a  # exact dyadic multiple
+
+
+# --------------------------------------------------------------------------
+# engine-neutral HLL (round 6): generated-SQL semantics vs a pure-Python
+# reference, three ways (Spark expr / DuckDB SQL / Python model)
+# --------------------------------------------------------------------------
+
+def _py_hll_mix(k: int) -> int:
+    from uw_hadoop_aglorithms_spark.operators import sketches
+
+    a, b = hashing.hash_params(sketches.HLL_SEED_MIX)
+    # Python % matches SQL's truncated % only for non-negative operands;
+    # mirror C-style truncation explicitly for negative keys
+    t = k - (k // hashing.P) * hashing.P if k >= 0 else -((-k) % hashing.P)
+    t = t * a + b
+    t = t % hashing.P if t >= 0 else -((-t) % hashing.P)
+    return (t * t) % hashing.P
+
+
+def _py_hll_bucket(k: int) -> int:
+    from uw_hadoop_aglorithms_spark.operators import sketches
+
+    a, b = hashing.hash_params(sketches.HLL_SEED_B)
+    v = (_py_hll_mix(k) * a + b) % hashing.P
+    return (v * sketches.HLL_M) // hashing.P
+
+
+def _py_hll_rho(k: int) -> int:
+    from uw_hadoop_aglorithms_spark.operators import sketches
+
+    a, b = hashing.hash_params(sketches.HLL_SEED_RHO)
+    v = (_py_hll_mix(k) * a + b) % hashing.P
+    return sketches.HLL_RHO_BITS + 1 - v.bit_length()
+
+
+def _py_hll_estimate(keys):
+    import math
+
+    from uw_hadoop_aglorithms_spark.operators import sketches
+
+    m = sketches.HLL_M
+    regs = [0] * m
+    for k in keys:
+        b, r = _py_hll_bucket(k), _py_hll_rho(k)
+        if r > regs[b]:
+            regs[b] = r
+    s = sum(1 << (31 - r) if r else 1 << 31 for r in regs)
+    raw = sketches.HLL_C // s
+    v = regs.count(0)
+    if v > 0 and raw <= sketches.HLL_LC_THRESH:
+        return round(m * math.log(m / v)), v
+    return raw, v
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_hll_three_way_agreement(duck, keys):
+    """DuckDB's generated bucket/rho/estimate SQL == the pure-Python HLL
+    model on arbitrary int64 keys INCLUDING negative ones (the docstring
+    claims sign-safety via the squaring; this pins it), and the whole
+    estimate pipeline agrees end to end."""
+    from uw_hadoop_aglorithms_spark.operators import sketches
+
+    py_pairs = sorted({(_py_hll_bucket(k), _py_hll_rho(k)) for k in keys})
+    duck.execute("DROP TABLE IF EXISTS hll_keys")
+    duck.execute("CREATE TABLE hll_keys(k BIGINT)")
+    duck.executemany("INSERT INTO hll_keys VALUES (?)", [(k,) for k in keys])
+    got = duck.execute(
+        f"SELECT DISTINCT {sketches.hll_bucket_sql('k')} AS b,"
+        f" {sketches.hll_rho_sql('k')} AS rho FROM hll_keys ORDER BY 1, 2"
+    ).fetchall()
+    assert [tuple(r) for r in got] == py_pairs
+
+    est_sql = sketches.hll_oracle_estimate(
+        f"SELECT 'g' AS g, 'd' AS dt, {sketches.hll_bucket_sql('k')} AS b,"
+        f" max({sketches.hll_rho_sql('k')}) AS rho FROM hll_keys GROUP BY 1, 2, 3"
+    )
+    g, v_empty, est, sum_rho, sum_w = duck.execute(est_sql).fetchone()
+    py_est, py_v = _py_hll_estimate(keys)
+    assert (est, v_empty) == (py_est, py_v)
+    regs: dict[int, int] = {}
+    for b, r in py_pairs:  # registers keep max(rho) per bucket
+        regs[b] = max(regs.get(b, 0), r)
+    assert sum_rho == sum(regs.values())
+    assert sum_w == sum((b + 1) * r for b, r in regs.items())
