@@ -149,14 +149,23 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # rollup merges: across ALL types+days, and across a day subset.
-    # The week bound rides the plan as a broadcast 1-row frame (no
-    # driver collect); exact sides filter events by the same dt string.
-    wb = ev.agg(
-        F.date_format(F.date_add(F.to_date(F.min("ts")), 6), "yyyy-MM-dd")
+    # The week bound derives from the REGISTER frame's min day (no
+    # extra events scan) and rides the plan as a broadcast 1-row frame
+    # (no driver collect). The exact ground truths for both rollup rows
+    # share ONE deduped (user_id, dt) frame — a single events scan
+    # feeding both countDistincts — mirroring the capability/
+    # verification cost split in the docstring.
+    wb = regs_u.agg(
+        F.date_format(F.date_add(F.to_date(F.min("dt")), 6), "yyyy-MM-dd")
         .alias("_w1")
     )
+    ud = (
+        ev.select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     all_est = sketches.hll_estimate(sketches.hll_merge(regs_u, ()), ())
-    ex_all = ev.agg(F.countDistinct("user_id").alias("n"))
+    ex_all = ud.agg(F.countDistinct("user_id").alias("n"))
     roll_all = all_est.crossJoin(F.broadcast(ex_all)).selectExpr(
         "'hll_rollup' AS variant", "'all_days' AS k", "n",
         "hll_est AS v", "v_empty AS aux", bound,
@@ -164,8 +173,8 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs_w = regs_u.crossJoin(F.broadcast(wb)).filter(F.col("dt") <= F.col("_w1"))
     w_est = sketches.hll_estimate(sketches.hll_merge(regs_w, ()), ())
     ex_w = (
-        ev.crossJoin(F.broadcast(wb))
-        .filter(F.date_format("ts", "yyyy-MM-dd") <= F.col("_w1"))
+        ud.crossJoin(F.broadcast(wb))
+        .filter(F.col("dt") <= F.col("_w1"))
         .agg(F.countDistinct("user_id").alias("n"))
     )
     roll_week = w_est.crossJoin(F.broadcast(ex_w)).selectExpr(
