@@ -713,3 +713,53 @@ def test_stream_neardup_ingest_chains_the_maintenance_invariant(spark, tmp_path)
             f"{pfx}_tombstones", f"{pfx_fresh}_bands", f"{pfx_fresh}_hsets",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_merge_maintains_hll_rollup(spark, replay, tmp_path):
+    """The two round-6 lifecycles composed end-to-end: streaming lake
+    ingestion drives per-batch rollup maintenance through the
+    post_merge hook (each batch refreshes exactly its merge's affected
+    days). After the stream drains, the incrementally-maintained rollup
+    must equal a full rebuild from the final lake — and survive the
+    worst-case at-least-once redelivery (fresh-checkpoint full
+    re-replay), because both the merge and the day-scoped refresh are
+    idempotent over identical lake state."""
+    from uw_hadoop_aglorithms_spark.operators import sketches
+
+    lake_path = str(tmp_path / "lake")
+    roll_path = str(tmp_path / "rollup")
+
+    def keep_rollup_live(days):
+        sketches.refresh_hll_rollup(
+            spark, lake_path, roll_path, "user_id", days=days
+        )
+
+    runner.stream_merge_to_lake(
+        spark,
+        f"{replay}/events",
+        str(tmp_path / "cp"),
+        lake_path,
+        post_merge=keep_rollup_live,
+    )
+    full = str(tmp_path / "rollup_full")
+    sketches.refresh_hll_rollup(spark, lake_path, full, "user_id")
+
+    def regset(path):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .withColumn("dt", F.col("dt").cast("string"))
+            .collect()
+        }
+
+    assert regset(roll_path) == regset(full)
+
+    # worst-case redelivery: everything again, fresh checkpoint
+    runner.stream_merge_to_lake(
+        spark,
+        f"{replay}/events",
+        str(tmp_path / "cp2"),
+        lake_path,
+        post_merge=keep_rollup_live,
+    )
+    assert regset(roll_path) == regset(full)

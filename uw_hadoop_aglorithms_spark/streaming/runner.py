@@ -615,6 +615,7 @@ def stream_merge_to_lake(
     replay_dir: str,
     checkpoint_dir: str,
     lake_path: str,
+    post_merge=None,
 ) -> None:
     """Exactly-once streaming ingestion INTO the partitioned lake:
     each micro-batch upserts via `lake.merge_into_lake` inside
@@ -641,6 +642,17 @@ def stream_merge_to_lake(
 
     The first batch bootstraps the lake (dynamic overwrite of a
     nonexistent path is a plain partitioned write).
+
+    `post_merge(days)` — optional hook called after each batch's merge
+    with the list of rewritten `dt` partitions: the seam for derived
+    state that maintains itself per blast radius, e.g.
+    `sketches.refresh_hll_rollup` keeping a distinct-count rollup live
+    beside the lake (composed end-to-end in tests/test_sketches.py).
+    The hook runs BEFORE the micro-batch commits, so a crash after
+    merge but before commit replays the batch: the merge re-applies as
+    a content no-op and the hook re-runs over identical lake state —
+    it must therefore be idempotent given (lake state, days), which a
+    day-scoped rebuild is by construction.
     """
     import os
 
@@ -649,10 +661,18 @@ def stream_merge_to_lake(
     def _merge_batch(batch, _bid: int) -> None:
         if not os.path.exists(lake_path):
             lake_mod.write_date_partitioned(batch, lake_path)
-            return
-        lake_mod.merge_into_lake(
-            spark, lake_path, batch, check_day_moves=False
-        )
+            days = sorted(
+                r.dt
+                for r in spark.read.parquet(lake_path)
+                .select(F.col("dt").cast("string").alias("dt"))
+                .distinct().collect()
+            )
+        else:
+            days = lake_mod.merge_into_lake(
+                spark, lake_path, batch, check_day_moves=False
+            )
+        if post_merge is not None and days:
+            post_merge(days)
 
     q = (
         _event_stream(spark, replay_dir)
