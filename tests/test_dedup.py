@@ -904,3 +904,127 @@ def test_canonical_per_cluster_selection(spark):
         assert kept[0].quality == best_q
         ties = sorted(r.doc_id for r in members if r.quality == best_q)
         assert kept[0].doc_id == ties[0]
+
+
+def _hot_corpus(spark):
+    """6 identical docs (every LSH band bucket they occupy has size 6)
+    plus one disjoint-vocab near-dup pair — the adversarial input the
+    hot-bucket cap exists for. Texts need >= 2 tokens (word-bigram
+    shingles)."""
+    same = "alpha beta gamma delta epsilon zeta"
+    base = "red orange yellow green blue indigo violet cyan magenta teal maroon"
+    rows = [(i, same) for i in range(6)]
+    rows += [(10, base + " crimson"), (11, base + " scarlet")]
+    # jaccard(10,11) = 10/12 ~ 0.833 >= 0.8, and the pair collides in a
+    # band under the fixed hash family (verified against the oracle SQL)
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_band_bucket_cap_drops_only_hot_buckets(spark):
+    """With the cap inert, all 16 pairs (C(6,2) identical + the planted
+    near-dup) appear; with cap=4 the identical-text mass — which
+    exact_dedup, not MinHash, is the right tool for — is excluded while
+    the legit pair survives, and hot_band_buckets counts exactly what
+    was dropped (no silent caps)."""
+    docs = _hot_corpus(spark)
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_pairs_from_docs(docs, bucket_cap=None).collect()
+    }
+    assert (10, 11) in uncapped
+    assert len(uncapped) == 16  # 15 identical pairs + the near-dup pair
+    # default cap (128) is inert on any corpus this small
+    default = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_pairs_from_docs(docs).collect()
+    }
+    assert default == uncapped
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_pairs_from_docs(docs, bucket_cap=4).collect()
+    }
+    assert capped == {(10, 11)}
+    hot = dedup.hot_band_buckets(
+        dedup.bands_from_hsets(dedup.hsets_from_docs(docs)), 4
+    ).collect()
+    # the 6 identical docs share one (h1, h2) per band -> 8 hot buckets
+    assert len(hot) == dedup.BANDS
+    assert all(r.bsz == 6 for r in hot)
+
+
+def test_hot_bucket_cap_mirrored_in_oracle(spark):
+    """The DuckDB oracle applies the identical occupancy cap, so parity
+    holds even on an input where the cap FIRES (the driver's sf corpora
+    never reach it — this is the adversarial leg). Engine and oracle
+    are compared at a bucket_cap the fixture crosses, by overriding the
+    module constant in the generated SQL text."""
+    import duckdb as ddb
+
+    from uw_hadoop_aglorithms_spark.oracles import DEDUP_ORACLES
+
+    docs = _hot_corpus(spark)
+    sql = DEDUP_ORACLES["minhash_lsh_dedup"].replace(
+        f"bsz <= {dedup.BAND_BUCKET_CAP}", "bsz <= 4"
+    )
+    assert sql != DEDUP_ORACLES["minhash_lsh_dedup"], "cap literal not found"
+    con = ddb.connect()
+    con.register("documents", docs.toPandas())
+    want = {(a, b): j for a, b, j in con.execute(sql).fetchall()}
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_pairs_from_docs(docs, bucket_cap=4).collect()
+    }
+    assert got == want == {(10, 11): got[(10, 11)]}
+
+
+def test_incremental_cap_uses_combined_occupancy(spark):
+    """The incremental path gates band keys on index+batch occupancy —
+    the same bucket the full rebuild sees — so a key that crosses the
+    cap only in the union emits nothing, exactly like the capped batch
+    build; under-cap keys flow untouched."""
+    same = "alpha beta gamma delta epsilon zeta"
+    base = "red orange yellow green blue indigo violet cyan magenta teal maroon"
+    old = spark.createDataFrame(
+        [(i, same) for i in range(3)] + [(10, base + " crimson")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, same) for i in range(3, 5)] + [(11, base + " scarlet")],
+        "doc_id long, text string",
+    )
+    prefix = _uniq("hotincr")
+    try:
+        dedup.save_neardup_index(old, prefix)
+        capped = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+            for r in dedup.incremental_neardup_pairs(
+                spark, prefix, new, bucket_cap=4
+            ).collect()
+        }
+        uncapped = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+            for r in dedup.incremental_neardup_pairs(
+                spark, prefix, new, bucket_cap=None
+            ).collect()
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_hsets")
+    # union occupancy of the identical-text buckets is 5 > 4: dropped;
+    # the near-dup pair's buckets hold 2: kept
+    assert capped == {(10, 11)}
+    # uncapped finds every identical pair touching the batch:
+    # 3 old x 2 new + C(2,2) within-batch = 7, plus the near-dup pair
+    assert len(uncapped) == 8
+    # and matches the capped FULL rebuild restricted to batch-touching
+    # pairs (the registered incr oracle's shape)
+    full_capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_pairs_from_docs(
+            old.unionAll(new), bucket_cap=4
+        ).collect()
+    }
+    new_ids = {3, 4, 11}
+    assert capped == {
+        p for p in full_capped if p[0] in new_ids or p[1] in new_ids
+    }

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from uw_hadoop_aglorithms_spark.functions.hashing import P, bucket, polyhash, uhash
 from uw_hadoop_aglorithms_spark.functions.text import tokens
@@ -62,6 +63,26 @@ COSINE_THRESHOLD = 0.4
 #: variants at oracle scale, and must never be pointed at a lake. The
 #: guard costs one metadata-cheap count per call.
 BRUTE_MAX_ROWS = 100_000
+#: Hot-band-bucket occupancy cap for the MinHash LSH candidate joins. A
+#: band bucket with |b| docs emits |b|²/2 candidate pairs — the one step
+#: of the LSH pipeline that is quadratic in a DATA property rather than
+#: corpus size, and AQE skew-splitting cannot help (splitting a hot
+#: key's partition does not reduce its pair count). Buckets over the cap
+#: are EXCLUDED from candidate generation, in the engine and in the
+#: DuckDB oracle symmetrically (oracles._minhash_lsh_sql), so parity
+#: holds even on adversarial inputs. Rationale for dropping rather than
+#: sampling: a bucket that hot is either (a) identical/near-identical
+#: text mass that exact_dedup (which runs FIRST in every composed
+#: pipeline here — see pipeline.corpus_curation) should have removed, or
+#: (b) boilerplate shingles so common they carry no dedup signal. The
+#: cap is QUERY-TIME only — the persisted index stores all band rows
+#: (save/extend_neardup_index are uncapped), so it can be retuned per
+#: query without rebuilding the index. Dropped buckets are observable
+#: via `hot_band_buckets` (no silent caps). Measured occupancy on the
+#: synthetic fixture: max 9 at sf0.01, max 87 at sf0.1 (small-vocab word
+#: soup makes min-hash collisions legitimately common), so 128 is inert
+#: at verified scales and fires ~sf1+, exactly the regime it exists for.
+BAND_BUCKET_CAP = 128
 
 
 def _guard_brute(n: int, name: str, alternative: str) -> None:
@@ -220,6 +241,38 @@ def bands_from_hsets(hsets: DataFrame) -> DataFrame:
     )
 
 
+_BAND_KEY = ["band_no", "h1", "h2"]
+
+
+def capped_bands(
+    bands: DataFrame, bucket_cap: int = BAND_BUCKET_CAP
+) -> DataFrame:
+    """Band rows minus hot buckets (occupancy > bucket_cap) — the
+    candidate-join back-pressure guard (see BAND_BUCKET_CAP). One window
+    count over the band key; no orderBy, so no sort — and the window's
+    hash partitioning is the same the candidate self-join needs, so the
+    Exchange is paid once and reused for both join sides."""
+    w = Window.partitionBy(*_BAND_KEY)
+    return (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("bsz") <= bucket_cap)
+        .drop("bsz")
+    )
+
+
+def hot_band_buckets(
+    bands: DataFrame, bucket_cap: int = BAND_BUCKET_CAP
+) -> DataFrame:
+    """(band_no, h1, h2, bsz) for every bucket the cap excludes — the
+    observability side of capped_bands: a curation run logs/persists
+    this so capped mass is counted, never silent."""
+    return (
+        bands.groupBy(*_BAND_KEY)
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > bucket_cap)
+    )
+
+
 def verify_pairs(cand: DataFrame, hsets: DataFrame, hsets_b: DataFrame | None = None) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
     against shingle-hash sets; `hsets_b` lets the two sides come from
@@ -254,11 +307,25 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs|×8 small rows; verification joins shingle-hash arrays for only
     the colliding pairs (int64 intersection — same Jaccard as string
     shingles modulo ~n²/P collisions, mirrored in the oracle). No step
-    is quadratic in corpus size, and the corpus is tokenized ONCE (the
-    cached hash-set table feeds signatures AND verification).
+    is quadratic in corpus size — hot band buckets, the one data-driven
+    quadratic step, are excluded at BAND_BUCKET_CAP (mirrored in the
+    oracle; inert at verified SFs) — and the corpus is tokenized ONCE
+    (the cached hash-set table feeds signatures AND verification).
     """
-    hsets = _gram_hash_sets(spark, sf_dir).cache()
+    docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+    return minhash_pairs_from_docs(docs)
+
+
+def minhash_pairs_from_docs(
+    docs: DataFrame, bucket_cap: int | None = BAND_BUCKET_CAP
+) -> DataFrame:
+    """minhash_lsh_dedup over any (doc_id, text, …) frame — the reusable
+    core (shared with tests and ad-hoc slices). `bucket_cap=None`
+    disables the hot-bucket guard (ground-truth/debug use only)."""
+    hsets = hsets_from_docs(docs).cache()
     bands = bands_from_hsets(hsets)
+    if bucket_cap is not None:
+        bands = capped_bands(bands, bucket_cap)
     cand = (
         bands.alias("a")
         .join(
@@ -421,7 +488,10 @@ def compact_neardup_index(
 
 
 def incremental_neardup_pairs(
-    spark: SparkSession, prefix: str, new_docs: DataFrame
+    spark: SparkSession,
+    prefix: str,
+    new_docs: DataFrame,
+    bucket_cap: int | None = BAND_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs of `new_docs` against the persisted index AND
     within the batch itself: (doc_a, doc_b, jaccard) with doc_a the
@@ -432,13 +502,44 @@ def incremental_neardup_pairs(
     on (band_no, h1, h2) against the bucketed index (index side scans
     in place — its Exchange was paid at write time), plus a delta
     self-join; union of candidates, then one exact-Jaccard verification
-    against the two hset tables."""
+    against the two hset tables.
+
+    Hot-bucket guard: a band key participates only if its COMBINED
+    occupancy (live index + this batch) is <= bucket_cap — the same
+    bucket the full rebuild would see, so the capped incremental result
+    stays consistent with the capped batch build (the registered `incr`
+    oracle). The occupancy probe touches only the delta's keys (a
+    delta-sized broadcast semi-join against the index — batches are
+    bounded per micro-batch by the ingest contract), so per-batch work
+    stays ∝ |delta| + |collisions|. The maintenance invariant holds
+    exactly on corpora whose buckets stay under the cap (the designed
+    operating regime — exact dedup runs first); a key that CROSSES the
+    cap mid-lifecycle stops emitting pairs from that point, which is the
+    documented back-pressure behavior, not drift."""
     # localCheckpoint, not cache: released on GC by the ContextCleaner,
     # so per-batch ingest calls don't accumulate executor storage
     new_hsets = hsets_from_docs(new_docs).localCheckpoint(eager=True)
     new_bands = bands_from_hsets(new_hsets)
     idx_bands = _live_index(spark, prefix, "bands")
     on = ["band_no", "h1", "h2"]
+    if bucket_cap is not None:
+        new_keys = new_bands.groupBy(*on).agg(
+            F.count(F.lit(1)).alias("n_new")
+        )
+        idx_occ = (
+            idx_bands.join(F.broadcast(new_keys.select(*on)), on)
+            .groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("n_idx"))
+        )
+        ok_keys = (
+            new_keys.join(idx_occ, on, "left")
+            .where(
+                F.col("n_new") + F.coalesce(F.col("n_idx"), F.lit(0))
+                <= bucket_cap
+            )
+            .select(*on)
+        )
+        new_bands = new_bands.join(F.broadcast(ok_keys), on)
     against_index = (
         idx_bands.alias("a")
         .join(new_bands.alias("b"), on)

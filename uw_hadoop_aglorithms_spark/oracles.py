@@ -501,6 +501,7 @@ TEMPORAL_ORACLES: dict[str, str] = {
 
 from uw_hadoop_aglorithms_spark.functions.hashing import polyhash_sql, uhash_sql
 from uw_hadoop_aglorithms_spark.operators.dedup import (
+    BAND_BUCKET_CAP,
     BANDS,
     BLOOM_BITS,
     BLOOM_K,
@@ -569,9 +570,19 @@ def _minhash_lsh_sql() -> str:
         FROM hashed GROUP BY doc_id
     ),
     bands AS ({band_selects}),
+    -- hot-bucket guard, mirrored from dedup.capped_bands: buckets with
+    -- occupancy > BAND_BUCKET_CAP are excluded from candidate
+    -- generation in BOTH engines (inert at verified SFs — max observed
+    -- occupancy is 87 at sf0.1)
+    bands_capped AS (
+        SELECT doc_id, band_no, h1, h2
+        FROM (SELECT *, count(*) OVER (PARTITION BY band_no, h1, h2) AS bsz
+              FROM bands)
+        WHERE bsz <= {BAND_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands_capped a JOIN bands_capped b
           ON a.band_no = b.band_no AND a.h1 = b.h1 AND a.h2 = b.h2
          AND a.doc_id < b.doc_id
     )
