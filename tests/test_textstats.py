@@ -124,3 +124,45 @@ def test_lm_score_model_invariants(spark):
             textstats.LM_ROUND,
         )
         assert abs(r.avg_logprob - expected) <= 1e-9, (r.doc_id, r.avg_logprob, expected)
+
+
+def test_gopher_rules_match_python_replay(spark):
+    """The Gopher/MassiveWeb gate (Rae et al. 2021, App. A) replayed in
+    pure Python over the raw parquet: same tokenizer, same rule
+    arithmetic, including the pass verdict — and the fixture must
+    exercise BOTH branches of the verdict (the calibrated stop-hits
+    threshold exists for exactly that)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    got = {r.doc_id: r for r in textstats.gopher_rules(spark, SF_TEST).collect()}
+    tbl = pq.read_table(f"{SF_TEST}/documents.parquet", columns=["doc_id", "text"])
+    seen_pass = seen_fail = False
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        ts = [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+        n = len(ts)
+        assert n > 0, "fixture has no empty docs (division contract)"
+        mean_wl = sum(len(t) for t in ts) / n
+        sym = (text.count("#") + text.count("...")) / n
+        alpha = sum(1 for t in ts if re.search("[a-z]", t)) / n
+        stop_hits = len(set(ts) & set(textstats.GOPHER_STOPWORDS))
+        r = got[doc_id]
+        assert r.gp_n_words == n
+        assert r.gp_mean_word_len == mean_wl
+        assert r.gp_symbol_ratio == sym
+        assert r.gp_alpha_frac == alpha
+        assert r.gp_stop_hits == stop_hits
+        want_pass = (
+            textstats.GOPHER_MIN_WORDS <= n <= textstats.GOPHER_MAX_WORDS
+            and textstats.GOPHER_MIN_WORD_LEN
+            <= mean_wl
+            <= textstats.GOPHER_MAX_WORD_LEN
+            and sym <= textstats.GOPHER_MAX_SYMBOL_RATIO
+            and alpha >= textstats.GOPHER_MIN_ALPHA_FRAC
+            and stop_hits >= textstats.GOPHER_MIN_STOP_HITS
+        )
+        assert r.gp_pass == want_pass
+        seen_pass |= want_pass
+        seen_fail |= not want_pass
+    assert seen_pass and seen_fail, "gate must discriminate on the fixture"

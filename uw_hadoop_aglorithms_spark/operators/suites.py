@@ -920,8 +920,8 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six per-doc profiles computed CONCURRENTLY (each thread eagerly
-    localCheckpoints its member — six simultaneous jobs, the
+    """Seven per-doc profiles computed CONCURRENTLY (each thread eagerly
+    localCheckpoints its member — seven simultaneous jobs, the
     pagerank_suite trick) then stitched IN-PLAN with doc_id equi-joins.
     Nothing corpus-sized ever reaches the driver: the round-4 form
     collected the members and dict-stitched them driver-side,
@@ -931,22 +931,24 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (NULL booleans don't survive the driver canonicalizer);
     lm covers docs with ≥1 token, so empty docs pin n_oov 0 /
     avg_logprob 0.0. Round 6 adds the span-level exact-dedup profile
-    (dedup.span_dedup — duplicated-range stats + cleaned-text hash),
-    which covers every doc, so its join is inner."""
+    (dedup.span_dedup — duplicated-range stats + cleaned-text hash) and
+    the Gopher/MassiveWeb rule gate (textstats.gopher_rules); both cover
+    every doc, so their joins are inner."""
     from concurrent.futures import ThreadPoolExecutor
 
     def mat(fn):
         return fn(spark, sf_dir).localCheckpoint(eager=True)
 
-    with ThreadPoolExecutor(6) as pool:
+    with ThreadPoolExecutor(7) as pool:
         f_ds = pool.submit(mat, textstats.doc_stats)
         f_qs = pool.submit(mat, textstats.quality_score)
         f_rep = pool.submit(mat, textstats.repetition_score)
         f_li = pool.submit(mat, textstats.lang_id)
         f_lm = pool.submit(mat, textstats.lm_score)
         f_sd = pool.submit(mat, dedup.span_dedup)
-        ds, qs, rep, li, lm, sd = (
-            f.result() for f in (f_ds, f_qs, f_rep, f_li, f_lm, f_sd)
+        f_gr = pool.submit(mat, textstats.gopher_rules)
+        ds, qs, rep, li, lm, sd, gr = (
+            f.result() for f in (f_ds, f_qs, f_rep, f_li, f_lm, f_sd, f_gr)
         )
 
     return (
@@ -955,6 +957,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, "doc_id", "left")
         .join(lm, "doc_id", "left")
         .join(sd, "doc_id")
+        .join(gr, "doc_id")
         .select(
             "doc_id", "n_chars_obs", "n_ws_tokens", "n_re_tokens",
             "n_bpe_tokens", "n_distinct_tokens", "avg_token_len",
@@ -967,6 +970,8 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
             "sp_dup_starts", "sp_spans", "sp_dup_tokens",
             "sp_dup_ratio", "sp_kept_hash",
+            "gp_n_words", "gp_mean_word_len", "gp_symbol_ratio",
+            "gp_alpha_frac", "gp_stop_hits", "gp_pass",
         )
         .orderBy("doc_id")
     )
@@ -1516,7 +1521,8 @@ def _suite_oracles() -> dict[str, str]:
              rep AS ({TEXTSTATS_ORACLES["repetition_score"]}),
              li AS ({TEXTSTATS_ORACLES["lang_id"]}),
              lm AS ({TEXTSTATS_ORACLES["lm_score"]}),
-             sd AS ({DEDUP_ORACLES["span_dedup"]})
+             sd AS ({DEDUP_ORACLES["span_dedup"]}),
+             gr AS ({TEXTSTATS_ORACLES["gopher_rules"]})
         SELECT ds.doc_id, ds.n_chars_obs, ds.n_ws_tokens, ds.n_re_tokens,
                ds.n_bpe_tokens, ds.n_distinct_tokens, ds.avg_token_len,
                qs.stopword_ratio, qs.unique_ratio, qs.length_score, qs.quality,
@@ -1527,13 +1533,16 @@ def _suite_oracles() -> dict[str, str]:
                coalesce(lm.n_oov, 0) AS n_oov,
                coalesce(lm.avg_logprob, 0e0) AS avg_logprob,
                sd.sp_dup_starts, sd.sp_spans, sd.sp_dup_tokens,
-               sd.sp_dup_ratio, sd.sp_kept_hash
+               sd.sp_dup_ratio, sd.sp_kept_hash,
+               gr.gp_n_words, gr.gp_mean_word_len, gr.gp_symbol_ratio,
+               gr.gp_alpha_frac, gr.gp_stop_hits, gr.gp_pass
         FROM ds
         JOIN qs USING (doc_id)
         JOIN rep USING (doc_id)
         LEFT JOIN li USING (doc_id)
         LEFT JOIN lm USING (doc_id)
         JOIN sd USING (doc_id)
+        JOIN gr USING (doc_id)
         ORDER BY ds.doc_id
     """
 
@@ -1946,6 +1955,7 @@ SUBSUMED: frozenset[str] = frozenset(
         "repetition_score",
         "lang_id",
         "lm_score",
+        "gopher_rules",
         "phrase_search",
         "proximity_search",
         "approx_length_percentiles",

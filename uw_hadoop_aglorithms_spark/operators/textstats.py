@@ -31,6 +31,26 @@ W_LEN, W_STOP, W_DIV = 0.4, 0.3, 0.3
 #: Token count at which the length component saturates.
 LEN_SATURATION = 50
 
+#: Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", App. A —
+#: MassiveWeb filtering), document-level subset. Thresholds are the
+#: published values except GOPHER_MIN_STOP_HITS: the paper requires >= 2
+#: distinct stop words from its 8-word list, but the synthetic fixture
+#: vocabulary contains only "the" from that list, so the published
+#: threshold would pin gp_pass FALSE corpus-wide; 1 keeps the rule's
+#: structure while exercising both branches (~42% of sf0.01 docs pass).
+#: The line-level rules (bullet-start / ellipsis-end fractions) are
+#: omitted: the fixture corpus is single-line by construction (zero
+#: docs contain a newline at any SF), so they would be constant TRUE.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 1
+
 #: lang_id: character n-gram size, profile width, train split modulus.
 LANG_NGRAM = 3
 PROFILE_K = 20
@@ -100,6 +120,54 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(W_STOP) * (F.lit(1.0) - stop_ratio)
             + F.lit(W_DIV) * uniq_ratio
         ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveWeb document-quality gate (Rae et al. 2021, App. A)
+    — the published rule-based filter every large-scale text pipeline
+    runs before model-based scoring: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio ('#' and '...'), alphabetic-word
+    fraction, and stop-word presence, combined into one gp_pass verdict
+    with the per-rule measurements kept for auditability.
+
+    Pure map-side column arithmetic (no shuffle, linear in corpus bytes
+    at 100 TB); every division mirrors the DuckDB oracle operand-for-
+    operand so the doubles are bit-identical. See GOPHER_* constants for
+    the two documented fixture calibrations.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    ts = tokens("text")
+    n = F.size(ts)
+    mean_wl = F.aggregate(ts, F.lit(0), lambda a, t: a + F.length(t)) / n
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    n_ell = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    sym_ratio = (n_hash + n_ell) / n
+    alpha_frac = F.size(F.filter(ts, lambda t: t.rlike("[a-z]"))) / n
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(ts), stop_arr))
+    gp_pass = (
+        (n >= F.lit(GOPHER_MIN_WORDS))
+        & (n <= F.lit(GOPHER_MAX_WORDS))
+        & (mean_wl >= F.lit(GOPHER_MIN_WORD_LEN))
+        & (mean_wl <= F.lit(GOPHER_MAX_WORD_LEN))
+        & (sym_ratio <= F.lit(GOPHER_MAX_SYMBOL_RATIO))
+        & (alpha_frac >= F.lit(GOPHER_MIN_ALPHA_FRAC))
+        & (stop_hits >= F.lit(GOPHER_MIN_STOP_HITS))
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("gp_n_words"),
+        mean_wl.alias("gp_mean_word_len"),
+        sym_ratio.alias("gp_symbol_ratio"),
+        alpha_frac.alias("gp_alpha_frac"),
+        stop_hits.cast("long").alias("gp_stop_hits"),
+        gp_pass.alias("gp_pass"),
     ).orderBy("doc_id")
 
 

@@ -1459,6 +1459,14 @@ from uw_hadoop_aglorithms_spark.operators.textstats import (
     BPE_PATTERN,
     FP_K,
     FP_W,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORD_LEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_FRAC,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORD_LEN,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
     LANG_NGRAM,
     LEN_SATURATION,
     LM_LOG_ROUND,
@@ -1474,6 +1482,7 @@ from uw_hadoop_aglorithms_spark.operators.textstats import (
 )
 
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+_GOPHER_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
 
 _CHAR_NGRAMS_SQL = (
     f"list_transform(range(1, greatest(length(text) - {LANG_NGRAM - 1}, 0) + 1),"
@@ -1507,6 +1516,37 @@ TEXTSTATS_ORACLES: dict[str, str] = {
         SELECT doc_id, stopword_ratio, unique_ratio, length_score,
                {W_LEN} * length_score + {W_STOP} * (1.0 - stopword_ratio)
                  + {W_DIV} * unique_ratio AS quality
+        FROM m ORDER BY doc_id
+    """,
+    # Gopher/MassiveWeb rule gate (textstats.gopher_rules): every
+    # division mirrors the Spark plan operand-for-operand (int sums /
+    # int counts -> double), so the measurements hash bit-identically
+    "gopher_rules": f"""
+        WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS ts FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(ts) AS gp_n_words,
+                   list_reduce(list_prepend(0, list_transform(ts, t -> length(t))),
+                               (a, x) -> a + x) / len(ts) AS gp_mean_word_len,
+                   ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                     / len(ts) AS gp_symbol_ratio,
+                   len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                     / len(ts) AS gp_alpha_frac,
+                   len(list_intersect(list_distinct(ts), {_GOPHER_STOP_LIST}))
+                     AS gp_stop_hits
+            FROM t
+        )
+        SELECT doc_id, CAST(gp_n_words AS BIGINT) AS gp_n_words,
+               gp_mean_word_len, gp_symbol_ratio, gp_alpha_frac,
+               CAST(gp_stop_hits AS BIGINT) AS gp_stop_hits,
+               (gp_n_words >= {GOPHER_MIN_WORDS}
+                AND gp_n_words <= {GOPHER_MAX_WORDS}
+                AND gp_mean_word_len >= {GOPHER_MIN_WORD_LEN}
+                AND gp_mean_word_len <= {GOPHER_MAX_WORD_LEN}
+                AND gp_symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND gp_alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                AND gp_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS gp_pass
         FROM m ORDER BY doc_id
     """,
     # same LM_LOG_ROUND/LM_ROUND contract as the Spark plan: per-term
