@@ -109,13 +109,16 @@ def test_pack_sequences_is_a_valid_packing(spark):
 def test_corpus_curation_composes_dedup_and_quality(spark):
     """Curation counts must equal the conjunction of the component
     operators' decisions: exact-dedup survivors, minus near-dup
-    non-canonical members (round 6), intersected with the
-    above-threshold quality set."""
+    non-canonical members (round 6), intersected with the Gopher
+    rule-gate passers (round 6) and the above-threshold quality set."""
     from uw_hadoop_aglorithms_spark.operators.dedup import (
         canonical_per_cluster,
         exact_dedup,
     )
-    from uw_hadoop_aglorithms_spark.operators.textstats import quality_score
+    from uw_hadoop_aglorithms_spark.operators.textstats import (
+        gopher_rules,
+        quality_score,
+    )
 
     survivors = {r.doc_id for r in exact_dedup(spark, SF_TEST).collect()}
     nd_drops = {
@@ -123,16 +126,23 @@ def test_corpus_curation_composes_dedup_and_quality(spark):
         for r in canonical_per_cluster(spark, SF_TEST).collect()
         if not r.keep
     }
+    gated = {
+        r.doc_id for r in gopher_rules(spark, SF_TEST).collect() if r.gp_pass
+    }
     good = {
         r.doc_id
         for r in quality_score(spark, SF_TEST).collect()
         if r.quality >= pipeline.CURATION_MIN_QUALITY
     }
-    expect = len((survivors - nd_drops) & good)
+    expect = len((survivors - nd_drops) & gated & good)
     got = sum(r.n_docs for r in pipeline.corpus_curation(spark, SF_TEST).collect())
     assert got == expect
     assert 0 < got
     assert nd_drops, "fixture should exercise the near-dup drop leg"
+    n_docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").count()
+    assert 0 < len(gated) < n_docs, (
+        "fixture should exercise both rule-gate branches"
+    )
 
 
 def test_doc_chunks_cover_every_token(spark):

@@ -297,28 +297,37 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact dedup (keep min-id per normalized text)
         ∧ near-dup canonical selection (keep argmax quality per
           MinHash+LSH cluster — dedup.canonical_per_cluster, round 6)
+        ∧ Gopher rule gate (textstats.gopher_rules gp_pass — the
+          published Rae et al. 2021 filter, round 6)
         ∧ quality >= CURATION_MIN_QUALITY
 
     Built by COMPOSING the registered operators (exact_dedup,
-    canonical_per_cluster, quality_score), so the pipeline is the same
-    plan fragments the driver already verifies individually. The
-    near-dup leg is an anti-join on keep = FALSE ids: unclustered docs
-    pass untouched. Composition is conjunctive by design — a cluster's
-    canonical doc can still fail the quality bar (then the whole group
-    is dropped: its other members were worse copies of a bad doc).
+    canonical_per_cluster, gopher_rules, quality_score), so the pipeline
+    is the same plan fragments the driver already verifies individually.
+    The near-dup leg is an anti-join on keep = FALSE ids: unclustered
+    docs pass untouched. Composition is conjunctive by design — a
+    cluster's canonical doc can still fail the rule gate or the quality
+    bar (then the whole group is dropped: its other members were worse
+    copies of a bad doc).
 
     Scale: survivor membership joins on doc_id (32-byte digests did the
     exact-dedup shuffle; the near-dup drop list is pair-graph-sized),
-    quality is map-side arithmetic, and the final aggregate is
-    |langs × sources| groups with map-side partials.
+    the rule gate and quality are map-side arithmetic, and the final
+    aggregate is |langs × sources| groups with map-side partials.
     """
     from uw_hadoop_aglorithms_spark.operators.dedup import (
         canonical_per_cluster,
         exact_dedup,
     )
-    from uw_hadoop_aglorithms_spark.operators.textstats import quality_score
+    from uw_hadoop_aglorithms_spark.operators.textstats import (
+        gopher_rules,
+        quality_score,
+    )
 
     survivors = exact_dedup(spark, sf_dir).select("doc_id")
+    rule_pass = (
+        gopher_rules(spark, sf_dir).where(F.col("gp_pass")).select("doc_id")
+    )
     # ONE quality computation feeds both the canonical selection and the
     # report's threshold/average (localCheckpointed: per-doc rows,
     # executor-side — the doc_profile stitch pattern; without it the
@@ -339,6 +348,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(survivors, "doc_id")
         .join(neardup_drops, "doc_id", "left_anti")
+        .join(rule_pass, "doc_id")
         .join(quality, "doc_id")
         .where(F.col("quality") >= CURATION_MIN_QUALITY)
         .groupBy("lang", "source")

@@ -1741,11 +1741,16 @@ CURATION_ORACLES["corpus_curation"] = f"""
     nd_drop AS (
         SELECT doc_id FROM ({DEDUP_ORACLES["canonical_per_cluster"]})
         WHERE NOT keep
+    ),
+    gr AS (
+        SELECT doc_id FROM ({TEXTSTATS_ORACLES["gopher_rules"]})
+        WHERE gp_pass
     )
     SELECT d.lang, d.source, count(*) AS n_docs,
            CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
            round(avg(q.quality), 9) AS avg_quality
     FROM documents d JOIN surv USING (doc_id) JOIN q USING (doc_id)
+         JOIN gr USING (doc_id)
     WHERE d.doc_id NOT IN (SELECT doc_id FROM nd_drop)
       AND q.quality >= {CURATION_MIN_QUALITY}
     GROUP BY d.lang, d.source
