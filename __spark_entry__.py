@@ -137,9 +137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": pipeline.events_props_stats,
         # PII scrubbing (deterministically injected synthetic spans)
         "pii_redact": pipeline.pii_redact,
-        # distributed prefix-sum context packing + dedup/quality curation
+        # distributed prefix-sum context packing (whitespace-proxy AND
+        # true learned-BPE piece counts) + dedup/quality curation
         # + overlapping token-window chunking
-        "pack_sequences": pipeline.pack_sequences,
+        "pack_sequences": suites.pack_sequences,
         "corpus_curation": pipeline.corpus_curation,
         "doc_chunks": pipeline.doc_chunks,
         # Training-data pipeline: multimodal binary-column plumbing

@@ -295,3 +295,39 @@ def test_write_epoch_shards_partitions_the_epoch_order(spark, tmp_path):
     ids0 = {r.doc_id for r in spark.read.parquet(f"{out}/{first_file_e0}").collect()}
     ids1 = {r.doc_id for r in spark.read.parquet(f"{out1}/{first_file_e1}").collect()}
     assert ids0 != ids1, "different epochs must shard differently"
+
+
+def test_pack_sequences_bpe_counts_true_pieces(spark):
+    """The 'bpe' packing leg must (a) be a valid packing under the same
+    prefix-sum law, (b) count AT LEAST one piece per word occurrence
+    (every word segments to >= 1 symbol, so BPE mass dominates the
+    whitespace proxy), and (c) agree word-for-word with piece counts
+    recomputed directly from the trainer's final symbol state."""
+    from uw_hadoop_aglorithms_spark.operators import bpe
+    from uw_hadoop_aglorithms_spark.functions.text import tokens
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        pipeline.pack_sequences_bpe(spark, SF_TEST).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        assert r.shard_id == cum // pipeline.PACK_BUDGET
+        cum += r.n_tokens
+    ws = {r.doc_id: r.n_tokens for r in pipeline.pack_sequences(spark, SF_TEST).collect()}
+    assert all(r.n_tokens >= ws[r.doc_id] for r in rows)
+    assert sum(r.n_tokens for r in rows) > sum(ws.values()), (
+        "10 merges cannot compress the corpus to the whitespace count"
+    )
+    # word-level recount straight off the final trainer state
+    _, st = bpe.bpe_train(spark, SF_TEST)
+    pieces = {r.w: r.np for r in st.groupBy("w").agg(F.count(F.lit(1)).alias("np")).collect()}
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    toks = {
+        r.doc_id: r.ts
+        for r in docs.select("doc_id", tokens("text").alias("ts")).collect()
+    }
+    for r in rows:
+        assert r.n_tokens == sum(pieces[w] for w in toks[r.doc_id])

@@ -417,11 +417,17 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer/string arithmetic — bit-identical, no rounding contract.
 # --------------------------------------------------------------------------
 
-def _bpe_oracle(n_merges: int = N_MERGES) -> str:
-    # every st{k} is consumed twice (next pair count + next merge), so the
-    # CTEs must be MATERIALIZED or DuckDB's inlining re-executes the whole
-    # chain per reference — the same 2^k lineage blowup the Spark loop
-    # solves with localCheckpoint (graph._materialize rationale)
+def trainer_ctes(n_merges: int = N_MERGES) -> list[str]:
+    """The serial-trainer replay as reusable CTE fragments: wc/st0 seed
+    plus pc/best/mk/g/st per merge, ending at st{n_merges} — the final
+    symbol state whose per-word row count IS the word's learned-BPE
+    piece count. Shared by the bpe_vocab oracle and the pack_sequences
+    'bpe' leg (suites.py), so both replay the IDENTICAL training run.
+
+    Every st{k} is consumed twice (next pair count + next merge), so the
+    CTEs must be MATERIALIZED or DuckDB's inlining re-executes the whole
+    chain per reference — the same 2^k lineage blowup the Spark loop
+    solves with localCheckpoint (graph._materialize rationale)."""
     ctes = [
         f"""wc AS MATERIALIZED (
             SELECT term AS w, count(*) AS freq
@@ -470,6 +476,11 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
                   FROM g{k})
             WHERE NOT consumed
         )""")
+    return ctes
+
+
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    ctes = trainer_ctes(n_merges)
     # encode replay (round 5): the same learned merges applied, in
     # order, to the top-ENCODE_TOP corpus words — identical mk/g/st
     # machinery over a 20-word state, reusing each best{k}

@@ -255,13 +255,61 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes in one window.
     """
     docs = Catalog(spark, sf_dir).documents
+    counts = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_from_counts(counts)
+
+
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences on TRUE learned-tokenizer counts: train the serial
+    BPE vocabulary (bpe.bpe_train — the exact trainer the bpe_vocab
+    oracle replays), read each distinct word's piece count straight off
+    the FINAL SYMBOL STATE (training already segmented every corpus
+    word, so no separate encode pass exists to drift from the trainer),
+    and pack on per-doc piece totals. Whitespace-proxy packing misses
+    that token budgets are consumed by TOKENIZER pieces — at N_MERGES=10
+    most words stay near character-level, so the two legs produce
+    materially different shard layouts (~5× the token mass).
+
+    Scale: the piece table is vocabulary-sized (Heaps-law sublinear in
+    corpus bytes — large, so it is NOT broadcast-hinted; AQE decides),
+    the (doc_id, word) aggregation shuffles the same volume word_count
+    does, and the prefix sum is the shared two-phase form. Piece counts
+    include the end-of-word sentinel unless merged into the final piece
+    (standard BPE-with-EOW accounting, identical in the oracle replay).
+    """
+    from uw_hadoop_aglorithms_spark.operators import bpe
+
+    _, st = bpe.bpe_train(spark, sf_dir)
+    pieces = st.groupBy("w").agg(F.count(F.lit(1)).alias("np"))
+    docs = Catalog(spark, sf_dir).documents
+    wcnt = (
+        docs.select("doc_id", F.explode_outer(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    counts = (
+        wcnt.join(pieces, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.coalesce(F.col("np"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens")
+        )
+    )
+    return pack_from_counts(counts)
+
+
+def pack_from_counts(counts: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) → (doc_id, n_tokens, shard_id): the two-phase
+    distributed prefix sum shared by the whitespace and learned-BPE
+    packing legs (and reusable for any per-doc cost measure)."""
     # cache the 3-int projection: it feeds BOTH the per-range totals and
     # the final assignment — without it the corpus is scanned (and
     # tokenized) twice. ~24 bytes/doc, cacheable even at 1e9 docs.
-    toks = docs.select(
-        "doc_id",
-        F.size(tokens("text")).cast("long").alias("n_tokens"),
-        F.expr(f"doc_id div {PACK_RANGE}").alias("rng"),
+    toks = counts.select(
+        "doc_id", "n_tokens", F.expr(f"doc_id div {PACK_RANGE}").alias("rng")
     ).cache()
     per_range = toks.groupBy("rng").agg(F.sum("n_tokens").alias("rng_tokens"))
     # exclusive prefix over ranges: |docs|/PACK_RANGE rows — tiny by

@@ -1008,6 +1008,34 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # union, not a changed plan)
 # --------------------------------------------------------------------------
 
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under BOTH cost measures, run CONCURRENTLY from
+    driver threads (the pagerank_suite trick — the BPE leg's 10-merge
+    trainer loop overlaps the whitespace leg's scan): 'ws' packs on
+    whitespace-proxy token counts (the original pack_sequences), 'bpe'
+    packs on true learned-tokenizer piece totals read off the trainer's
+    final symbol state (pipeline.pack_sequences_bpe). Same two-phase
+    distributed prefix sum in both; the oracle replays the identical
+    trainer CTE chain the bpe_vocab oracle uses, so the 'bpe' leg's
+    counts are certified against the same training run word_count
+    verifies."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def mat(fn):
+        return fn(spark, sf_dir).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(2) as pool:
+        f_ws = pool.submit(mat, pipeline.pack_sequences)
+        f_bp = pool.submit(mat, pipeline.pack_sequences_bpe)
+        ws, bp = f_ws.result(), f_bp.result()
+    cols = ["doc_id", "n_tokens", "shard_id"]
+    return (
+        ws.select(F.lit("ws").alias("variant"), *cols)
+        .unionAll(bp.select(F.lit("bpe").alias("variant"), *cols))
+        .orderBy("variant", "doc_id")
+    )
+
+
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl = F.lit(None).cast("long")
     hs = pipeline.hash_sample(spark, sf_dir).select(
@@ -1870,6 +1898,14 @@ def _suite_oracles() -> dict[str, str]:
             _wrap("ivfpq", SIMILARITY_ORACLES["ann_ivfpq_topk"], tag="method"),
         ),
         "doc_profile": doc_profile_sql,
+        # packing under both cost measures: 'ws' = the original
+        # whitespace-proxy leg; 'bpe' = per-doc piece totals read off
+        # the SAME serial-trainer replay the bpe_vocab oracle uses
+        # (bpe.trainer_ctes), then the identical global-window cumsum
+        "pack_sequences": _u(
+            _wrap("ws", PIPELINE_ORACLES["pack_sequences"]),
+            _wrap("bpe", _pack_bpe_sql()),
+        ),
         "length_percentiles": (
             "SELECT *, TRUE AS approx_ok FROM (\n"
             + TEXTSTATS_ORACLES["length_percentiles"]
@@ -1894,6 +1930,51 @@ def _suite_oracles() -> dict[str, str]:
             _epoch_oracle_sql(),
         ),
     }
+
+
+def _pack_bpe_sql() -> str:
+    """The 'bpe' packing leg's oracle: the serial BPE trainer's CTE
+    replay (shared verbatim with the bpe_vocab oracle — same merges,
+    same final state), per-word piece counts off st{N_MERGES}, per-doc
+    piece totals (docs with no tokens pin 0 via the LEFT JOIN), and the
+    naive single-window cumsum the engine's two-phase form must equal
+    exactly (integers end-to-end)."""
+    from uw_hadoop_aglorithms_spark.functions.text import TOKENS_SQL
+    from uw_hadoop_aglorithms_spark.operators.pipeline import PACK_BUDGET
+
+    ctes = ",\n".join(bpe.trainer_ctes())
+    return f"""
+        WITH {ctes},
+        pieces AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS np
+            FROM st{bpe.N_MERGES} GROUP BY w
+        ),
+        dc AS (
+            SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS w FROM documents)
+            GROUP BY doc_id, w
+        ),
+        nt AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(x.c * x.np), 0) AS BIGINT) AS n_tokens
+            FROM documents d
+            LEFT JOIN (SELECT dc.doc_id, dc.c, pieces.np
+                       FROM dc JOIN pieces USING (w)) x
+              ON x.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_excl
+            FROM nt
+        )
+        SELECT doc_id, n_tokens,
+               CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS shard_id
+        FROM cum ORDER BY doc_id
+    """
 
 
 def _epoch_oracle_sql(epoch: int = 1) -> str:
