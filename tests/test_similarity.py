@@ -269,3 +269,62 @@ def test_ivfpq_persisted_codes_recall_exactness_and_plan(spark, brute):
     finally:
         for t in (f"{pfx}_pqcodes", f"{pfx}_centroids", f"{pfx}_pqcb"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_filtered_ann_pre_filter_semantics(spark):
+    """Filtered search must (a) return only same-label neighbors, (b) be
+    a subset of the within-label brute-force ground truth with
+    bit-identical cosines, and (c) beat the post-filter strategy the
+    operator exists to replace (post-filtering the unfiltered IVF top-k
+    leaves most queries starved below k same-label rows)."""
+    from pyspark.sql import functions as F
+
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    filt = similarity.ann_ivf_filtered_topk(spark, SF_TEST).collect()
+    assert filt
+    for r in filt:
+        assert labels[r.query_id] == labels[r.neighbor_id]
+
+    # within-label brute force ground truth, per query
+    emb = similarity._normed(spark, SF_TEST, extra_cols=("label",))
+    q = emb.filter(similarity._is_query(F.col("vec_id"))).alias("q")
+    c = emb.alias("c")
+    brute_rows = (
+        q.join(
+            c,
+            (F.col("q.label") == F.col("c.label"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            similarity._cosine("q", "c").alias("cosine"),
+        )
+        .collect()
+    )
+    truth = {(r.query_id, r.neighbor_id): r.cosine for r in brute_rows}
+    for r in filt:
+        assert (r.query_id, r.neighbor_id) in truth
+        assert r.cosine == truth[(r.query_id, r.neighbor_id)]
+
+    # post-filter starvation: take the plain IVF top-k, filter by label
+    plain = similarity.ann_ivf_topk(spark, SF_TEST).collect()
+    post_k: dict[int, int] = {}
+    for r in plain:
+        if labels[r.query_id] == labels[r.neighbor_id]:
+            post_k[r.query_id] = post_k.get(r.query_id, 0) + 1
+    pre_k: dict[int, int] = {}
+    for r in filt:
+        pre_k[r.query_id] = pre_k.get(r.query_id, 0) + 1
+    starved = [
+        qid for qid in pre_k if post_k.get(qid, 0) < min(pre_k[qid], similarity.TOP_K)
+    ]
+    assert starved, (
+        "with 10 balanced labels, post-filtering the unfiltered top-10 "
+        "must starve at least one query below the pre-filter's k"
+    )

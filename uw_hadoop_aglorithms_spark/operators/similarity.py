@@ -93,12 +93,18 @@ def _is_query(vec_id: Column) -> Column:
     )
 
 
-def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _normed(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     # spread the interpreted fold expressions across cores only when the
     # scan is under-parallel (plans/layout.spread_for_cpu)
     return (
         spread_for_cpu(Catalog(spark, sf_dir).embeddings, "vec_id")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select(
+            "vec_id",
+            *extra_cols,
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
         .withColumn(
             "nrm",
             F.sqrt(
@@ -228,6 +234,72 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             c,
             (F.col("q.probe") == F.col("c.cell"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cosine("q", "c").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the production "metadata predicate +
+    vector" ask (every vector store grows a WHERE clause): per query,
+    the top-10 cosine neighbors AMONG VECTORS SHARING ITS LABEL, found
+    with the PRE-FILTER strategy (predicate composed into candidate
+    generation, not applied after the fact): candidates must match a
+    probed cell AND the query's label, so a ~1/|labels| selective
+    predicate shrinks the rerank set ~10× instead of starving a
+    post-filtered top-k. Post-filtering the unfiltered IVF top-k would
+    return <k (often 0) same-label rows — the classic filtered-ANN
+    failure this operator exists to avoid.
+
+    Scale: same plan as ann_ivf_topk plus the label equi-predicate in
+    the candidate join; at lake scale the codes/cells table is
+    partitioned by (label, cell) so the predicate becomes partition
+    pruning on the same layout the persisted-IVF index already uses
+    (save_ann_index partitions by cell; a label-filtered deployment
+    adds it to the partition spec).
+    """
+    cents = _ivf_centroids(spark, sf_dir)
+    emb = _normed(spark, sf_dir, extra_cols=("label",)).withColumn(
+        "cell",
+        -F.array_max(_ivf_assign_structs(F.col("v"), F.col("nrm"), cents))["nj"],
+    )
+    probe_structs = F.reverse(
+        F.array_sort(_ivf_assign_structs(F.col("v"), F.col("nrm"), cents))
+    )
+    q = (
+        emb.filter(_is_query(F.col("vec_id")))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            "nrm",
+            F.explode(F.slice(probe_structs, 1, IVF_NPROBE)).alias("pr"),
+        )
+        .select(
+            "vec_id", "label", "v", "nrm", (-F.col("pr.nj")).alias("probe")
+        )
+        .alias("q")
+    )
+    c = emb.alias("c")
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.probe") == F.col("c.cell"))
+            & (F.col("q.label") == F.col("c.label"))
             & (F.col("q.vec_id") != F.col("c.vec_id")),
         )
         .select(

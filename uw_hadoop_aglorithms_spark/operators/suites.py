@@ -889,7 +889,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in rows
         ]
 
-    with ThreadPoolExecutor(6) as pool:
+    with ThreadPoolExecutor(7) as pool:
         futs = {
             "brute": pool.submit(grab, similarity.ann_brute_topk),
             "lsh": pool.submit(grab, similarity.ann_lsh_topk),
@@ -900,10 +900,16 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivf_idx": pool.submit(grab_idx),
             # round 6: IVF-ADC over persisted compressed codes
             "ivfpq": pool.submit(grab_ivfpq),
+            # round 6: filtered search — the metadata-predicate + vector
+            # ask, PRE-filter strategy (label composed into the
+            # candidate join, not applied after top-k)
+            "filtered": pool.submit(grab, similarity.ann_ivf_filtered_topk),
         }
         rows = [
             (m, q, nb, c, rk)
-            for m in ("brute", "lsh", "ivf", "pq", "ivf_idx", "ivfpq")
+            for m in (
+                "brute", "lsh", "ivf", "pq", "ivf_idx", "ivfpq", "filtered",
+            )
             for (q, nb, c, rk) in futs[m].result()
         ]
     return spark.createDataFrame(
@@ -1896,6 +1902,10 @@ def _suite_oracles() -> dict[str, str]:
             # one-shot IVF — same replay, different label
             _wrap("ivf_idx", SIMILARITY_ORACLES["ann_ivf_topk"], tag="method"),
             _wrap("ivfpq", SIMILARITY_ORACLES["ann_ivfpq_topk"], tag="method"),
+            # round 6: pre-filter label predicate composed into the
+            # candidate join (the filtered-vector-search ask)
+            _wrap("filtered", SIMILARITY_ORACLES["ann_ivf_filtered_topk"],
+                  tag="method"),
         ),
         "doc_profile": doc_profile_sql,
         # packing under both cost measures: 'ws' = the original
@@ -2031,6 +2041,7 @@ SUBSUMED: frozenset[str] = frozenset(
         "ann_ivf_topk",
         "ann_pq_topk",
         "ann_ivfpq_topk",
+        "ann_ivf_filtered_topk",
         "doc_stats",
         "quality_score",
         "repetition_score",

@@ -1192,6 +1192,63 @@ def _ann_ivf_sql() -> str:
     """
 
 
+def _ann_ivf_filtered_sql() -> str:
+    """Filtered IVF (similarity.ann_ivf_filtered_topk): the IVF replay
+    with the query's label composed into the candidate join — the
+    pre-filter strategy, mirrored predicate-for-predicate."""
+    dot_ec = _fold_sum(
+        "list_transform(range(len(e.v)), i -> e.v[i + 1] * cents.v[i + 1])"
+    )
+    return f"""
+    WITH {_NORMED_CTE},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v, nrm
+        FROM e
+        WHERE vec_id % {IVF_CENTROID_MOD} = 0
+          AND vec_id < {IVF_CENTROID_MOD * IVF_NLIST}
+    ),
+    ass AS (
+        SELECT e.vec_id, cents.cidx,
+               {dot_ec} / (e.nrm * cents.nrm) AS cos
+        FROM e, cents
+    ),
+    ranked_ass AS (
+        SELECT vec_id, cidx, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn
+        FROM ass
+    ),
+    cellof AS (SELECT vec_id, cidx AS cell FROM ranked_ass WHERE rn = 1),
+    probes AS (
+        SELECT vec_id, cidx AS probe FROM ranked_ass
+        WHERE rn <= {IVF_NPROBE} AND {_IS_QUERY}
+    ),
+    q AS (
+        SELECT e.vec_id, lab.label, e.v, e.nrm, probes.probe
+        FROM e JOIN probes USING (vec_id) JOIN lab USING (vec_id)
+    ),
+    cc AS (
+        SELECT e.*, lab.label, cellof.cell
+        FROM e JOIN cellof USING (vec_id) JOIN lab USING (vec_id)
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_QC} / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN cc c
+          ON q.probe = c.cell AND q.label = c.label
+         AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, "rank"
+    FROM ranked WHERE "rank" <= {TOP_K}
+    ORDER BY query_id, "rank"
+    """
+
+
 def _ann_pq_sql() -> str:
     """PQ-ADC: codebook derived relationally (same ids/values as the
     Spark side's collected literals); every cross-subspace combination
@@ -1401,6 +1458,7 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "ann_brute_topk": _ann_brute_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
     "ann_ivf_topk": _ann_ivf_sql(),
+    "ann_ivf_filtered_topk": _ann_ivf_filtered_sql(),
     "ann_pq_topk": _ann_pq_sql(),
     "ann_ivfpq_topk": _ann_ivfpq_sql(),
     # mirrors operators/similarity.embed_quantize: floor(z+0.5) coding,
