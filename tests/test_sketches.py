@@ -127,7 +127,8 @@ def test_hll_suite_certs_hold(spark):
         by_variant.setdefault(r.variant, []).append(r)
     assert all(r.cert for r in rows)
     assert {v for v in by_variant} == {
-        "exact", "hll_users", "hll_events", "hll_regsum", "hll_rollup"
+        "exact", "hll_users", "hll_events", "hll_regsum", "hll_rollup",
+        "kmv_users", "kmv_inter",
     }
     # regime split on the fixture: few users -> empty buckets remain
     assert all(r.aux > 0 for r in by_variant["hll_users"])
@@ -253,3 +254,69 @@ def test_hll_rollup_vacates_deleted_days(spark, tmp_path):
     assert _reg_set(spark.read.parquet(roll)) == _reg_set(
         spark.read.parquet(roll2)
     )
+
+
+def test_kmv_unsaturated_regime_is_exact(spark):
+    """At SF_TEST there are fewer distinct users than K, so every
+    per-type sample is UNSATURATED: the sketch holds the whole key-hash
+    set, theta spans the full hash range, and both the per-type and the
+    intersection estimators collapse to exact counts (modulo the ~n²/P
+    hash-collision rate, zero on this fixture)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    samples = sketches.kmv_samples(ev)
+    stats = {r.g: r for r in sketches.kmv_group_stats(samples).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert stats and set(stats) == set(exact)
+    for g, r in stats.items():
+        assert r.c < sketches.KMV_K, "fixture must be in the unsaturated regime"
+        assert r.kmv_est == exact[g]
+        assert r.theta == 1_000_000_007
+    inter = sketches.kmv_intersections(samples).collect()
+    assert len(inter) == len(exact) * (len(exact) - 1) // 2
+    ut = ev.select("user_id", F.col("event_type").alias("g")).distinct()
+    ex_pair = {
+        (r.ga, r.gb): r.n
+        for r in ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.g") < F.col("y.g")),
+        )
+        .groupBy(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+        .agg(F.countDistinct(F.col("x.user_id")).alias("n"))
+        .collect()
+    }
+    for r in inter:
+        assert r.inter_est == ex_pair.get((r.ga, r.gb), 0)
+
+
+def test_kmv_merge_law_union_then_retake(spark):
+    """Mergeability — the rollup law: the sketch of A ∪ B equals
+    re-taking the K smallest over the union of the two sketches (same
+    law as hll_merge's register max, so per-day KMV rollups compose the
+    same way the HLL rollup does)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    full = sketches.kmv_samples(ev)
+    half_a = sketches.kmv_samples(ev.where(F.col("event_id") % 2 == 0))
+    half_b = sketches.kmv_samples(ev.where(F.col("event_id") % 2 == 1))
+    w = Window.partitionBy("g").orderBy("h")
+    merged = (
+        half_a.select("g", "h")
+        .unionAll(half_b.select("g", "h"))
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= sketches.KMV_K)
+    )
+    want = {(r.g, r.h) for r in full.collect()}
+    got = {(r.g, r.h) for r in merged.collect()}
+    assert got == want

@@ -433,3 +433,123 @@ def refresh_hll_rollup(
                 os.path.join(rollup_path, f"dt={d}"), ignore_errors=True
             )
     return days
+
+
+# --------------------------------------------------------------------------
+# KMV / theta sketch (Beyer et al. 2007; Apache DataSketches' theta
+# family): the K smallest distinct key-hashes per group. Completes the
+# sketch family with the one operation HLL structurally cannot do —
+# SET-OPERATION estimates (distinct |A ∩ B|): two HLLs only union
+# (register max); two KMV samples intersect (shared hashes under the
+# joint threshold). Bounded state (K int64s per group), mergeable like
+# the HLL rollup (union the samples, re-take the K smallest), and —
+# because the hash is the engine-neutral scramble — the ENTIRE sketch,
+# estimates included, replays exactly in DuckDB (integer arithmetic
+# end-to-end; no float estimator).
+# --------------------------------------------------------------------------
+
+#: Sample size: RSE ≈ 1/sqrt(K-2) ≈ 13%. K=64 crosses the two regimes
+#: on the fixture exactly like the HLL estimator does across SFs:
+#: sf0.001 has < K distinct users per type (sample = the whole key set,
+#: estimate EXACT), sf0.01+ has more (order-statistic estimation).
+KMV_K = 64
+KMV_SEED = 701
+#: Certificate bounds, in integer percent (mirrored in the oracle):
+#: ~3 sigma for the per-group estimate; wider for intersections (the
+#: theta estimator's variance grows as the intersection shrinks
+#: relative to the sampled fraction).
+KMV_CERT_PCT = 40
+KMV_INTER_CERT_PCT = 50
+
+
+def kmv_hash_sql(expr: str) -> str:
+    """int64 key → scrambled int64 in [1, P]: an affine of the shared
+    square-mod mix (fresh seed), shifted by +1 so 0 never appears —
+    the estimator divides by the K-th smallest value."""
+    a, b = hash_params(KMV_SEED)
+    v = f"(({_hll_mix_sql(expr)} * {a} + {b}) % {P_HASH})"
+    return f"({v} + 1)"
+
+
+def kmv_samples(
+    df: DataFrame, key_col: str = "user_id", group_col: str = "event_type"
+) -> DataFrame:
+    """(g, h, rk): the K smallest DISTINCT key-hashes per group — the
+    whole sketch. One distinct + one bounded window; state is K rows
+    per group regardless of corpus size. Merging sketches = union the
+    rows and re-take the K smallest (associative/idempotent, the same
+    rollup law as hll_merge)."""
+    from pyspark.sql.window import Window
+
+    dist = df.selectExpr(
+        f"{group_col} AS g", f"{kmv_hash_sql(key_col)} AS h"
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+    )
+
+
+def kmv_group_stats(samples: DataFrame) -> DataFrame:
+    """(g, c, hk, theta, kmv_est): per-group sample size, K-th smallest
+    hash, inclusion threshold, and the integer KMV estimate.
+
+    Two regimes, both mirrored in the oracle: an UNSATURATED sample
+    (c < K) holds every distinct key-hash, so the estimate is exactly c
+    and theta spans the whole hash range; a saturated one estimates
+    (K-1) * P div h_K (the classic KMV order-statistic form, integer
+    division — no floats to drift)."""
+    return (
+        samples.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("h").alias("hk"))
+        .selectExpr(
+            "g", "c", "hk",
+            f"CASE WHEN c < {KMV_K} THEN {P_HASH} ELSE hk END AS theta",
+            f"CASE WHEN c < {KMV_K} THEN c"
+            f" ELSE ({KMV_K - 1} * CAST({P_HASH} AS BIGINT)) div hk"
+            " END AS kmv_est",
+        )
+    )
+
+
+def kmv_intersections(samples: DataFrame) -> DataFrame:
+    """(ga, gb, n_s, theta, inter_est) for every unordered group pair:
+    the theta-sketch intersection estimate. Shared hashes join on h
+    (K-row sides — trivially broadcastable at any corpus size), the
+    joint threshold is the smaller theta, and the estimate scales the
+    surviving sample by the sampled fraction: n_s * P div theta.
+    Unsaturated×unsaturated pairs degrade to EXACT intersection of the
+    key-hash sets (theta = P ⇒ estimate = n_s) — the same two-regime
+    crossing as the per-group estimator."""
+    stats = kmv_group_stats(samples)
+    a = samples.alias("a")
+    b = samples.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g")))
+        .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"), F.col("a.h").alias("h"))
+    )
+    ta = stats.select(F.col("g").alias("ga"), F.col("theta").alias("th_a"))
+    tb = stats.select(F.col("g").alias("gb"), F.col("theta").alias("th_b"))
+    pairs = (
+        stats.select(F.col("g").alias("ga")).alias("x")
+        .join(stats.select(F.col("g").alias("gb")).alias("y"), F.col("x.ga") < F.col("y.gb"))
+        .join(ta, "ga")
+        .join(tb, "gb")
+        .withColumn("theta", F.least("th_a", "th_b"))
+    )
+    counted = (
+        shared.join(pairs.select("ga", "gb", "theta"), ["ga", "gb"])
+        .where(F.col("h") <= F.col("theta"))
+        .groupBy("ga", "gb", "theta")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+    )
+    return (
+        pairs.select("ga", "gb", "theta")
+        .join(counted, ["ga", "gb", "theta"], "left")
+        .withColumn("n_s", F.coalesce("n_s", F.lit(0)))
+        .selectExpr(
+            "ga", "gb", "n_s", "theta",
+            f"(n_s * CAST({P_HASH} AS BIGINT)) div theta AS inter_est",
+        )
+    )

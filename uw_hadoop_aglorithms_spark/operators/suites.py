@@ -99,7 +99,15 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    persisted-rollup answers range-distinct queries
                    without rescanning events (sketches.hll_day_registers
                    docstring; persistence round-trip in
-                   tests/test_sketches.py).
+                   tests/test_sketches.py);
+    - 'kmv_users'  per-type KMV (theta-family) integer estimate vs the
+                   exact count (round 6 — sketches.kmv_*; K=64 crosses
+                   unsaturated→saturated between sf0.001 and sf0.01,
+                   like the HLL estimator's two regimes);
+    - 'kmv_inter'  pairwise distinct-|A∩B| theta estimates vs exact
+                   intersections (k='typeA|typeB') — the set operation
+                   HLL structurally cannot answer, and the reason the
+                   KMV leg exists.
 
     Everything is in-plan DataFrame composition; the register frames are
     localCheckpointed once (<= |types| x days x 256 rows — bounded by
@@ -182,9 +190,49 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hll_est AS v", "v_empty AS aux", bound,
     )
 
+    # KMV / theta sketch (round 6): the SET-OPERATION leg HLL cannot do.
+    # 'kmv_users' = per-type integer KMV estimate vs exact (+ cert);
+    # 'kmv_inter' = pairwise distinct-|A∩B| theta estimates vs the exact
+    # intersection (k = 'typeA|typeB'). The sample is K=64 rows/type
+    # (localCheckpointed once, bounded by construction); exact pair
+    # truths share one deduped (user, type) frame.
+    samples = sketches.kmv_samples(ev).localCheckpoint(eager=False)
+    kstats = sketches.kmv_group_stats(samples)
+    kmv_users = kstats.join(
+        ex_u, F.col("g") == F.col("event_type")
+    ).selectExpr(
+        "'kmv_users' AS variant", "g AS k", "n", "kmv_est AS v",
+        "hk AS aux",
+        f"(100 * abs(kmv_est - n) <= {sketches.KMV_CERT_PCT} * n) AS cert",
+    )
+    ut = (
+        ev.select("user_id", F.col("event_type").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ex_pair = (
+        ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.g") < F.col("y.g")),
+        )
+        .groupBy(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+        .agg(F.countDistinct(F.col("x.user_id")).alias("n"))
+    )
+    kmv_inter = sketches.kmv_intersections(samples).join(
+        ex_pair, ["ga", "gb"]
+    ).selectExpr(
+        "'kmv_inter' AS variant", "concat(ga, '|', gb) AS k", "n",
+        "inter_est AS v", "theta AS aux",
+        f"(100 * abs(inter_est - n) <= {sketches.KMV_INTER_CERT_PCT} * n)"
+        " AS cert",
+    )
+
     return (
         exact.unionAll(hll_users).unionAll(hll_events).unionAll(regsum)
         .unionAll(roll_all).unionAll(roll_week)
+        .unionAll(kmv_users).unionAll(kmv_inter)
         .orderBy("variant", "k")
     )
 
@@ -1443,6 +1491,8 @@ def _distinct_users_oracle() -> str:
     'exact' rows' built-in-HLL 5% cert is asserted TRUE (the oracle
     cannot replay Spark's opaque sketch; 20% certs on the neutral
     sketch ARE replayed, as exact integer comparisons)."""
+    from uw_hadoop_aglorithms_spark.functions.hashing import P
+
     regs_u = sketches.hll_oracle_cte("user_id", "event_type")
     regs_e = sketches.hll_oracle_cte("event_id", "event_type")
     regs_all = sketches.hll_oracle_cte("user_id", "'ALL'")
@@ -1458,7 +1508,38 @@ def _distinct_users_oracle() -> str:
              regs_e AS ({regs_e}),
              regs_all AS ({regs_all}),
              w1 AS (SELECT strftime(CAST(min(ts) AS DATE) + 6, '%Y-%m-%d') AS d
-                    FROM events)
+                    FROM events),
+             -- KMV / theta replay (sketches.kmv_*): K smallest distinct
+             -- key-hashes per type; integer estimators, both regimes
+             kh AS (SELECT DISTINCT event_type AS g,
+                           {sketches.kmv_hash_sql('user_id')} AS h
+                    FROM events),
+             ks AS (SELECT g, h FROM (
+                        SELECT g, h, row_number() OVER (
+                            PARTITION BY g ORDER BY h) AS rk FROM kh)
+                    WHERE rk <= {sketches.KMV_K}),
+             kst AS (SELECT g, count(*) AS c, max(h) AS hk,
+                            CASE WHEN count(*) < {sketches.KMV_K}
+                                 THEN {P} ELSE max(h) END AS theta,
+                            CASE WHEN count(*) < {sketches.KMV_K}
+                                 THEN count(*)
+                                 ELSE ({sketches.KMV_K - 1}
+                                       * CAST({P} AS BIGINT)) // max(h)
+                            END AS kmv_est
+                     FROM ks GROUP BY g),
+             kp AS (SELECT a.g AS ga, b.g AS gb,
+                           least(a.theta, b.theta) AS theta
+                    FROM kst a JOIN kst b ON a.g < b.g),
+             ksh AS (SELECT a.g AS ga, b.g AS gb, a.h
+                     FROM ks a JOIN ks b ON a.h = b.h AND a.g < b.g),
+             kc AS (SELECT kp.ga, kp.gb, kp.theta, count(ksh.h) AS n_s
+                    FROM kp LEFT JOIN ksh
+                      ON ksh.ga = kp.ga AND ksh.gb = kp.gb
+                     AND ksh.h <= kp.theta
+                    GROUP BY 1, 2, 3),
+             ki AS (SELECT ga, gb, n_s, theta,
+                           (n_s * CAST({P} AS BIGINT)) // theta AS inter_est
+                    FROM kc)
         SELECT 'exact' AS variant, event_type AS k,
                count(DISTINCT user_id) AS n, count(*) AS v,
                CAST(NULL AS BIGINT) AS aux, TRUE AS cert
@@ -1487,6 +1568,25 @@ def _distinct_users_oracle() -> str:
         JOIN (SELECT 'ALL' AS g, count(DISTINCT user_id) AS n FROM events
               WHERE strftime(ts, '%Y-%m-%d') <= (SELECT d FROM w1)) x
           USING (g)
+        UNION ALL
+        SELECT 'kmv_users', kst.g, x.n, kst.kmv_est, kst.hk,
+               (100 * abs(kst.kmv_est - x.n) <= {sketches.KMV_CERT_PCT} * x.n)
+        FROM kst
+        JOIN (SELECT event_type AS g, count(DISTINCT user_id) AS n
+              FROM events GROUP BY 1) x USING (g)
+        UNION ALL
+        SELECT 'kmv_inter', ki.ga || '|' || ki.gb, xp.n, ki.inter_est,
+               ki.theta,
+               (100 * abs(ki.inter_est - xp.n)
+                  <= {sketches.KMV_INTER_CERT_PCT} * xp.n)
+        FROM ki
+        JOIN (
+            SELECT x.g AS ga, y.g AS gb, count(DISTINCT x.user_id) AS n
+            FROM (SELECT DISTINCT user_id, event_type AS g FROM events) x
+            JOIN (SELECT DISTINCT user_id, event_type AS g FROM events) y
+              ON x.user_id = y.user_id AND x.g < y.g
+            GROUP BY 1, 2
+        ) xp USING (ga, gb)
         ORDER BY variant, k
     """
 
