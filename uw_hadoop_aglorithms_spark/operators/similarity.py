@@ -207,8 +207,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: raise IVF_NLIST so cells stay bounded and pre-partition
     the corpus by cell on write — the standard IVF deployment shape.
     """
+    return _ivf_probe_topk(spark, sf_dir)
+
+
+def _ivf_probe_topk(
+    spark: SparkSession, sf_dir: str, match_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The IVF probe pipeline shared by ann_ivf_topk and the filtered
+    variant: map-side cell assignment, per-query NPROBE probes, the
+    broadcast candidate join (cell match + one equi-predicate per
+    `match_cols` entry — the pre-filter hook), exact-cosine rerank,
+    top-K window. One body so the variants can never drift."""
     cents = _ivf_centroids(spark, sf_dir)
-    emb = _normed(spark, sf_dir).withColumn(
+    emb = _normed(spark, sf_dir, extra_cols=match_cols).withColumn(
         "cell",
         -F.array_max(_ivf_assign_structs(F.col("v"), F.col("nrm"), cents))["nj"],
     )
@@ -219,23 +230,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(_is_query(F.col("vec_id")))
         .select(
             "vec_id",
+            *match_cols,
             "v",
             "nrm",
             F.explode(
                 F.slice(probe_structs, 1, IVF_NPROBE)
             ).alias("pr"),
         )
-        .select("vec_id", "v", "nrm", (-F.col("pr.nj")).alias("probe"))
+        .select(
+            "vec_id", *match_cols, "v", "nrm", (-F.col("pr.nj")).alias("probe")
+        )
         .alias("q")
     )
     c = emb.alias("c")
+    cond = (F.col("q.probe") == F.col("c.cell")) & (
+        F.col("q.vec_id") != F.col("c.vec_id")
+    )
+    for mc in match_cols:
+        cond = cond & (F.col(f"q.{mc}") == F.col(f"c.{mc}"))
     scored = (
         F.broadcast(q)
-        .join(
-            c,
-            (F.col("q.probe") == F.col("c.cell"))
-            & (F.col("q.vec_id") != F.col("c.vec_id")),
-        )
+        .join(c, cond)
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
@@ -265,57 +280,14 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure this operator exists to avoid.
 
     Scale: same plan as ann_ivf_topk plus the label equi-predicate in
-    the candidate join; at lake scale the codes/cells table is
+    the candidate join (one body — _ivf_probe_topk — so the variants
+    can never drift); at lake scale the codes/cells table is
     partitioned by (label, cell) so the predicate becomes partition
     pruning on the same layout the persisted-IVF index already uses
     (save_ann_index partitions by cell; a label-filtered deployment
     adds it to the partition spec).
     """
-    cents = _ivf_centroids(spark, sf_dir)
-    emb = _normed(spark, sf_dir, extra_cols=("label",)).withColumn(
-        "cell",
-        -F.array_max(_ivf_assign_structs(F.col("v"), F.col("nrm"), cents))["nj"],
-    )
-    probe_structs = F.reverse(
-        F.array_sort(_ivf_assign_structs(F.col("v"), F.col("nrm"), cents))
-    )
-    q = (
-        emb.filter(_is_query(F.col("vec_id")))
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            "nrm",
-            F.explode(F.slice(probe_structs, 1, IVF_NPROBE)).alias("pr"),
-        )
-        .select(
-            "vec_id", "label", "v", "nrm", (-F.col("pr.nj")).alias("probe")
-        )
-        .alias("q")
-    )
-    c = emb.alias("c")
-    scored = (
-        F.broadcast(q)
-        .join(
-            c,
-            (F.col("q.probe") == F.col("c.cell"))
-            & (F.col("q.label") == F.col("c.label"))
-            & (F.col("q.vec_id") != F.col("c.vec_id")),
-        )
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            _cosine("q", "c").alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
-    )
+    return _ivf_probe_topk(spark, sf_dir, match_cols=("label",))
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -513,40 +513,49 @@ def kmv_group_stats(samples: DataFrame) -> DataFrame:
     )
 
 
-def kmv_intersections(samples: DataFrame) -> DataFrame:
+def kmv_intersections(
+    samples: DataFrame, stats: DataFrame | None = None
+) -> DataFrame:
     """(ga, gb, n_s, theta, inter_est) for every unordered group pair:
     the theta-sketch intersection estimate. Shared hashes join on h
     (K-row sides — trivially broadcastable at any corpus size), the
-    joint threshold is the smaller theta, and the estimate scales the
-    surviving sample by the sampled fraction: n_s * P div theta.
-    Unsaturated×unsaturated pairs degrade to EXACT intersection of the
-    key-hash sets (theta = P ⇒ estimate = n_s) — the same two-regime
-    crossing as the per-group estimator."""
-    stats = kmv_group_stats(samples)
-    a = samples.alias("a")
-    b = samples.alias("b")
-    shared = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g")))
-        .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"), F.col("a.h").alias("h"))
-    )
-    ta = stats.select(F.col("g").alias("ga"), F.col("theta").alias("th_a"))
-    tb = stats.select(F.col("g").alias("gb"), F.col("theta").alias("th_b"))
+    joint threshold is the smaller of the pair's thetas (one stats
+    self-join — pass the caller's `stats` frame to avoid deriving it
+    twice), and the estimate scales the surviving sample by the sampled
+    fraction: n_s * P div theta. Unsaturated×unsaturated pairs degrade
+    to EXACT intersection of the key-hash sets (theta = P ⇒ estimate =
+    n_s) — the same two-regime crossing as the per-group estimator."""
+    if stats is None:
+        stats = kmv_group_stats(samples)
     pairs = (
-        stats.select(F.col("g").alias("ga")).alias("x")
-        .join(stats.select(F.col("g").alias("gb")).alias("y"), F.col("x.ga") < F.col("y.gb"))
-        .join(ta, "ga")
-        .join(tb, "gb")
-        .withColumn("theta", F.least("th_a", "th_b"))
+        stats.alias("x")
+        .join(stats.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(
+            F.col("x.g").alias("ga"),
+            F.col("y.g").alias("gb"),
+            F.least(F.col("x.theta"), F.col("y.theta")).alias("theta"),
+        )
+    )
+    shared = (
+        samples.alias("a")
+        .join(
+            samples.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g")),
+        )
+        .select(
+            F.col("a.g").alias("ga"),
+            F.col("b.g").alias("gb"),
+            F.col("a.h").alias("h"),
+        )
     )
     counted = (
-        shared.join(pairs.select("ga", "gb", "theta"), ["ga", "gb"])
+        shared.join(pairs, ["ga", "gb"])
         .where(F.col("h") <= F.col("theta"))
         .groupBy("ga", "gb", "theta")
         .agg(F.count(F.lit(1)).alias("n_s"))
     )
     return (
-        pairs.select("ga", "gb", "theta")
-        .join(counted, ["ga", "gb", "theta"], "left")
+        pairs.join(counted, ["ga", "gb", "theta"], "left")
         .withColumn("n_s", F.coalesce("n_s", F.lit(0)))
         .selectExpr(
             "ga", "gb", "n_s", "theta",

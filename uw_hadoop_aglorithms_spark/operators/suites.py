@@ -220,7 +220,7 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
         .agg(F.countDistinct(F.col("x.user_id")).alias("n"))
     )
-    kmv_inter = sketches.kmv_intersections(samples).join(
+    kmv_inter = sketches.kmv_intersections(samples, stats=kstats).join(
         ex_pair, ["ga", "gb"]
     ).selectExpr(
         "'kmv_inter' AS variant", "concat(ga, '|', gb) AS k", "n",
@@ -1063,25 +1063,26 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing under BOTH cost measures, run CONCURRENTLY from
-    driver threads (the pagerank_suite trick — the BPE leg's 10-merge
-    trainer loop overlaps the whitespace leg's scan): 'ws' packs on
+    """Sequence packing under BOTH cost measures: 'ws' packs on
     whitespace-proxy token counts (the original pack_sequences), 'bpe'
     packs on true learned-tokenizer piece totals read off the trainer's
     final symbol state (pipeline.pack_sequences_bpe). Same two-phase
     distributed prefix sum in both; the oracle replays the identical
     trainer CTE chain the bpe_vocab oracle uses, so the 'bpe' leg's
     counts are certified against the same training run word_count
-    verifies."""
-    from concurrent.futures import ThreadPoolExecutor
+    verifies.
 
-    def mat(fn):
-        return fn(spark, sf_dir).localCheckpoint(eager=True)
-
-    with ThreadPoolExecutor(2) as pool:
-        f_ws = pool.submit(mat, pipeline.pack_sequences)
-        f_bp = pool.submit(mat, pipeline.pack_sequences_bpe)
-        ws, bp = f_ws.result(), f_bp.result()
+    The legs run SEQUENTIALLY, not via the pagerank_suite thread trick:
+    the BPE trainer scopes a session-global shuffle-partition clamp
+    sized to its tiny symbol state (graph._loop_shuffle_partitions),
+    and a concurrently-planning corpus-scale ws leg would pick that
+    vocab-sized setting up (AQE's initialPartitionNum defaults to it,
+    so it cannot re-scale upward at runtime). The ws leg costs ~1 s —
+    nothing worth racing a planning hazard for."""
+    ws = pipeline.pack_sequences(spark, sf_dir).localCheckpoint(eager=True)
+    bp = pipeline.pack_sequences_bpe(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     cols = ["doc_id", "n_tokens", "shard_id"]
     return (
         ws.select(F.lit("ws").alias("variant"), *cols)
