@@ -539,7 +539,13 @@ def incremental_neardup_pairs(
             )
             .select(*on)
         )
-        new_bands = new_bands.join(F.broadcast(ok_keys), on)
+        # the gated band frame feeds three consumers (index join, both
+        # self-join sides); materialize it once (<= 8 rows per batch
+        # doc) so the signature groupBy + occupancy gate don't re-run
+        # per consumer — same ContextCleaner note as new_hsets above
+        new_bands = new_bands.join(
+            F.broadcast(ok_keys), on
+        ).localCheckpoint(eager=True)
     against_index = (
         idx_bands.alias("a")
         .join(new_bands.alias("b"), on)
