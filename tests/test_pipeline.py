@@ -331,3 +331,20 @@ def test_pack_sequences_bpe_counts_true_pieces(spark):
     }
     for r in rows:
         assert r.n_tokens == sum(pieces[w] for w in toks[r.doc_id])
+
+
+def test_curation_survivors_is_the_reports_base(spark):
+    """curation_survivors exposes the kept-document decision set; the
+    registered report must be exactly its (lang, source) aggregate, and
+    every surviving doc must individually pass all four conjuncts."""
+    kept = pipeline.curation_survivors(spark, SF_TEST).collect()
+    assert kept
+    report = {
+        (r.lang, r.source): r.n_docs
+        for r in pipeline.corpus_curation(spark, SF_TEST).collect()
+    }
+    agg: dict[tuple, int] = {}
+    for r in kept:
+        assert r.quality >= pipeline.CURATION_MIN_QUALITY
+        agg[(r.lang, r.source)] = agg.get((r.lang, r.source), 0) + 1
+    assert agg == report

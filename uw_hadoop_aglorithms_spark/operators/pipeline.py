@@ -372,6 +372,33 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
+    kept = curation_survivors(spark, sf_dir)
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("quality"), 9).alias("avg_quality"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, n_chars, quality) for every document the
+    curation pipeline KEEPS — the frame a training run actually feeds
+    downstream (tokenize → pack → shard), exposed so users compose on
+    the decision set instead of re-deriving it from the aggregate
+    report. corpus_curation is exactly a groupBy over this frame."""
+    from uw_hadoop_aglorithms_spark.operators.dedup import (
+        canonical_per_cluster,
+        exact_dedup,
+    )
+    from uw_hadoop_aglorithms_spark.operators.textstats import (
+        gopher_rules,
+        quality_score,
+    )
+
     survivors = exact_dedup(spark, sf_dir).select("doc_id")
     rule_pass = (
         gopher_rules(spark, sf_dir).where(F.col("gp_pass")).select("doc_id")
@@ -399,13 +426,6 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rule_pass, "doc_id")
         .join(quality, "doc_id")
         .where(F.col("quality") >= CURATION_MIN_QUALITY)
-        .groupBy("lang", "source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("quality"), 9).alias("avg_quality"),
-        )
-        .orderBy("lang", "source")
     )
 
 

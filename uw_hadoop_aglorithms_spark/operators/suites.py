@@ -865,10 +865,12 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute/LSH/IVF top-k run CONCURRENTLY from driver threads (the
-    pagerank_suite trick; measured ~3.5 s → ~2.0 s at sf0.1). Top-k
-    lists are bounded output (|queries| × k), so the collect/re-wrap is
-    verification bookkeeping; the members stay individually lazy."""
+    """The seven ANN members (brute/LSH/IVF/PQ, the two persisted-index
+    lifecycles, and round-6's filtered IVF) run CONCURRENTLY from driver
+    threads (the pagerank_suite trick; measured ~3.5 s → ~2.0 s at
+    sf0.1 when it was three members). Top-k lists are bounded output
+    (|queries| × k), so the collect/re-wrap is verification
+    bookkeeping; the members stay individually lazy."""
     from concurrent.futures import ThreadPoolExecutor
 
     def grab(fn):
