@@ -107,9 +107,14 @@ def test_lm_score_model_invariants(spark):
         if doc_id % textstats.TRAIN_MOD == 0:
             c.update(ts)
     n_train, v = sum(c.values()), len(c)
-    floor = round(math.log(1.0), textstats.LM_LOG_ROUND) - round(
-        math.log(n_train + v + 1.0), textstats.LM_LOG_ROUND
-    )
+    # dyadic quantizers, bit-identical to the plan's (LM_LOG_Q contract)
+    qlog = lambda x: math.floor(  # noqa: E731
+        math.log(x) * textstats.LM_LOG_Q + 0.5
+    ) / textstats.LM_LOG_Q
+    qout = lambda x: math.floor(  # noqa: E731
+        x * textstats.LM_OUT_Q + 0.5
+    ) / textstats.LM_OUT_Q
+    floor = qlog(1.0) - qlog(n_train + v + 1.0)
     for r in rows:
         ts = toks[r.doc_id]
         assert floor - 1e-6 <= r.avg_logprob < 0.0
@@ -117,13 +122,11 @@ def test_lm_score_model_invariants(spark):
             assert r.n_oov == 0
         exp_oov = sum(1 for t in ts if t not in c)
         assert r.n_oov == exp_oov
-        s = sum(round(math.log(c.get(t, 0) + 1.0), textstats.LM_LOG_ROUND) for t in ts)
-        expected = round(
-            (s - len(ts) * round(math.log(n_train + v + 1.0), textstats.LM_LOG_ROUND))
-            / len(ts),
-            textstats.LM_ROUND,
-        )
-        assert abs(r.avg_logprob - expected) <= 1e-9, (r.doc_id, r.avg_logprob, expected)
+        s = sum(qlog(c.get(t, 0) + 1.0) for t in ts)
+        expected = qout((s - len(ts) * qlog(n_train + v + 1.0)) / len(ts))
+        # the contract is EXACT equality: every step of the replica is
+        # the same IEEE op sequence the plan runs
+        assert r.avg_logprob == expected, (r.doc_id, r.avg_logprob, expected)
 
 
 def test_gopher_rules_match_python_replay(spark):

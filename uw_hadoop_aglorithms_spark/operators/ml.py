@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params, polyhash
 from uw_hadoop_aglorithms_spark.functions.text import tokens
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+from uw_hadoop_aglorithms_spark.functions.rounding import fround
 
 DELTA = 0.002  # learning rate, reference TrainSpamClassifier.scala:19
 FEATURE_SPACE = 10007  # bounded hash space (prime), overlapping sparse features
@@ -166,7 +167,7 @@ def spam_train(
     caches ONE tokenize+polyhash corpus scan and shares it across all
     members — the pagerank_suite prebuilt-graph pattern)."""
     model = _train_on(_train_split(inst if inst is not None else instances(spark, sf_dir)))
-    return model.select("feature", F.round("weight", 9).alias("weight")).orderBy("feature")
+    return model.select("feature", fround("weight", 9).alias("weight")).orderBy("feature")
 
 
 def _score(inst: DataFrame, model: DataFrame) -> DataFrame:
@@ -197,7 +198,7 @@ def spam_apply(
         .select(
             "doc_id",
             "label",
-            F.round("score", 9).alias("score"),
+            fround("score", 9).alias("score"),
             F.when(F.col("score") > 0, "spam").otherwise("ham").alias("prediction"),
         )
         .orderBy("doc_id")
@@ -230,7 +231,7 @@ def spam_ensemble(
         scored.select(
             "doc_id",
             "label",
-            F.round(avg, 9).alias("score_avg"),
+            fround(avg, 9).alias("score_avg"),
             (2 * votes - 3).alias("vote"),
             F.when(avg > 0, "spam").otherwise("ham").alias("prediction_avg"),
             F.when(2 * votes - 3 > 0, "spam").otherwise("ham").alias("prediction_vote"),
@@ -536,16 +537,16 @@ ens AS MATERIALIZED (
     FROM sc0 s0 JOIN sc1 s1 USING (doc_id) JOIN sc2 s2 USING (doc_id)
 )
 SELECT 'train' AS variant, k::BIGINT AS id, NULL::INTEGER AS label,
-       round(v, 9) AS score, NULL::VARCHAR AS prediction
+       round(v, 9) + 0.0 AS score, NULL::VARCHAR AS prediction
 FROM (SELECT unnest(map_keys(m)) AS k, unnest(map_values(m)) AS v FROM (
       SELECT map_from_entries(list(struct_pack(k := feature, v := weight))) AS m
       FROM w))
 UNION ALL
-SELECT 'single', doc_id, label, round(s, 9),
+SELECT 'single', doc_id, label, round(s, 9) + 0.0,
        CASE WHEN s > 0 THEN 'spam' ELSE 'ham' END
 FROM sc
 UNION ALL
-SELECT 'ens_avg', doc_id, label, round((s0 + s1 + s2) / 3, 9),
+SELECT 'ens_avg', doc_id, label, round((s0 + s1 + s2) / 3, 9) + 0.0,
        CASE WHEN (s0 + s1 + s2) / 3 > 0 THEN 'spam' ELSE 'ham' END
 FROM ens
 UNION ALL

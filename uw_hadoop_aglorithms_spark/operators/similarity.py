@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params
 from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+from uw_hadoop_aglorithms_spark.functions.rounding import fround
 
 #: Every QUERY_STRIDE-th vector is a query point, capped at
 #: ANN_MAX_QUERIES: the query side is BROADCAST, so it must be a bounded
@@ -384,8 +385,8 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mse = F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding")
     return q.select(
         "vec_id",
-        F.round("vmin_i", 9).alias("vmin"),
-        F.round("vmax_i", 9).alias("vmax"),
+        fround("vmin_i", 9).alias("vmin"),
+        fround("vmax_i", 9).alias("vmax"),
         F.round("scale_i", 9).alias("scale"),
         F.concat_ws("|", F.transform(F.col("codes_i"), lambda c: c.cast("string"))).alias(
             "codes"

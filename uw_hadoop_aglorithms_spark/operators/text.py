@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.functions.text import bigrams, tokens
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+from uw_hadoop_aglorithms_spark.functions.rounding import fround
 
 #: Perfect-follower pivot (reference MapReduce/Counting/PerfectX.java:61-71
 #: emits words directly following "perfect"); our synthetic vocab pivots on
@@ -166,7 +167,7 @@ def pmi_pairs(
         .select(
             "w1",
             "w2",
-            F.round(
+            fround(
                 F.log10(
                     F.col("n_docs") * F.col("pair_docs")
                     / (F.col("docs1") * F.col("docs2"))

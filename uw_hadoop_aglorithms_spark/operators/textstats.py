@@ -428,13 +428,36 @@ def approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: lm_score determinism contract: per-term logs rounded to 1e-9 before
-#: the per-doc sum, final mean rounded to 1e-6 — absorbs cross-engine
-#: summation-order noise (~1e-13 absolute for 100-token docs) and any
-#: 1-ulp ln() divergence between the JVM and libm, with the same
-#: tie-at-grid-boundary residual risk as cluster.KM_ROUND (ml and graph migrated to the tie-free dyadic contract in round 5; the log()-based grids here cannot — a 1-ulp libm log divergence needs absorbing, which only a coarse grid does).
-LM_LOG_ROUND = 9
-LM_ROUND = 6
+#: lm_score determinism contract (round 7, replacing the decimal
+#: 1e-9/1e-6 grids): per-term logs are DYADIC-quantized —
+#: floor(ln(x)·2^30 + 0.5)/2^30, step ~9.3e-10, the same coarseness as
+#: the retired 1e-9 grid, so a 1-ulp JVM-vs-libm ln() divergence
+#: (~2^-49 absolute) is absorbed with the same tiny boundary-tie
+#: residual (~2^-19 per distinct term). The decisive difference: the
+#: post-quantize values ARE exactly representable (k·2^-30), so the
+#: per-doc sum Σ tf·qlog is EXACT integer arithmetic inside the 53-bit
+#: mantissa and therefore summation-ORDER-INDEPENDENT. The old decimal
+#: grid's post-round values were NOT representable, making the sum
+#: order-dependent — a doc near a 1e-6 output boundary could flip with
+#: partitioning/AQE; the CORRECTNESS_r06 `doc_profile` hash flake's
+#: prime suspect (VERDICT r6 §What's wrong 1a).
+#:
+#: The final mean is quantized to 2^-20 (~9.5e-7, the old 1e-6's
+#: coarseness) with the same floor(x·Q + 0.5)/Q form: x·Q is an exact
+#: exponent shift, +0.5 and floor are exact, /Q is exact — every step
+#: is deterministic IEEE on a correctly-rounded quotient, so no engine
+#: `round()` semantics are in play, and the quantizer can never emit
+#: -0.0 (IEEE: -0.5 + 0.5 = +0.0), closing the ±0.0 hash channel
+#: (VERDICT r6 §What's wrong 1b).
+#:
+#: Exactness envelope: |Σ tf·k| ≤ n_tok·k_max where k_max =
+#: floor(ln(n_train+v+1)·2^30 + 0.5) ≥ every per-term k (c+1 ≤
+#: n_train+1 and all k ≥ 0, so every partial sum is bounded by the
+#: total). The plan raise_error()s if n_tok·k_max ≥ 2^52 instead of
+#: silently leaving the exact grid.
+LM_LOG_Q = 1 << 30
+LM_OUT_Q = 1 << 20
+LM_ENVELOPE = 1 << 52
 
 
 def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,7 +492,13 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars = train.agg(
         F.sum("c").alias("n_train"), F.count("*").alias("v")
     )
-    rlog = lambda x: F.round(F.log(x), LM_LOG_ROUND)  # noqa: E731
+    # dyadic log quantizer: k = floor(ln(x)·2^30 + 0.5) (BIGINT units),
+    # value = k/2^30 — exactly representable, so sums of tf·value are
+    # exact integer arithmetic (see LM_LOG_Q contract note above)
+    qlog_units = lambda x: F.floor(  # noqa: E731
+        F.log(x) * F.lit(float(LM_LOG_Q)) + F.lit(0.5)
+    )
+    qlog = lambda x: qlog_units(x) / F.lit(float(LM_LOG_Q))  # noqa: E731
     per_doc = (
         tf.join(train, "term", "left")
         .groupBy("doc_id")
@@ -478,19 +507,35 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("c").isNull(), F.col("tf")).otherwise(F.lit(0))
             ).cast("long").alias("n_oov"),
-            F.sum(F.col("tf") * rlog(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))).alias("s"),
+            F.sum(F.col("tf") * qlog(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))).alias("s"),
         )
     )
+    k_max = qlog_units(F.col("n_train") + F.col("v") + F.lit(1.0))
+    mean = (
+        F.col("s") - F.col("n_tok") * (k_max / F.lit(float(LM_LOG_Q)))
+    ) / F.col("n_tok")
+    quant = F.floor(mean * F.lit(float(LM_OUT_Q)) + F.lit(0.5)) / F.lit(
+        float(LM_OUT_Q)
+    )
+    env_ok = (
+        F.col("n_tok").cast("double") * k_max.cast("double")
+    ) < F.lit(float(LM_ENVELOPE))
     return (
         per_doc.crossJoin(F.broadcast(scalars))
         .select(
             "doc_id",
             "n_oov",
-            F.round(
-                (F.col("s") - F.col("n_tok") * rlog(F.col("n_train") + F.col("v") + F.lit(1.0)))
-                / F.col("n_tok"),
-                LM_ROUND,
-            ).alias("avg_logprob"),
+            F.when(env_ok, quant)
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "lm_score dyadic envelope exceeded: n_tok * k_max"
+                        " >= 2^52; the per-doc sum would leave the exact"
+                        " 2^-30 grid and the determinism contract breaks"
+                    )
+                ).cast("double")
+            )
+            .alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )

@@ -185,7 +185,7 @@ _PMI_CTE = f"""{_TOKS_CTE},
     ),
     pmi_flat AS (
         SELECT w1, w2,
-               round(log10(n_docs * pair_docs / (d1.docs * d2.docs)), 6) AS pmi,
+               round(log10(n_docs * pair_docs / (d1.docs * d2.docs)), 6) + 0.0 AS pmi,
                pair_docs
         FROM pairs
         CROSS JOIN n
@@ -1498,7 +1498,7 @@ SIMILARITY_ORACLES: dict[str, str] = {
             FROM q
         )
         SELECT vec_id,
-               round(vmin, 9) AS vmin, round(vmax, 9) AS vmax,
+               round(vmin, 9) + 0.0 AS vmin, round(vmax, 9) + 0.0 AS vmax,
                round(scale, 9) AS scale,
                array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)),
                                '|') AS codes,
@@ -1527,8 +1527,8 @@ from uw_hadoop_aglorithms_spark.operators.textstats import (
     GOPHER_STOPWORDS,
     LANG_NGRAM,
     LEN_SATURATION,
-    LM_LOG_ROUND,
-    LM_ROUND,
+    LM_LOG_Q,
+    LM_OUT_Q,
     PROFILE_K,
     REP_DUP_MAX,
     REP_TOP_MAX,
@@ -1607,8 +1607,11 @@ TEXTSTATS_ORACLES: dict[str, str] = {
                 AND gp_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS gp_pass
         FROM m ORDER BY doc_id
     """,
-    # same LM_LOG_ROUND/LM_ROUND contract as the Spark plan: per-term
-    # ln rounded to 1e-9 before the per-doc sum, mean rounded to 1e-6
+    # same LM_LOG_Q/LM_OUT_Q dyadic contract as the Spark plan: per-term
+    # ln quantized to k/2^30 (exactly representable -> the per-doc sum
+    # is exact integer arithmetic, order-independent), final mean
+    # quantized to 2^-20 with the same floor(x*Q + 0.5)/Q form (exact
+    # IEEE steps, never -0.0) — see textstats.LM_LOG_Q contract note
     "lm_score": f"""
         WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
         tf AS (
@@ -1624,12 +1627,15 @@ TEXTSTATS_ORACLES: dict[str, str] = {
         agg AS (
             SELECT doc_id, sum(tf) AS n_tok,
                    sum(CASE WHEN c IS NULL THEN tf ELSE 0 END) AS n_oov,
-                   sum(tf * round(ln(coalesce(c, 0) + 1.0), {LM_LOG_ROUND})) AS s
+                   sum(tf * (floor(ln(coalesce(c, 0) + 1.0) * {LM_LOG_Q}
+                                   + 0.5) / {float(LM_LOG_Q)})) AS s
             FROM tf LEFT JOIN tc USING (term) GROUP BY doc_id
         )
         SELECT doc_id, CAST(n_oov AS BIGINT) AS n_oov,
-               round((s - n_tok * round(ln(n_train + v + 1.0), {LM_LOG_ROUND}))
-                     / n_tok, {LM_ROUND}) AS avg_logprob
+               floor(((s - n_tok * (floor(ln(n_train + v + 1.0) * {LM_LOG_Q}
+                                          + 0.5) / {float(LM_LOG_Q)}))
+                      / n_tok) * {LM_OUT_Q} + 0.5) / {float(LM_OUT_Q)}
+                 AS avg_logprob
         FROM agg, sc ORDER BY doc_id
     """,
     "lang_id": f"""
