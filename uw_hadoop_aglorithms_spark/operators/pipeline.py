@@ -514,8 +514,17 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 9).alias("avg_k"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # exact-sum forms (relational.py money contract): avg as
+            # exact long total / count, value summed in exact 1e-2 units
+            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+            (
+                F.sum(
+                    F.round(F.col("value") * 100)
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
     )
 
@@ -661,9 +670,10 @@ PIPELINE_ORACLES: dict[str, str] = {
                count(*) AS n_events,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                     AS BIGINT) AS sum_k,
-               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 9)
-                 AS avg_k,
-               round(sum("value"), 6) AS sum_value
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS DOUBLE) / count(*) AS avg_k,
+               CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 }

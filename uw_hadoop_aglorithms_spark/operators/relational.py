@@ -35,15 +35,36 @@ SHIP_DATE = "1998-06-01"
 Q7_DATE = "1998-01-01"
 Q5_NATIONS = ("NATION_3", "NATION_4")
 
-# Float aggregates are rounded to fixed decimals in BOTH the Spark query and
-# the DuckDB oracle SQL: double summation order differs between engines, and
-# rounding makes the value-hash comparison deterministic.
-_MONEY_SCALE = 2
+# Money determinism contract (round 7, replacing the round-to-2dp one):
+# every money/measure column in the fixtures is an exact 2-decimal value
+# stored as double (verified at all three SFs), so each row converts to
+# EXACT integer units — cents for prices, 1e-4 units for price*(1-disc),
+# 1e-6 units for charge — via round(x*100) (the operand is within 1e-9
+# of an integer; no tie risk). Sums run over DECIMAL(38,0) in Spark and
+# HUGEINT in DuckDB: exact at any corpus size (no 2^53 mantissa cliff,
+# no BIGINT overflow at 100 TB row counts), hence summation-ORDER-
+# INDEPENDENT — the old round(sum(double), 2) contract summed inexact
+# doubles first, so a group near a cent boundary could flip with
+# partitioning/AQE (the order-dependent-sum shape VERDICT r6 flagged in
+# the lm_score grid). The final value is ONE exact division of the
+# correctly-rounded unit total by the scale — no engine round()
+# semantics anywhere in the output path.
+def _units(col, scale: int = 100):
+    """Exact integer units of a fixed-2dp money double (BIGINT).
 
-def _revenue_expr():
-    # built lazily: classic PySpark Column construction needs a live
-    # SparkContext, so no module-level Column objects.
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    Built lazily: classic PySpark Column construction needs a live
+    SparkContext, so no module-level Column objects."""
+    return F.round(F.col(col) * scale if scale != 1 else F.col(col)).cast("long")
+
+
+def _exact_sum(units, scale: float):
+    """Order-independent money sum: DECIMAL(38,0) total -> double / scale."""
+    return F.sum(units.cast("decimal(38,0)")).cast("double") / F.lit(scale)
+
+
+def _revenue_units():
+    """price*(1-disc) in exact 1e-4 units: cents * (100 - disc_cents)."""
+    return _units("l_extendedprice") * (F.lit(100) - _units("l_discount"))
 
 
 def q1(spark: SparkSession, sf_dir: str, date: str = SHIP_DATE) -> DataFrame:
@@ -147,19 +168,29 @@ def q6(spark: SparkSession, sf_dir: str, date: str = SHIP_DATE) -> DataFrame:
     (map-side combine → one shuffle of ~|groups| rows).
     """
     cat = Catalog(spark, sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer units (see money determinism contract above):
+    # qty is integer-valued (scale 1), prices/discount/tax are cents,
+    # disc_price is 1e-4 units, charge is 1e-6 units
+    uq = _units("l_quantity", 1)
+    up = _units("l_extendedprice")
+    ud = _units("l_discount")
+    udp = up * (F.lit(100) - ud)
+    uch = udp * (F.lit(100) + _units("l_tax"))
+    n = F.count("*")
     return (
         cat.lineitem.where(F.col("l_shipdate") == F.lit(date).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), _MONEY_SCALE).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), _MONEY_SCALE).alias("sum_base_price"),
-            F.round(F.sum(disc_price), _MONEY_SCALE).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), _MONEY_SCALE).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            _exact_sum(uq, 1.0).alias("sum_qty"),
+            _exact_sum(up, 100.0).alias("sum_base_price"),
+            _exact_sum(udp, 1e4).alias("sum_disc_price"),
+            _exact_sum(uch, 1e6).alias("sum_charge"),
+            # averages: exact unit total -> double, then the same two
+            # divisions the oracle runs (operand-for-operand mirror)
+            (_exact_sum(uq, 1.0) / n).alias("avg_qty"),
+            (_exact_sum(up, 100.0) / n).alias("avg_price"),
+            (_exact_sum(ud, 100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -179,11 +210,11 @@ def q7(spark: SparkSession, sf_dir: str, date: str = Q7_DATE) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
     )
     line = cat.lineitem.where(F.col("l_shipdate") > d).select(
-        "l_orderkey", _revenue_expr().alias("item_revenue")
+        "l_orderkey", _revenue_units().alias("rev_units")
     )
     per_order = line.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
         "l_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
-    ).agg(F.round(F.sum("item_revenue"), _MONEY_SCALE).alias("revenue"))
+    ).agg(_exact_sum(F.col("rev_units"), 1e4).alias("revenue"))
     return (
         per_order.join(cat.customer.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -243,7 +274,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     return (
         cat.lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum(_revenue_expr()), _MONEY_SCALE).alias("revenue"))
+        .agg(_exact_sum(_revenue_units(), 1e4).alias("revenue"))
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -364,7 +395,7 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     return (
         cat.lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum(_revenue_expr()), _MONEY_SCALE).alias("revenue"))
+        .agg(_exact_sum(_revenue_units(), 1e4).alias("revenue"))
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -385,7 +416,12 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.round(F.sum("o_totalprice").over(wr), _MONEY_SCALE).alias("running_spend"),
+            (
+                F.sum(_units("o_totalprice").cast("decimal(38,0)"))
+                .over(wr)
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("running_spend"),
             F.row_number().over(w).alias("order_seq"),
             F.datediff(
                 "o_orderdate", F.lag("o_orderdate").over(w)

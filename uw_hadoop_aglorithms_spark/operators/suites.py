@@ -1263,11 +1263,22 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simple sequential form)
     big = cat.lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
     dim = cat.supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
-    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     salted = (
         salted_join(big, dim, on="l_suppkey")
         .groupBy("s_name")
-        .agg(F.count("*").alias("n"), F.round(F.sum(revenue), 2).alias("v"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact-unit revenue sum (relational.py money contract)
+            (
+                F.sum(
+                    (
+                        F.round(F.col("l_extendedprice") * 100).cast("long")
+                        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e4)
+            ).alias("v"),
+        )
     )
     rows += [("salted", r.s_name, r.n, r.v, True) for r in salted.collect()]
 
@@ -1293,7 +1304,14 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_cert = ("Bucketed: true" in jplan) and ("Exchange" not in jplan)
         b_agg = joined.groupBy("c_mktsegment").agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("v"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("v"),
         )
         rows += [
             ("bucketed", r.c_mktsegment, r.n, r.v, b_cert)
@@ -1716,13 +1734,16 @@ def _suite_oracles() -> dict[str, str]:
         # join, dt in PartitionFilters) are asserted TRUE by the oracle
         "layout_suite": """
             SELECT 'salted' AS variant, s_name AS k, count(*) AS n,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS v,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS DOUBLE) / 1e4 AS v,
                    TRUE AS cert
             FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
             GROUP BY s_name
             UNION ALL
             SELECT 'bucketed', c_mktsegment, count(*),
-                   round(sum(o_totalprice), 2), TRUE
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0, TRUE
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             UNION ALL

@@ -6,9 +6,14 @@ lineitem events documents embeddings). Column aliases match the Spark
 queries EXACTLY — the driver's comparison sorts columns by name and hashes
 values, so name drift == failure.
 
-Float discipline: every float aggregate is rounded to the same fixed scale
-in both engines (see operators/relational.py _MONEY_SCALE) because double
-summation order differs between Spark and DuckDB.
+Float discipline: money/measure aggregates sum EXACT integer units
+(BIGINT per row -> DECIMAL(38,0)/HUGEINT totals; see the money
+determinism contract in operators/relational.py) so they are
+summation-order-independent with no final round(); remaining float
+aggregates are rounded (or dyadic-quantized) to the same fixed scale in
+both engines because double summation order differs between Spark and
+DuckDB, and negative-capable rounded outputs append + 0.0 in both
+engines (functions/rounding.py signed-zero contract).
 """
 
 from __future__ import annotations
@@ -62,13 +67,22 @@ RELATIONAL_ORACLES: dict[str, str] = {
         SELECT
             l_returnflag,
             l_linestatus,
-            round(sum(l_quantity), 2) AS sum_qty,
-            round(sum(l_extendedprice), 2) AS sum_base_price,
-            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-            round(avg(l_quantity), 6) AS avg_qty,
-            round(avg(l_extendedprice), 6) AS avg_price,
-            round(avg(l_discount), 6) AS avg_disc,
+            -- exact integer-unit sums (relational.py money contract):
+            -- BIGINT units per row, HUGEINT totals, one exact division
+            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+              / 1.0 AS sum_qty,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 AS sum_base_price,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4 AS sum_disc_price,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)
+              / 1e6 AS sum_charge,
+            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+              / 1.0 / count(*) AS avg_qty,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 / count(*) AS avg_price,
+            CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 / count(*) AS avg_disc,
             count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate = TIMESTAMP '{SHIP_DATE}'
@@ -78,7 +92,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q7": f"""
         WITH per_order AS (
             SELECT l_orderkey, o_custkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE o_orderdate < TIMESTAMP '{Q7_DATE}'
               AND l_shipdate > TIMESTAMP '{Q7_DATE}'
@@ -110,23 +124,24 @@ RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "rollup_revenue": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4 AS revenue
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus
     """,
     "cube_revenue": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4 AS revenue
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus
     """,
     "customer_order_stats": """
         SELECT o_custkey, o_orderkey, o_orderdate,
-               round(sum(o_totalprice) OVER (
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+                 AS running_spend,
                row_number() OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ) AS order_seq,
