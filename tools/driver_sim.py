@@ -1,22 +1,41 @@
 """Simulate the spark-graft driver: smoke entry() at sf0.001, then run every
 queries()[k] at sf0.01 vs oracle_sql()[k] in DuckDB — row count + schema +
-order-insensitive value hash."""
-import datetime as dt, hashlib, json, math, sys
+order-insensitive value hash.
+
+Round 7 additions (VERDICT r6 §What's wrong 1c/2 — make a red row
+diagnosable post-hoc and flakes catchable in the act):
+- Session config is env-tunable so tools/flake_harness.py can sweep it:
+  SPARK_GRAFT_SIM_CORES (local[N], default 8), SPARK_GRAFT_SIM_PARTS
+  (shuffle partitions, default 16), SPARK_GRAFT_SIM_TZ (session
+  timezone, default UTC).
+- SPARK_GRAFT_SIM_OUT=path writes a JSON artifact with per-key spark +
+  oracle value-hashes (and the config), so N runs can be compared.
+- SPARK_GRAFT_SIM_LINES=path writes every key's canonical Spark lineset
+  (gzip JSON) so a cross-run divergence can be diffed WITHOUT rerunning.
+- On any hash mismatch the divergent linesets are PERSISTED to
+  DIVERGENCE_{key}.json next to the repo root (not just printed).
+"""
+import datetime as dt, gzip, hashlib, json, math, os, sys
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from pyspark.sql import SparkSession
 
-import os
 SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
+CORES = os.environ.get("SPARK_GRAFT_SIM_CORES", "8")
+PARTS = os.environ.get("SPARK_GRAFT_SIM_PARTS", "16")
+TZ = os.environ.get("SPARK_GRAFT_SIM_TZ", "UTC")
+OUT = os.environ.get("SPARK_GRAFT_SIM_OUT")
+LINES_OUT = os.environ.get("SPARK_GRAFT_SIM_LINES")
+DIVDIR = os.environ.get("SPARK_GRAFT_SIM_DIVDIR", "/root/repo")
 
-spark = (SparkSession.builder.appName("driver-sim").master("local[8]")
-         .config("spark.sql.shuffle.partitions", "16")
+spark = (SparkSession.builder.appName("driver-sim").master(f"local[{CORES}]")
+         .config("spark.sql.shuffle.partitions", PARTS)
          # one JVM runs all 50 keys back-to-back; the 1g default heap is
          # borderline at sf0.1 (observed: a transient localCheckpoint
          # failure on the alphabetically-late pagerank_suite)
          .config("spark.driver.memory", "8g")
-         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+         .config("spark.sql.session.timeZone", TZ).getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
 # --- t1 smoke ---
@@ -40,21 +59,20 @@ def norm(v):
     if isinstance(v, (list, tuple)): return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
 
-def vhash(cols, rows):
+def lines_of(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
+
+def vhash(lines):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
-def lineset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return {"|".join(norm(r[i]) for i in order) for r in rows}
-
-def divergence_report(name, scols, srows, dcols, drows, limit=5):
-    """On hash mismatch: which variant/rows diverge first. Makes a
-    rounding-grid boundary tie (cluster.KM_ROUND / textstats grid notes)
-    distinguishable from a real bug: a tie shows one value off by
-    exactly one grid step in one variant, a bug shows broad diffs."""
-    s, d = lineset(scols, srows), lineset(dcols, drows)
+def divergence_report(name, scols, slines, dlines, limit=5):
+    """On hash mismatch: print which variant/rows diverge AND persist
+    both divergent linesets to DIVERGENCE_{name}.json so a red driver
+    row stays diagnosable after the run (VERDICT r6 §What's wrong 2).
+    A rounding-grid boundary tie (cluster.KM_ROUND note) shows one value
+    off by exactly one grid step in one variant; a bug shows broad diffs."""
+    s, d = set(slines), set(dlines)
     only_s, only_d = sorted(s - d), sorted(d - s)
     vi = next((i for i, c in enumerate(sorted(scols)) if c in ("variant", "algo", "method")), None)
     if vi is not None:
@@ -70,6 +88,13 @@ def divergence_report(name, scols, srows, dcols, drows, limit=5):
             print(f"  {name} {side}: {ln}")
     if len(only_s) > limit or len(only_d) > limit:
         print(f"  {name} … {len(only_s)} spark-only / {len(only_d)} oracle-only rows total")
+    path = os.path.join(DIVDIR, f"DIVERGENCE_{name}.json")
+    with open(path, "w") as fh:
+        json.dump({"key": name, "sf": SF,
+                   "config": {"cores": CORES, "parts": PARTS, "tz": TZ},
+                   "sorted_cols": sorted(scols),
+                   "spark_only": only_s, "oracle_only": only_d}, fh, indent=1)
+    print(f"  {name} divergent linesets persisted to {path}")
 
 qmap, omap = E.queries(), E.oracle_sql()
 only = os.environ.get("SPARK_GRAFT_SIM_KEYS")
@@ -77,6 +102,7 @@ if only:
     keys = {k.strip() for k in only.split(",")}
     qmap = {k: v for k, v in qmap.items() if k in keys}
 results = {}
+all_lines = {}
 for name, fn in sorted(qmap.items()):
     # one failing key must cost only its own row, never the run
     # (the bench.py round-2 lesson, applied to the sim)
@@ -88,25 +114,39 @@ for name, fn in sorted(qmap.items()):
         results[name] = {"count_match": False, "err": f"{type(exc).__name__}: {exc}"[:200]}
         print(f"{name}: ERR {results[name]['err']}")
         continue
+    slines = lines_of(scols, srows)
+    if LINES_OUT:
+        all_lines[name] = slines
     if name not in omap:
-        results[name] = {"mode": "rows-only", "rows": len(srows)}
+        results[name] = {"mode": "rows-only", "rows": len(srows),
+                         "spark_hash": vhash(slines)}
         print(f"{name}: rows-only rows={len(srows)}")
         continue
     cur = con.execute(omap[name])
     dcols = [d[0] for d in cur.description]
     drows = cur.fetchall()
+    dlines = lines_of(dcols, drows)
     ok_count = len(srows) == len(drows)
     ok_schema = sorted(scols) == sorted(dcols)
-    sh, dh = vhash(scols, srows), vhash(dcols, drows)
+    sh, dh = vhash(slines), vhash(dlines)
     ok_hash = sh == dh
     results[name] = {"rows": len(srows), "count_match": ok_count,
-                     "schema_match": ok_schema, "hash_match": ok_hash}
+                     "schema_match": ok_schema, "hash_match": ok_hash,
+                     "spark_hash": sh, "oracle_hash": dh}
     flag = "OK " if (ok_count and ok_schema and ok_hash) else "FAIL"
     print(f"{name}: {flag} rows={len(srows)}/{len(drows)} schema={ok_schema} hash={sh}=={dh}:{ok_hash}")
     if ok_schema and not ok_hash:
-        divergence_report(name, scols, srows, dcols, drows)
+        divergence_report(name, scols, slines, dlines)
 
 bad = [k for k, v in results.items() if not all(v.get(f, True) for f in ("count_match", "schema_match", "hash_match"))]
 print(json.dumps({"failed": bad}))
+if OUT:
+    with open(OUT, "w") as fh:
+        json.dump({"sf": SF,
+                   "config": {"cores": CORES, "parts": PARTS, "tz": TZ},
+                   "results": results}, fh, indent=1)
+if LINES_OUT:
+    with gzip.open(LINES_OUT, "wt") as fh:
+        json.dump(all_lines, fh)
 spark.stop()
 sys.exit(1 if bad else 0)

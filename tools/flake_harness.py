@@ -1,0 +1,134 @@
+"""N-run determinism (flake) harness over the full driver contract.
+
+CORRECTNESS_r06 went red on 2 of 50 keys in the driver's run while four
+judge re-runs stayed green — a flake, which the engine owns (VERDICT r6
+§What's wrong 1). This harness catches that class in the act: it runs
+tools/driver_sim.py N times as FRESH subprocesses, sweeping the session
+knobs the result must be invariant to — core count, shuffle partition
+count (different partitioning => different double-summation orders,
+AQE decisions, window tie layouts), and session timezone — and asserts
+per-key that
+
+  (a) the Spark value-hash is IDENTICAL across every run/config, and
+  (b) it equals the DuckDB oracle hash in every run (for oracle keys).
+
+Each run persists its per-key linesets (gzip JSON), so an unstable key
+is diffed POST-HOC without a rerun: the first differing run pair's
+spark-only/other-only lines land in DIVERGENCE_XRUN_{key}.json, and any
+in-run spark-vs-oracle mismatch is already persisted by driver_sim as
+DIVERGENCE_{key}.json. A summary (configs, per-key hash sets, verdict)
+is written to FLAKE.json (commit as FLAKE_r{N}.json).
+
+Usage:
+    python tools/flake_harness.py            # default 5-config sweep
+    SPARK_GRAFT_FLAKE_RUNS=3 python tools/flake_harness.py   # first 3
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+
+#: (cores, shuffle partitions, session timezone): the judge's four
+#: reproduction configs (VERDICT r6) plus a low-core prime-partition
+#: eastern-timezone combination — each run permutes task scheduling,
+#: partition boundaries, and local-time rendering independently.
+CONFIGS = [
+    ("8", "16", "UTC"),            # the driver's own shape
+    ("32", "200", "UTC"),          # wide + default-ish partitioning
+    ("8", "7", "America/New_York"),  # odd prime partitions, non-UTC
+    ("4", "16", "Asia/Kolkata"),   # half-hour-offset timezone
+    ("16", "64", "UTC"),           # mid shape, different merge order
+]
+
+
+def main() -> int:
+    n = int(os.environ.get("SPARK_GRAFT_FLAKE_RUNS", len(CONFIGS)))
+    configs = CONFIGS[:n]
+    outdir = os.environ.get("SPARK_GRAFT_FLAKE_DIR", "/tmp/spark_graft_flake")
+    os.makedirs(outdir, exist_ok=True)
+    runs = []
+    for i, (cores, parts, tz) in enumerate(configs):
+        env = dict(os.environ)
+        env.update(
+            SPARK_GRAFT_SIM_CORES=cores,
+            SPARK_GRAFT_SIM_PARTS=parts,
+            SPARK_GRAFT_SIM_TZ=tz,
+            SPARK_GRAFT_SIM_OUT=f"{outdir}/run{i}.json",
+            SPARK_GRAFT_SIM_LINES=f"{outdir}/run{i}.lines.json.gz",
+            SPARK_GRAFT_SIM_DIVDIR=outdir,
+        )
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, f"{REPO}/tools/driver_sim.py"],
+            env=env, capture_output=True, text=True,
+        )
+        dur = round(time.time() - t0, 1)
+        ok = proc.returncode == 0
+        print(f"run {i} local[{cores}] parts={parts} tz={tz}: "
+              f"{'green' if ok else 'RED'} in {dur}s", flush=True)
+        if not ok:
+            tail = "\n".join(proc.stdout.splitlines()[-15:])
+            print(tail)
+        runs.append({"config": {"cores": cores, "parts": parts, "tz": tz},
+                     "green": ok, "seconds": dur})
+
+    # cross-run stability: every key's spark hash must be one value
+    per_run = [json.load(open(f"{outdir}/run{i}.json"))["results"]
+               for i in range(len(configs))]
+    keys = sorted(set().union(*per_run))
+    summary, unstable = {}, []
+    for k in keys:
+        hashes = [r.get(k, {}).get("spark_hash") for r in per_run]
+        ohashes = [r.get(k, {}).get("oracle_hash") for r in per_run]
+        oracle_ok = all(h is None or h == s
+                        for h, s in zip(ohashes, hashes))
+        stable = len(set(hashes)) == 1 and hashes[0] is not None and oracle_ok
+        summary[k] = {"spark_hashes": sorted(set(map(str, hashes))),
+                      "oracle_match_every_run": oracle_ok,
+                      "stable": stable}
+        if not stable:
+            unstable.append(k)
+            _diff_runs(outdir, k, hashes, len(configs))
+
+    verdict = {"runs": runs, "n_keys": len(keys), "unstable": unstable,
+               "all_stable": not unstable and all(r["green"] for r in runs),
+               "keys": summary}
+    with open(f"{REPO}/FLAKE.json", "w") as fh:
+        json.dump(verdict, fh, indent=1)
+    print(json.dumps({"all_stable": verdict["all_stable"],
+                      "unstable": unstable}))
+    return 0 if verdict["all_stable"] else 1
+
+
+def _diff_runs(outdir: str, key: str, hashes: list, n: int) -> None:
+    """Persist the first differing run pair's linesets for `key`."""
+    base = None
+    for i in range(n):
+        lines = json.load(gzip.open(f"{outdir}/run{i}.lines.json.gz", "rt")).get(key)
+        if lines is None:
+            continue
+        if base is None:
+            base = (i, lines)
+            continue
+        if lines != base[1]:
+            a, b = set(base[1]), set(lines)
+            path = f"{REPO}/DIVERGENCE_XRUN_{key}.json"
+            with open(path, "w") as fh:
+                json.dump({"key": key, "run_a": base[0], "run_b": i,
+                           "hashes": hashes,
+                           "only_run_a": sorted(a - b)[:200],
+                           "only_run_b": sorted(b - a)[:200]}, fh, indent=1)
+            print(f"  {key}: cross-run divergence persisted to {path}")
+            return
+    print(f"  {key}: hash instability came from spark-vs-oracle, see "
+          f"{outdir}/DIVERGENCE_{key}.json")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
