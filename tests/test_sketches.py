@@ -128,7 +128,7 @@ def test_hll_suite_certs_hold(spark):
     assert all(r.cert for r in rows)
     assert {v for v in by_variant} == {
         "exact", "hll_users", "hll_events", "hll_regsum", "hll_rollup",
-        "kmv_users", "kmv_inter",
+        "kmv_users", "kmv_inter", "kmv_rollup",
     }
     # regime split on the fixture: few users -> empty buckets remain
     assert all(r.aux > 0 for r in by_variant["hll_users"])
@@ -320,3 +320,86 @@ def test_kmv_merge_law_union_then_retake(spark):
     want = {(r.g, r.h) for r in full.collect()}
     got = {(r.g, r.h) for r in merged.collect()}
     assert got == want
+
+
+def test_kmv_rollup_lifecycle_parity_with_hll(spark, tmp_path):
+    """refresh_kmv_rollup follows refresh_hll_rollup's contract exactly
+    (VERDICT r6 item 6): surgical day refresh after a lake merge equals
+    a full rebuild with untouched partitions byte-stable; a vacated day
+    is removed from the rollup; and the MERGE LAW holds — day samples
+    unioned and re-taken to K produce the identical sketch (hence the
+    identical estimate) as a direct single-pass sketch."""
+    from pyspark.sql import functions as F
+
+    from uw_hadoop_aglorithms_spark.sources import lake as lake_mod
+
+    ev = _events(spark).select("event_id", "ts", "user_id", "event_type")
+    lake = str(tmp_path / "lake")
+    roll = str(tmp_path / "rollup")
+    lake_mod.write_date_partitioned(ev, lake)
+    sketches.refresh_kmv_rollup(spark, lake, roll, "user_id")
+
+    # merge law: rollup-merged sketch == direct sketch, bit for bit
+    rolled = sketches.kmv_merge_all(spark.read.parquet(roll), "all")
+    direct = sketches.kmv_samples(ev.withColumnRenamed("event_type", "g0"),
+                                  "user_id", "g0")
+    direct_h = {r.h for r in
+                sketches.kmv_merge_all(
+                    sketches.kmv_day_samples(ev), "all").collect()}
+    assert {r.h for r in rolled.collect()} == direct_h
+    est_roll = sketches.kmv_group_stats(rolled).collect()[0]
+    # direct single-pass sketch over the whole corpus (one group)
+    one = ev.withColumn("g1", F.lit("all"))
+    est_direct = sketches.kmv_group_stats(
+        sketches.kmv_samples(one, "user_id", "g1")
+    ).collect()[0]
+    assert (est_roll.kmv_est, est_roll.hk) == (
+        est_direct.kmv_est, est_direct.hk)
+
+    # surgical refresh after an upsert: only affected partitions change
+    upd = (
+        ev.filter((F.col("event_id") % 7 == 0) & (F.dayofmonth("ts") <= 5))
+        .withColumn("user_id", F.col("user_id") + 1000)
+    )
+    affected = lake_mod.merge_into_lake(spark, lake, upd)
+    assert affected
+    before = lake_mod.snapshot_files(roll)
+    refreshed = sketches.refresh_kmv_rollup(
+        spark, lake, roll, "user_id", days=affected
+    )
+    assert refreshed == sorted(affected)
+    after = lake_mod.snapshot_files(roll)
+    changed_parts = {
+        rel.split("/")[0]
+        for rel in set(before) | set(after)
+        if before.get(rel) != after.get(rel)
+    }
+    assert changed_parts <= {f"dt={d}" for d in affected}
+    untouched = [r for r in before if r.split("/")[0] not in changed_parts]
+    assert untouched and all(before[r] == after[r] for r in untouched)
+    roll2 = str(tmp_path / "rollup_full")
+    sketches.refresh_kmv_rollup(spark, lake, roll2, "user_id")
+    assert _reg_set(spark.read.parquet(roll)) == _reg_set(
+        spark.read.parquet(roll2)
+    )
+
+    # vacated day: delete a whole day, refresh with the returned list
+    all_days = sorted(
+        r.dt for r in spark.read.parquet(roll)
+        .select(F.col("dt").cast("string").alias("dt")).distinct().collect()
+    )
+    victim = all_days[0]
+    kill = (
+        spark.read.parquet(lake)
+        .withColumn("dt", F.col("dt").cast("string"))
+        .filter(F.col("dt") == victim)
+        .select("event_id")
+    )
+    affected = lake_mod.delete_from_lake(spark, lake, kill)
+    assert victim in affected
+    sketches.refresh_kmv_rollup(spark, lake, roll, "user_id", days=affected)
+    left = {
+        r.dt for r in spark.read.parquet(roll)
+        .select(F.col("dt").cast("string").alias("dt")).distinct().collect()
+    }
+    assert victim not in left

@@ -562,3 +562,111 @@ def kmv_intersections(
             f"(n_s * CAST({P_HASH} AS BIGINT)) div theta AS inter_est",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# KMV per-day rollup persistence (round 7) — the HLL rollup pattern
+# applied to the theta family. Merge law (property-tested in
+# tests/test_sketches.py): a day's sample holds the K smallest distinct
+# hashes seen that day, and any hash among the K smallest over a day
+# SUBSET is necessarily among that day's K smallest (fewer than K hashes
+# beat it globally, so fewer than K beat it that day) — union the day
+# rows, dedup, re-take the K smallest, and the merged sketch is
+# BIT-IDENTICAL to a direct sketch over the same rows. The registered
+# 'kmv_rollup' variant asserts exactly that across engines: Spark
+# estimates through the day-rollup merge, DuckDB replays the DIRECT
+# sketch, and the value hash pins them equal.
+# --------------------------------------------------------------------------
+
+
+def kmv_day_samples(
+    df: DataFrame,
+    key_col: str = "user_id",
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(group..., dt, h) — the persistable per-day KMV rollup rows:
+    the K smallest distinct key-hashes per (group, day). At most
+    |groups| x days x K rows regardless of corpus size; one distinct +
+    one bounded window, the same shape as kmv_samples."""
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    dist = df.selectExpr(
+        *g,
+        f"date_format({ts_col}, 'yyyy-MM-dd') AS dt",
+        f"{kmv_hash_sql(key_col)} AS h",
+    ).distinct()
+    w = Window.partitionBy(*g, "dt").orderBy("h")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .drop("rk")
+    )
+
+
+def kmv_merge_all(samples: DataFrame, label: str) -> DataFrame:
+    """Merge rollup rows across ALL groups/days into one sketch tagged
+    g=label: dedup hashes, re-take the K smallest (orderBy + limit —
+    a TakeOrdered over an input already bounded by groups x days x K,
+    never a global sort of corpus data). Output (g, h, rk) feeds
+    kmv_group_stats like any other sample frame."""
+    from pyspark.sql.window import Window
+
+    dist = samples.select("h").distinct().orderBy("h").limit(KMV_K)
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        dist.select(F.lit(label).alias("g"), "h")
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+
+def refresh_kmv_rollup(
+    spark: SparkSession,
+    lake_path: str,
+    rollup_path: str,
+    key_col: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    days: list[str] | None = None,
+) -> list[str]:
+    """Maintain a persisted per-day KMV sample rollup alongside a
+    dt-partitioned lake — refresh_hll_rollup's contract verbatim (same
+    day-granular surgical overwrite, same vacate-absent-days rule, same
+    post_merge-hook signature for streaming lake ingestion); only the
+    sketch rows differ: (group, dt, h) K-smallest samples instead of
+    (group, dt, b, rho) registers. A lake UPSERT/DELETE replaces rows
+    and a K-smallest sample cannot un-see a deleted key, so the unit of
+    incremental maintenance is the DAY, exactly as for HLL."""
+    import os
+    import shutil
+
+    from uw_hadoop_aglorithms_spark.sources.lake import (
+        _stage_and_overwrite,
+        read_lake,
+    )
+
+    src = read_lake(spark, lake_path)
+    if days is None:
+        samples = kmv_day_samples(src.drop("dt"), key_col, group_cols)
+        samples.write.mode("overwrite").partitionBy("dt").parquet(rollup_path)
+        return sorted(
+            r.dt
+            for r in spark.read.parquet(rollup_path)
+            .select(F.col("dt").cast("string").alias("dt"))
+            .distinct().collect()
+        )
+    if not days:
+        return []
+    days = sorted(days)
+    samples = kmv_day_samples(
+        src.filter(F.col("dt").isin(days)).drop("dt"), key_col, group_cols
+    ).localCheckpoint(eager=True)
+    present = {r.dt for r in samples.select("dt").distinct().collect()}
+    if present:
+        _stage_and_overwrite(spark, samples, rollup_path)
+    for d in days:
+        if d not in present:
+            shutil.rmtree(
+                os.path.join(rollup_path, f"dt={d}"), ignore_errors=True
+            )
+    return days

@@ -34,6 +34,7 @@ from uw_hadoop_aglorithms_spark.operators import (
     text,
     textstats,
 )
+from uw_hadoop_aglorithms_spark.functions import render
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 from uw_hadoop_aglorithms_spark.streaming import windows as stream_windows
 
@@ -229,10 +230,39 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS cert",
     )
 
+    # KMV day-rollup merge (round 7): Spark estimates THROUGH the
+    # persisted-rollup merge path (per-day K-smallest samples -> union
+    # -> dedup -> re-take K), the oracle replays the DIRECT sketch over
+    # the same rows — the value hash pins the rollup merge law
+    # cross-engine (sketches.kmv_day_samples docstring). Reuses the
+    # hll_rollup rows' week bound (wb) and exact ground truths
+    # (ex_all / ex_w), so the verification adds no new events scans
+    # beyond the day-sample build itself.
+    daysamp = sketches.kmv_day_samples(ev).localCheckpoint(eager=False)
+    kcert = f"(100 * abs(kmv_est - n) <= {sketches.KMV_CERT_PCT} * n) AS cert"
+    kr_all = sketches.kmv_group_stats(
+        sketches.kmv_merge_all(daysamp, "all_days")
+    ).crossJoin(F.broadcast(ex_all)).selectExpr(
+        "'kmv_rollup' AS variant", "g AS k", "n", "kmv_est AS v",
+        "hk AS aux", kcert,
+    )
+    kr_week = sketches.kmv_group_stats(
+        sketches.kmv_merge_all(
+            daysamp.crossJoin(F.broadcast(wb)).filter(
+                F.col("dt") <= F.col("_w1")
+            ),
+            "first_week",
+        )
+    ).crossJoin(F.broadcast(ex_w)).selectExpr(
+        "'kmv_rollup' AS variant", "g AS k", "n", "kmv_est AS v",
+        "hk AS aux", kcert,
+    )
+
     return (
         exact.unionAll(hll_users).unionAll(hll_events).unionAll(regsum)
         .unionAll(roll_all).unionAll(roll_week)
         .unionAll(kmv_users).unionAll(kmv_inter)
+        .unionAll(kr_all).unionAll(kr_week)
         .orderBy("variant", "k")
     )
 
@@ -616,7 +646,10 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "user_id",
             "session_start",
-            F.unix_micros("last_ts").cast("string").alias("lus"),
+            # session-tz-independent micros (functions/render.py): the
+            # closed-form oracle computes epoch micros over the stored
+            # naive walls, i.e. the UTC rendering
+            render.utc_micros(spark, "last_ts").cast("string").alias("lus"),
             "n_events",
         )
         return [
@@ -1560,7 +1593,36 @@ def _distinct_users_oracle() -> str:
                     GROUP BY 1, 2, 3),
              ki AS (SELECT ga, gb, n_s, theta,
                            (n_s * CAST({P} AS BIGINT)) // theta AS inter_est
-                    FROM kc)
+                    FROM kc),
+             -- direct whole-corpus / first-week sketches: what the
+             -- Spark side's day-rollup MERGE must equal bit-for-bit
+             kh_all AS (SELECT DISTINCT {sketches.kmv_hash_sql('user_id')} AS h
+                        FROM events),
+             ks_all AS (SELECT h FROM (
+                            SELECT h, row_number() OVER (ORDER BY h) AS rk
+                            FROM kh_all)
+                        WHERE rk <= {sketches.KMV_K}),
+             kst_all AS (SELECT 'all_days' AS g, count(*) AS c, max(h) AS hk,
+                            CASE WHEN count(*) < {sketches.KMV_K}
+                                 THEN count(*)
+                                 ELSE ({sketches.KMV_K - 1}
+                                       * CAST({P} AS BIGINT)) // max(h)
+                            END AS kmv_est
+                         FROM ks_all),
+             kh_w AS (SELECT DISTINCT {sketches.kmv_hash_sql('user_id')} AS h
+                      FROM events
+                      WHERE strftime(ts, '%Y-%m-%d') <= (SELECT d FROM w1)),
+             ks_w AS (SELECT h FROM (
+                          SELECT h, row_number() OVER (ORDER BY h) AS rk
+                          FROM kh_w)
+                      WHERE rk <= {sketches.KMV_K}),
+             kst_w AS (SELECT 'first_week' AS g, count(*) AS c, max(h) AS hk,
+                            CASE WHEN count(*) < {sketches.KMV_K}
+                                 THEN count(*)
+                                 ELSE ({sketches.KMV_K - 1}
+                                       * CAST({P} AS BIGINT)) // max(h)
+                            END AS kmv_est
+                       FROM ks_w)
         SELECT 'exact' AS variant, event_type AS k,
                count(DISTINCT user_id) AS n, count(*) AS v,
                CAST(NULL AS BIGINT) AS aux, TRUE AS cert
@@ -1595,6 +1657,19 @@ def _distinct_users_oracle() -> str:
         FROM kst
         JOIN (SELECT event_type AS g, count(DISTINCT user_id) AS n
               FROM events GROUP BY 1) x USING (g)
+        UNION ALL
+        SELECT 'kmv_rollup', kst_all.g, x.n, kst_all.kmv_est, kst_all.hk,
+               (100 * abs(kst_all.kmv_est - x.n)
+                  <= {sketches.KMV_CERT_PCT} * x.n)
+        FROM kst_all,
+             (SELECT count(DISTINCT user_id) AS n FROM events) x
+        UNION ALL
+        SELECT 'kmv_rollup', kst_w.g, x.n, kst_w.kmv_est, kst_w.hk,
+               (100 * abs(kst_w.kmv_est - x.n)
+                  <= {sketches.KMV_CERT_PCT} * x.n)
+        FROM kst_w,
+             (SELECT count(DISTINCT user_id) AS n FROM events
+              WHERE strftime(ts, '%Y-%m-%d') <= (SELECT d FROM w1)) x
         UNION ALL
         SELECT 'kmv_inter', ki.ga || '|' || ki.gb, xp.n, ki.inter_est,
                ki.theta,
