@@ -81,7 +81,9 @@ def test_simhash_banding_recall_is_total(spark):
     # brute force over the signatures themselves
     from uw_hadoop_aglorithms_spark.functions.hashing import uhash
     hashed = dedup._exploded_gram_hashes(spark, SF_TEST).select(
-        "doc_id", uhash(F.col("ph"), dedup.SIMHASH_MEMBER).alias("g")
+        "doc_id",
+        uhash(F.col("ph"), dedup.SIMHASH_MEMBER).alias("g"),
+        uhash(F.col("ph"), dedup.SIMHASH_MEMBER_HI).alias("g2"),
     )
     votes = hashed.groupBy("doc_id").agg(*dedup._simhash_col())
     sig_rows = votes.collect()
@@ -1028,3 +1030,52 @@ def test_incremental_cap_uses_combined_occupancy(spark):
     assert capped == {
         p for p in full_capped if p[0] in new_ids or p[1] in new_ids
     }
+
+
+def test_incremental_hot_band_buckets_expose_gated_keys(spark):
+    """ADVICE r6 #2 regression: the incremental path's capped mass is
+    observable. The same fixture as the capped-incremental test — the
+    identical-text band keys cross combined occupancy 5 > 4, the
+    near-dup keys stay at 2 — so incremental_hot_band_buckets must
+    return exactly the identical-text keys with (n_new, n_idx, bsz)
+    accounting, and an empty frame at the default cap."""
+    same = "alpha beta gamma delta epsilon zeta"
+    base = "red orange yellow green blue indigo violet cyan magenta teal maroon"
+    old = spark.createDataFrame(
+        [(i, same) for i in range(3)] + [(10, base + " crimson")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, same) for i in range(3, 5)] + [(11, base + " scarlet")],
+        "doc_id long, text string",
+    )
+    prefix = _uniq("hotobs")
+    try:
+        dedup.save_neardup_index(old, prefix)
+        hot = dedup.incremental_hot_band_buckets(
+            spark, prefix, new, bucket_cap=4
+        ).collect()
+        # every gated key: 2 batch copies + 3 index copies of the
+        # identical text = combined 5
+        assert hot and all(
+            (r.n_new, r.n_idx, r.bsz) == (2, 3, 5) for r in hot
+        )
+        # the gated keys are exactly the identical-text bands (one per
+        # band_no — BANDS of them)
+        assert len(hot) == dedup.BANDS
+        # gated keys == keys the gate drops: rerunning the incremental
+        # pairs at the same cap finds no pair through those keys
+        capped = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+            for r in dedup.incremental_neardup_pairs(
+                spark, prefix, new, bucket_cap=4
+            ).collect()
+        }
+        assert capped == {(10, 11)}
+        # at the production cap nothing is gated, and the probe says so
+        assert not dedup.incremental_hot_band_buckets(
+            spark, prefix, new
+        ).take(1)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_hsets")

@@ -168,3 +168,44 @@ def test_batch_gd_invariant_under_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_sgd_envelope_guard_trips_on_partial_sum_magnitude(monkeypatch):
+    """Constructed near-envelope case (VERDICT r6 item 4): the fold's
+    guard bounds the SUM OF |w[f]| over a doc's features — not just the
+    final score — so transient cancellation cannot silently leave the
+    exact dyadic grid. With the envelope tightened to just above one
+    gradient step, a doc whose features carry CANCELLING weights (score
+    ~ 0, well under any score-only guard) must still trip it; the same
+    stream passes untouched one step earlier."""
+    import pandas as pd
+    import pytest
+
+    from uw_hadoop_aglorithms_spark.operators import ml
+
+    def fold(rows):
+        batches = iter([pd.DataFrame(
+            {"features": [r[0] for r in rows], "label": [r[1] for r in rows]}
+        )])
+        return {int(r.feature): r.weight
+                for _, r in next(ml._sgd_fold(batches)).iterrows()}
+
+    # step 1: feature 1 trained toward +, feature 2 toward - (from the
+    # empty model both steps apply g = ±DELTA/2 exactly)
+    warm = [([1], 1), ([2], 0)]
+    w = fold(warm)
+    assert w[1] > 0 > w[2]
+    # a probe doc over BOTH features has score w1 + w2 == 0.0 exactly
+    # (symmetric gradients) but abs-sum 2|g|
+    two_g = abs(w[1]) + abs(w[2])
+    assert two_g > 0
+    # envelope just above one step's |g|: the warm stream alone is fine
+    # (each step sees at most one weight), the probe doc trips
+    monkeypatch.setattr(ml, "SGD_ENVELOPE", two_g * 0.75)
+    fold(warm)  # no doc sees both weights -> passes
+    with pytest.raises(ValueError, match="exactness envelope"):
+        fold(warm + [([1, 2], 1)])
+    # control: at the real envelope the probe passes (scores tiny)
+    monkeypatch.setattr(ml, "SGD_ENVELOPE", 8192.0)
+    out = fold(warm + [([1, 2], 1)])
+    assert abs(out[1] + out[2]) < 1.0

@@ -763,3 +763,56 @@ def test_stream_merge_maintains_hll_rollup(spark, replay, tmp_path):
         post_merge=keep_rollup_live,
     )
     assert regset(roll_path) == regset(full)
+
+
+def test_pinned_spark_version():
+    """Version canary for runner.PINNED_STREAM_RULES (VERDICT r6 item
+    8): the stream_batch_equiv oracles replay micro-batch internals
+    (lag-one watermark, append window close, session close) that Spark
+    does not contract publicly. If this fails, a Spark upgrade happened:
+    re-derive each rule in runner.PINNED_STREAM_RULES via its listed
+    discriminating test BEFORE trusting a red stream value-hash."""
+    import pyspark
+
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    assert pyspark.__version__ == runner.PINNED_SPARK_VERSION, (
+        f"Spark moved {runner.PINNED_SPARK_VERSION} -> "
+        f"{pyspark.__version__}: re-derive the pinned micro-batch rules "
+        f"({', '.join(runner.PINNED_STREAM_RULES)}) — see each rule's "
+        "discriminating test in runner.PINNED_STREAM_RULES, then update "
+        "the suites.py stream oracles and THIS pin"
+    )
+
+
+def test_replay_dirs_clear_stale_files_on_reuse(spark, tmp_path):
+    """Regression for ADVICE r5/VERDICT r6 item 2: a reused replay out
+    dir must not keep stale block files — the AvailableNow file source
+    would replay them as EXTRA micro-batches (silent stream
+    corruption). Plant an alien block file, re-prepare, assert it is
+    gone and only the writer's own blocks remain (same check for the
+    events late-replay builder; prepare_replay_dir overwrites via
+    parquet mode=overwrite, covered implicitly)."""
+    import os
+
+    from uw_hadoop_aglorithms_spark.streaming import runner
+
+    for prep, pattern in (
+        (runner.prepare_doc_replay_dir, "block-"),
+        (runner.prepare_events_late_replay_dir, "block-"),
+    ):
+        out = str(tmp_path / prep.__name__)
+        prep(spark, SF_TEST, out)
+        first = sorted(
+            f for f in os.listdir(out) if f.startswith(pattern)
+        )
+        assert first, "builder must produce block files"
+        stale = os.path.join(out, "block-99.parquet")
+        with open(stale, "wb") as fh:
+            fh.write(b"stale parquet from a prior run")
+        prep(spark, SF_TEST, out)
+        second = sorted(
+            f for f in os.listdir(out) if f.startswith(pattern)
+        )
+        assert "block-99.parquet" not in second, prep.__name__
+        assert second == first, prep.__name__

@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 #: Append to a DuckDB round(...) fragment for the oracle side of the pair.
 SQL_POSZERO = " + 0.0"
 
+#: Quantize-then-exact-sum contract for ARBITRARY-double measures that
+#: get summed (BM25 per-term scores, curation quality averages): each
+#: per-item value v becomes floor(v·2^30 + 0.5) integer units (exact
+#: IEEE steps, ~9.3e-10 grid — the lm_score coarseness), the sum runs
+#: over BIGINT/DECIMAL(38,0) in Spark and BIGINT/HUGEINT in DuckDB
+#: (exact, order-independent at any scale), and ONE exact division by
+#: 2^30 produces the output — no engine round() semantics, no
+#: summation-order dependence. Fixed-decimal money columns use exact
+#: cents instead (operators/relational.py money contract).
+DYADIC_SUM_Q = 1 << 30
+
 
 def fround(col: Column | str, scale: int) -> Column:
     """``F.round`` that can never emit ``-0.0`` (see module docstring)."""

@@ -48,14 +48,23 @@ JACCARD_THRESHOLD = 0.8
 NUM_PERMS = 16
 BANDS = 8
 ROWS_PER_BAND = 2
-#: SimHash: 30-bit signatures (polyhash range), 4 bands → total recall
-#: for hamming <= HAMMING_MAX by pigeonhole (3 flips can't hit 4 bands).
-SIMHASH_BITS = 30
-SIMHASH_BANDS = ((0, 8), (8, 8), (16, 8), (24, 6))  # (offset, width)
+#: SimHash: 60-bit signatures from TWO engine-neutral uhash members
+#: (round 7, closing the round-6 density caveat: a 30-bit signature
+#: space saturates at large corpora and its 8-bit bands collide at
+#: 1/256 per random pair — 15-bit bands collide at 1/32768 and the
+#: signature space grows to 2^60). Each member supplies 30 uniform
+#: bits (uhash range is [0, P), P ≈ 2^29.9 — bits above 29 are not
+#: uniform, so each half stops at 30); DuckDB replays both members
+#: bit-exactly. 4 bands → total recall for hamming <= HAMMING_MAX by
+#: pigeonhole (3 flips can't hit 4 bands).
+SIMHASH_HALF = 30
+SIMHASH_BITS = 60
+SIMHASH_BANDS = ((0, 15), (15, 15), (30, 15), (45, 15))  # (offset, width)
 HAMMING_MAX = 3
-#: Universal-hash member reserved for SimHash bit source (MinHash uses
-#: members 0..NUM_PERMS-1).
+#: Universal-hash members reserved for the SimHash bit sources
+#: (MinHash uses members 0..NUM_PERMS-1): low 30 bits / high 30 bits.
 SIMHASH_MEMBER = 101
+SIMHASH_MEMBER_HI = 102
 #: Cosine near-dup threshold over `embeddings`.
 COSINE_THRESHOLD = 0.4
 #: The quadratic ground-truth baselines (ngram_jaccard, embedding cosine)
@@ -269,6 +278,38 @@ def hot_band_buckets(
     return (
         bands.groupBy(*_BAND_KEY)
         .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > bucket_cap)
+    )
+
+
+def incremental_hot_band_buckets(
+    spark: SparkSession,
+    prefix: str,
+    new_docs: DataFrame,
+    bucket_cap: int = BAND_BUCKET_CAP,
+) -> DataFrame:
+    """(band_no, h1, h2, n_new, n_idx, bsz) for every band key whose
+    COMBINED occupancy (live index + this batch) exceeds the cap — the
+    keys `incremental_neardup_pairs` gates OUT for this batch. The
+    incremental analog of `hot_band_buckets` (ADVICE r6 #2: the
+    incremental path must expose its capped mass, not drop it
+    silently): an ingest run logs/persists this per batch so a key
+    crossing the cap mid-lifecycle is an auditable event. Same
+    delta-sized probe as the gate itself — the index side is touched
+    only via a broadcast semi-join on the batch's keys."""
+    new_bands = bands_from_hsets(hsets_from_docs(new_docs))
+    idx_bands = _live_index(spark, prefix, "bands")
+    on = list(_BAND_KEY)
+    new_keys = new_bands.groupBy(*on).agg(F.count(F.lit(1)).alias("n_new"))
+    idx_occ = (
+        idx_bands.join(F.broadcast(new_keys.select(*on)), on)
+        .groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("n_idx"))
+    )
+    return (
+        new_keys.join(idx_occ, on, "left")
+        .withColumn("n_idx", F.coalesce(F.col("n_idx"), F.lit(0)))
+        .withColumn("bsz", F.col("n_new") + F.col("n_idx"))
         .where(F.col("bsz") > bucket_cap)
     )
 
@@ -732,28 +773,35 @@ def canonical_per_cluster(
 
 
 def _simhash_col() -> F.Column:
-    """Aggregate exprs folding per-shingle hash bits into a signature."""
+    """Aggregate exprs folding per-shingle hash bits into a signature:
+    bit j < SIMHASH_HALF reads member-lo column `g`, bits above read
+    member-hi column `g2` (two independent 30-bit halves)."""
+    def bit(j: int) -> F.Column:
+        col, off = ("g", j) if j < SIMHASH_HALF else ("g2", j - SIMHASH_HALF)
+        return F.shiftright(F.col(col), off).bitwiseAND(F.lit(1))
+
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("g"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
     return bit_sums
 
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with hamming distance <= 3 (30-bit sigs).
+    """SimHash near-dup pairs with hamming distance <= 3 (60-bit sigs).
 
-    Per doc: each distinct shingle votes ±1 on each of 30 bit positions
-    of its universal hash; sign of the vote total forms the signature.
-    Candidate pairs come from a 4-band self-join — pigeonhole makes the
-    banding lossless for hamming <= 3, so the output is EXACTLY "all
-    pairs at hamming <= 3" and the oracle can verify with a plain
-    quadratic scan at sf0.01.
+    Per doc: each distinct shingle votes ±1 on each of 60 bit positions
+    sourced from two universal-hash members (30 uniform bits each —
+    SIMHASH_HALF note above); sign of the vote total forms the
+    signature. Candidate pairs come from a 4-band self-join —
+    pigeonhole makes the banding lossless for hamming <= 3, so the
+    output is EXACTLY "all pairs at hamming <= 3" and the oracle can
+    verify with a plain quadratic scan at sf0.01.
     """
     hashed = _exploded_gram_hashes(spark, sf_dir).select(
-        "doc_id", uhash(F.col("ph"), SIMHASH_MEMBER).alias("g")
+        "doc_id",
+        uhash(F.col("ph"), SIMHASH_MEMBER).alias("g"),
+        uhash(F.col("ph"), SIMHASH_MEMBER_HI).alias("g2"),
     )
     votes = hashed.groupBy("doc_id").agg(*_simhash_col())
     sig_expr = None

@@ -202,8 +202,10 @@ def bm25_rank(
 
     Everything is exact-integer until the final per-term expression: N,
     df, tf, dl are counts, and avgdl = exact integer sum / N, so both
-    engines compute identical doubles; the per-doc sum is rounded before
-    ordering (summation order across ≤|terms| values differs).
+    engines compute identical doubles; each per-term score is
+    dyadic-quantized (floor(s*2^30+0.5), exact integer units) so the
+    per-doc sum is exact and summation-order-independent before
+    ordering.
 
     Scale: postings for the query terms come from a pushed-down
     isin-filter on the index (touches |terms| posting lists, not the
@@ -232,11 +234,23 @@ def bm25_rank(
         tfq.join(F.broadcast(df_t), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", (idf * norm).alias("s"))
+        # dyadic-quantized per-term score (functions/rounding.py
+        # DYADIC_SUM_Q contract): exact integer-unit sums are
+        # summation-order-independent, unlike the retired
+        # round(sum(double), 6) form
+        .select(
+            "doc_id",
+            F.floor((idf * norm) * F.lit(float(1 << 30)) + F.lit(0.5))
+            .cast("long")
+            .alias("su"),
+        )
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 6).alias("score"), F.count("*").alias("n_terms"))
+        .agg(
+            (F.sum("su").cast("double") / F.lit(float(1 << 30))).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP)
     )

@@ -65,6 +65,12 @@ SHUFFLE_MEMBER = 11
 #: across CPython and DuckDB — tests/test_ml.py) closes the loop.
 #: Exactness envelope |score| < 2^13 is asserted in the fold.
 DYADIC_Q = float(1 << 40)
+#: Exactness envelope for the serial fold: every weight is a k*2^-40
+#: multiple, so any PARTIAL sum of a doc's weights stays exact while
+#: sum(|w[f]|) < 2^13 (13 + 40 = 53 mantissa bits). Module constant so
+#: tests can tighten it and prove the guard trips (the fixture never
+#: comes near it — tests/test_ml.py envelope tests).
+SGD_ENVELOPE = 8192.0
 
 
 def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +129,7 @@ def _sgd_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # the abs-sum bounds every subset/reordering of the terms.
             vals = [w.get(int(f), 0.0) for f in feats]
             abs_sum = sum(abs(v) for v in vals)
-            if not abs_sum < 8192.0:
+            if not abs_sum < SGD_ENVELOPE:
                 raise ValueError(
                     f"serial-SGD exactness envelope exceeded: Σ|w[f]|="
                     f"{abs_sum} >= 2^13; some partial score sum may "

@@ -305,12 +305,15 @@ def pack_from_counts(counts: DataFrame) -> DataFrame:
     """(doc_id, n_tokens) → (doc_id, n_tokens, shard_id): the two-phase
     distributed prefix sum shared by the whitespace and learned-BPE
     packing legs (and reusable for any per-doc cost measure)."""
-    # cache the 3-int projection: it feeds BOTH the per-range totals and
-    # the final assignment — without it the corpus is scanned (and
-    # tokenized) twice. ~24 bytes/doc, cacheable even at 1e9 docs.
+    # materialize the 3-int projection ONCE (localCheckpoint, not
+    # cache: released by the ContextCleaner when the Python ref dies —
+    # suites.pack_sequences calls this twice per invocation and a
+    # .cache() stranded two frames per call, ADVICE r6 #3): it feeds
+    # BOTH the per-range totals and the final assignment — without it
+    # the corpus is scanned (and tokenized) twice. ~24 bytes/doc.
     toks = counts.select(
         "doc_id", "n_tokens", F.expr(f"doc_id div {PACK_RANGE}").alias("rng")
-    ).cache()
+    ).localCheckpoint(eager=True)
     per_range = toks.groupBy("rng").agg(F.sum("n_tokens").alias("rng_tokens"))
     # exclusive prefix over ranges: |docs|/PACK_RANGE rows — tiny by
     # construction, so the unpartitioned window is a non-issue at scale
@@ -363,22 +366,23 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rule gate and quality are map-side arithmetic, and the final
     aggregate is |langs × sources| groups with map-side partials.
     """
-    from uw_hadoop_aglorithms_spark.operators.dedup import (
-        canonical_per_cluster,
-        exact_dedup,
-    )
-    from uw_hadoop_aglorithms_spark.operators.textstats import (
-        gopher_rules,
-        quality_score,
-    )
-
     kept = curation_survivors(spark, sf_dir)
+    # dyadic-quantized quality units -> DECIMAL(38,0) exact sum: the
+    # average is summation-order-independent at any corpus size (the
+    # relational.py money-contract shape for an arbitrary-double measure)
+    qunits = F.floor(F.col("quality") * F.lit(float(1073741824)) + F.lit(0.5)).cast(
+        "long"
+    )
     return (
         kept.groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("quality"), 9).alias("avg_quality"),
+            (
+                F.sum(qunits.cast("decimal(38,0)")).cast("double")
+                / F.lit(float(1073741824))
+                / F.count("*")
+            ).alias("avg_quality"),
         )
         .orderBy("lang", "source")
     )

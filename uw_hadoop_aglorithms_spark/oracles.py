@@ -300,11 +300,11 @@ def _bm25_oracle() -> str:
         stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
         dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfq GROUP BY term)
         SELECT tfq.doc_id,
-               round(sum(
+               CAST(sum(CAST(floor((
                    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
                    * tf * ({BM25_K1} + 1)
                    / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl))
-               ), 6) AS score,
+               ) * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824.0 AS score,
                count(*) AS n_terms
         FROM tfq JOIN dft USING (term) JOIN dl ON dl.doc_id = tfq.doc_id, stats
         GROUP BY tfq.doc_id
@@ -531,7 +531,9 @@ from uw_hadoop_aglorithms_spark.operators.dedup import (
     ROWS_PER_BAND,
     SIMHASH_BANDS,
     SIMHASH_BITS,
+    SIMHASH_HALF,
     SIMHASH_MEMBER,
+    SIMHASH_MEMBER_HI,
 )
 from uw_hadoop_aglorithms_spark.functions.hashing import bucket_sql
 from uw_hadoop_aglorithms_spark.functions.hashing import P as _P
@@ -614,8 +616,12 @@ def _minhash_lsh_sql() -> str:
 
 
 def _simhash_sql() -> str:
+    def bit(j: int) -> str:
+        col, off = ("g", j) if j < SIMHASH_HALF else ("g2", j - SIMHASH_HALF)
+        return f"({col} >> {off}) & 1"
+
     bit_sums = ",\n               ".join(
-        f"sum(CASE WHEN (g >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        f"sum(CASE WHEN {bit(j)} = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(SIMHASH_BITS)
     )
     sig = " + ".join(
@@ -623,7 +629,8 @@ def _simhash_sql() -> str:
     )
     return f"""
     WITH {_GRAMS_CTE}, {_HASHED_CTE},
-    uh AS (SELECT doc_id, {uhash_sql('ph', SIMHASH_MEMBER)} AS g FROM hashed),
+    uh AS (SELECT doc_id, {uhash_sql('ph', SIMHASH_MEMBER)} AS g,
+                  {uhash_sql('ph', SIMHASH_MEMBER_HI)} AS g2 FROM hashed),
     votes AS (SELECT doc_id, {bit_sums} FROM uh GROUP BY doc_id),
     sigs AS (SELECT doc_id, ({sig})::BIGINT AS sig FROM votes)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1827,7 +1834,8 @@ CURATION_ORACLES["corpus_curation"] = f"""
     )
     SELECT d.lang, d.source, count(*) AS n_docs,
            CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
-           round(avg(q.quality), 9) AS avg_quality
+           CAST(sum(CAST(floor(q.quality * 1073741824 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1073741824.0 / count(*) AS avg_quality
     FROM documents d JOIN surv USING (doc_id) JOIN q USING (doc_id)
          JOIN gr USING (doc_id)
     WHERE d.doc_id NOT IN (SELECT doc_id FROM nd_drop)

@@ -30,6 +30,38 @@ WATERMARK = f"{WATERMARK_MIN} minutes"
 #: Deterministic permutation seed for order="scrambled" replays.
 SCRAMBLE_SEED = 0x5BE
 
+#: Spark version the micro-batch semantics below were PINNED against
+#: (VERDICT r6 item 8). The closed-form stream oracles replay internal
+#: micro-batch behaviors that Spark does not contract publicly; each is
+#: named here with the test that discriminates it, so a future hash
+#: flip after a Spark upgrade triages as PINNING DRIFT (re-derive the
+#: rule, update the oracle) instead of an opaque red key. The version
+#: canary lives in tests/test_streaming.py::test_pinned_spark_version.
+PINNED_SPARK_VERSION = "4.1.2"
+#: rule -> (what was pinned, where it is asserted)
+PINNED_STREAM_RULES = {
+    "watermark-lag-one": (
+        "micro-batch b's eviction/drop watermark derives from max event"
+        " time through batch b-2, not b-1 (dropDuplicatesWithinWatermark"
+        " state expiry AND append-mode late-row drops)",
+        "tests/test_streaming.py::test_watermark_lag_one_canary",
+    ),
+    "append-window-close": (
+        "append mode emits a window iff the FINAL watermark (max arrival"
+        " event time - delay) is >= its end boundary; windows still open"
+        " at AvailableNow termination are never flushed",
+        "suites.stream_batch_equiv 'late' oracle; closed-form replay in"
+        " the generated SQL (suites.py)",
+    ),
+    "session-close": (
+        "session_window closes a session iff (last event ts + gap) <="
+        " final watermark; the emitted set equals the batch sessions"
+        " passing that bound",
+        "suites.stream_batch_equiv 'sessions' oracle (pinned at sf0.01"
+        " AND sf0.1: 9,525 / 95,280 sessions)",
+    ),
+}
+
 
 def prepare_replay_dir(
     spark: SparkSession, sf_dir: str, out_dir: str, order: str = "time"
