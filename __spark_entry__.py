@@ -29,27 +29,10 @@ from uw_hadoop_aglorithms_spark.operators import (
     text,
     textstats,
 )
-from uw_hadoop_aglorithms_spark.functions.render import utc_timestamps
 from uw_hadoop_aglorithms_spark.oracles import all_oracles
 from uw_hadoop_aglorithms_spark.streaming import windows as stream_windows
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
-
-
-def _utc(fn: Callable[[SparkSession, str], DataFrame]):
-    """Registry-level rendering contract: every registered result's
-    timestamp columns render as UTC wall time regardless of the
-    caller's session timezone (functions/render.py; identity — same
-    DataFrame object, byte-stable plan — under the driver's UTC
-    session). functools.wraps sets __wrapped__ so the registry's
-    collect-guard introspection still reads the real wrapper source."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return utc_timestamps(fn(spark, sf_dir))
-
-    return wrapped
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -176,7 +159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle asserts TRUE
         "layout_suite": suites.layout_suite,
     }
-    return {k: _utc(fn) for k, fn in regs.items()}
+    # Session-timezone independence is an INGEST property, not an output
+    # wrapper: every event-time instant is built via
+    # functions/render.as_utc_instant (Catalog._load_events, the replay
+    # builders), so window alignment, epoch micros, and rendering are
+    # identical under any session zone — asserted by the
+    # tools/flake_harness.py zone sweep.
+    return regs
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,68 +1,52 @@
-"""Session-timezone-independent rendering of timestamp outputs.
+"""Session-timezone-independent event-time instants.
 
-Spark renders TimestampType instants in the SESSION timezone at
-collect(), while the DuckDB oracle renders the stored (UTC-written)
-wall times — so a registered result containing timestamps hash-matched
-only because the driver pins spark.sql.session.timeZone=UTC. The
-round-7 flake harness caught this in the act: under
-tz=America/New_York the four stream/window keys diverged with every
-row shifted by the zone offset and counts intact (pure rendering; the
-window-boundary INSTANTS are timezone-invariant).
+Every timestamp in the fixtures is stored as a NAIVE wall time
+(parquet TIMESTAMP_NTZ) — the semantics the DuckDB oracle reads
+directly. Spark's streaming engine, however, requires TimestampType
+(instants) for watermarks, and the naive->instant cast interprets the
+wall in the SESSION timezone: under tz=Z the instant becomes
+wall - offset(Z), which (a) shifts ``F.window`` bucket ALIGNMENT
+whenever offset(Z) is not a multiple of the window/slide (the round-7
+flake harness caught tumbling 60-min windows landing on :30 under
+Asia/Kolkata), and (b) shifts collect-time rendering. The value-hash
+contract only held because the driver pins UTC.
 
-Contract: the registered query surface (``__spark_entry__.queries()``)
-renders instants as UTC wall times regardless of the caller's session
-timezone. Under a UTC session this wrapper is the IDENTITY — same
-DataFrame object, byte-stable plans for the driver — and under any
-other zone each top-level timestamp column is shifted with
-``from_utc_timestamp(col, session_tz)`` so that the session-zone
-rendering of the shifted instant is exactly the UTC wall string
-(verified empirically against the DuckDB replay under both a
-whole-hour zone, America/New_York, and a half-hour one, Asia/Kolkata).
+``as_utc_instant`` is the ONE conversion the engine uses: it yields
+the instant whose UTC wall equals the stored wall, independent of the
+session zone —
 
-Caveats (documented, not load-bearing for the UTC driver): the shift
-uses the zone offset at each instant, so a timestamp INSIDE a DST
-transition hour of the session zone could render ambiguously — fixture
-event times (Jan 2024) sit at constant offsets. Only top-level columns
-are normalized; no registered key emits nested timestamps
-(window structs are flattened before return).
+    cast(w)                         (UTC session: identity plan,
+                                     parquet pushdown intact)
+    from_utc_timestamp(cast(w), tz) (any other zone: cast gives
+                                     w - offset(tz); the shift adds it
+                                     back, so the instant is w-as-UTC)
+
+Downstream consequences, all session-independent by construction:
+window/session_window alignment (instant epoch = UTC epoch of the
+wall), ``unix_micros`` (epoch of the UTC wall — what the oracles'
+integer arithmetic computes), and collect-time rendering (instants
+render as their UTC wall under the driver's TZ-unset process).
+
+Caveats: under a NON-UTC session the extra expression blocks parquet
+filter pushdown on the time column (the driver's UTC session keeps the
+bare cast), and a wall time inside a DST transition of the session
+zone converts ambiguously — fixture event times (Jan 2024) sit at
+constant offsets, and the production contract is a UTC session.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampType
 
 _UTC_NAMES = {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "+00:00", "Z"}
 
 
-def utc_micros(spark, col) -> "F.Column":
-    """Session-timezone-independent epoch micros of a TimestampType
-    column: micros of the UTC WALL TIME the value renders as under a
-    UTC session (what the DuckDB oracle's epoch arithmetic computes
-    over the stored naive timestamps). Identity under a UTC session;
-    under any other zone the same from_utc_timestamp shift as
-    utc_timestamps, applied before unix_micros."""
+def as_utc_instant(col: Column | str, spark: SparkSession) -> Column:
+    """Naive wall time (TIMESTAMP_NTZ or string) -> session-independent
+    instant whose UTC wall equals the stored wall (module docstring)."""
     tz = spark.conf.get("spark.sql.session.timeZone")
     c = F.col(col) if isinstance(col, str) else col
-    if tz not in _UTC_NAMES:
-        c = F.from_utc_timestamp(c, tz)
-    return F.unix_micros(c)
-
-
-def utc_timestamps(df: DataFrame) -> DataFrame:
-    """Normalize top-level timestamp columns to render as UTC wall time
-    (identity under a UTC session — see module docstring)."""
-    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    cast = c.cast("timestamp")
     if tz in _UTC_NAMES:
-        return df
-    fields = df.schema.fields
-    if not any(isinstance(f.dataType, TimestampType) for f in fields):
-        return df
-    return df.select(
-        *[
-            F.from_utc_timestamp(F.col(f.name), tz).alias(f.name)
-            if isinstance(f.dataType, TimestampType)
-            else F.col(f.name)
-            for f in fields
-        ]
-    )
+        return cast
+    return F.from_utc_timestamp(cast, tz)

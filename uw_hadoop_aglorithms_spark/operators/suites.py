@@ -34,7 +34,6 @@ from uw_hadoop_aglorithms_spark.operators import (
     text,
     textstats,
 )
-from uw_hadoop_aglorithms_spark.functions import render
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 from uw_hadoop_aglorithms_spark.streaming import windows as stream_windows
 
@@ -646,10 +645,11 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "user_id",
             "session_start",
-            # session-tz-independent micros (functions/render.py): the
-            # closed-form oracle computes epoch micros over the stored
-            # naive walls, i.e. the UTC rendering
-            render.utc_micros(spark, "last_ts").cast("string").alias("lus"),
+            # last_ts is an as_utc_instant-derived instant (catalog +
+            # replay builders), so its epoch micros ARE the stored
+            # wall's UTC epoch — what the closed-form oracle computes —
+            # under any session zone
+            F.unix_micros("last_ts").cast("string").alias("lus"),
             "n_events",
         )
         return [

@@ -54,8 +54,20 @@ class Catalog:
         return self._cache[name]
 
     def _load_events(self) -> DataFrame:
-        """Normalize `events.ts` to session-TZ TIMESTAMP whatever the parquet
-        physical type is.
+        """Normalize `events.ts` to TIMESTAMP_NTZ — the stored NAIVE
+        wall time, which is exactly what the DuckDB oracle reads.
+
+        Round 7 (flake-harness finding): the previous cast to session
+        TIMESTAMP made the instant wall − offset(session zone), which
+        shifted ``F.window`` ALIGNMENT under zones whose offset is not
+        a window multiple (tumbling 60-min windows landed on :30 under
+        Asia/Kolkata) and shifted collect-time rendering. NTZ wall
+        arithmetic is session-independent by CONSTRUCTION: window /
+        session_window alignment, date_format day bucketing, interval
+        arithmetic, and collect all operate on the wall itself. Only
+        Structured Streaming requires TimestampType (watermarks reject
+        NTZ), so the replay-dir writers convert at the stream boundary
+        via functions/render.as_utc_instant.
 
         The testdata has shipped `ts` as both parquet TIMESTAMP(NANOS) —
         which Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read as
@@ -66,18 +78,30 @@ class Catalog:
           integer `div`, not float division, because ~1.7e18 ns exceeds
           double's 2^53 integer range; truncation matches DuckDB's
           TIMESTAMP_NS → TIMESTAMP conversion, keeping oracles exact.
-        - Any timestamp type (TIMESTAMP / TIMESTAMP_NTZ): cast to the
-          session-TZ TIMESTAMP declared in schemas.EVENTS and pass through.
+        - TIMESTAMP_NTZ: pass through untouched.
+        - TIMESTAMP (instant, incl. the nanos branch's
+          `timestamp_micros`): instant → UTC wall as NTZ via
+          `convert_timezone(current_timezone(), 'UTC', CAST(i AS
+          TIMESTAMP_NTZ))` — the session-dependent cast composed with
+          the session→UTC wall conversion is session-INDEPENDENT.
         """
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = self.spark.read.parquet(f"{self.sf_dir}/events.parquet")
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        to_ntz = (
+            "convert_timezone(current_timezone(), 'UTC',"
+            " CAST({i} AS TIMESTAMP_NTZ))"
+        )
         ts_type = raw.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
-            return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+            return raw.withColumn(
+                "ts", F.expr(to_ntz.format(i="timestamp_micros(ts div 1000)"))
+            )
+        if isinstance(ts_type, T.TimestampType):
+            return raw.withColumn("ts", F.expr(to_ntz.format(i="ts")))
+        return raw
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLE_SCHEMAS:

@@ -85,7 +85,11 @@ LINEITEM = T.StructType(
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        # NAIVE wall time (round 7): NTZ arithmetic is session-timezone-
+        # independent by construction; the streaming replay writers
+        # convert to TimestampType at the watermark boundary
+        # (functions/render.as_utc_instant)
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),

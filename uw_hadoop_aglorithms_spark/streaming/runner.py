@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from uw_hadoop_aglorithms_spark.sources.schemas import EVENTS
+from uw_hadoop_aglorithms_spark.sources.schemas import EVENTS as _EVENTS_NTZ
 
 #: Replay granularity: events table split into this many time-range files,
 #: each micro-batch consuming one (the reference's 1-file-per-batch).
@@ -73,14 +73,18 @@ def prepare_replay_dir(
     a DETERMINISTIC permutation of the same range files, so whole time
     ranges arrive out of order and every micro-batch exercises the
     stateful aggregation's late-merge path (the arrival pattern a
-    multi-source lake ingest actually produces). Reading through the
-    Catalog also normalizes the nanos `ts` to a micros TimestampType,
-    so the replay dir is plain streaming-readable parquet."""
+    multi-source lake ingest actually produces). The Catalog serves the
+    NAIVE wall time (TIMESTAMP_NTZ, session-independent); watermarks
+    require TimestampType, so the STREAM BOUNDARY converts via
+    as_utc_instant — the written instant's UTC wall IS the stored wall
+    under any session zone."""
+    from uw_hadoop_aglorithms_spark.functions.render import as_utc_instant
     from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
     (
         Catalog(spark, sf_dir)
-        .events.repartitionByRange(REPLAY_FILES, "ts")
+        .events.withColumn("ts", as_utc_instant("ts", spark))
+        .repartitionByRange(REPLAY_FILES, "ts")
         .sortWithinPartitions("ts")
         .write.mode("overwrite")
         .parquet(out_dir)
@@ -137,7 +141,13 @@ def prepare_events_late_replay_dir(
 
     from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
-    ev = Catalog(spark, sf_dir).events
+    from uw_hadoop_aglorithms_spark.functions.render import as_utc_instant
+
+    # stream boundary: NTZ wall -> session-independent instant
+    # (prepare_replay_dir note)
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "ts", as_utc_instant("ts", spark)
+    )
     n = ev.count()
     width = -(-n // REPLAY_FILES)
     ranked = ev.withColumn(
@@ -171,9 +181,27 @@ def prepare_events_late_replay_dir(
     return out_dir
 
 
+def _events_stream_schema():
+    """The batch catalog serves ts as TIMESTAMP_NTZ (naive wall,
+    session-independent — schemas.EVENTS), but the replay writers
+    convert to a session-independent INSTANT at the stream boundary
+    (watermarks reject NTZ), so the streaming read schema swaps the
+    ts field to TimestampType."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("ts", T.TimestampType())
+            if f.name == "ts"
+            else f
+            for f in _EVENTS_NTZ.fields
+        ]
+    )
+
+
 def _event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
     return (
-        spark.readStream.schema(EVENTS)
+        spark.readStream.schema(_events_stream_schema())
         .option("maxFilesPerTrigger", 1)
         .parquet(replay_dir)
     )
@@ -468,11 +496,16 @@ def prepare_doc_replay_dir(
 
     from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
+    from uw_hadoop_aglorithms_spark.functions.render import as_utc_instant
+
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id",
         "text",
         (
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            # as_utc_instant: a bare to_timestamp would parse the wall
+            # in the SESSION zone, shifting the doc stream's window
+            # alignment under non-UTC sessions (flake-harness finding)
+            as_utc_instant(F.lit("2024-01-01 00:00:00"), spark)
             + F.make_interval(mins=F.col("doc_id").cast("int"))
         ).alias("ts"),
     )
