@@ -28,11 +28,14 @@ SF_DIRS = [
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_events_ts_is_timestamp_every_sf(spark, sf_dir):
-    """events.ts must come out of the catalog as a session-TZ timestamp,
-    regardless of the parquet physical encoding (nanos-long or micros)."""
+def test_events_ts_is_wall_time_every_sf(spark, sf_dir):
+    """events.ts must come out of the catalog as the NAIVE wall time
+    (TIMESTAMP_NTZ — session-timezone-independent by construction,
+    round 7), regardless of the parquet physical encoding (nanos-long
+    or micros). Streaming converts to TimestampType at the replay
+    boundary (runner._events_stream_schema)."""
     ev = Catalog(spark, sf_dir).events
-    assert isinstance(ev.schema["ts"].dataType, T.TimestampType), (
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampNTZType), (
         f"{sf_dir}: events.ts loaded as {ev.schema['ts'].dataType}"
     )
     # and it must actually evaluate (analysis errors surface on collect)
