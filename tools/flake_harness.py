@@ -34,16 +34,20 @@ import time
 
 REPO = "/root/repo"
 
-#: (cores, shuffle partitions, session timezone): the judge's four
-#: reproduction configs (VERDICT r6) plus a low-core prime-partition
-#: eastern-timezone combination — each run permutes task scheduling,
-#: partition boundaries, and local-time rendering independently.
+#: (cores, shuffle partitions, session timezone, PROCESS timezone): the
+#: judge's four reproduction configs (VERDICT r6) plus a low-core
+#: prime-partition eastern-timezone combination and a PROCESS-zone run
+#: (TZ env var — PySpark renders TimestampType at collect via python's
+#: local zone, a channel the session zone doesn't cover; batch NTZ
+#: results and the runners' walls_out boundary are immune, this run
+#: proves it). Each run permutes task scheduling, partition boundaries,
+#: and both rendering zones independently.
 CONFIGS = [
-    ("8", "16", "UTC"),            # the driver's own shape
-    ("32", "200", "UTC"),          # wide + default-ish partitioning
-    ("8", "7", "America/New_York"),  # odd prime partitions, non-UTC
-    ("4", "16", "Asia/Kolkata"),   # half-hour-offset timezone
-    ("16", "64", "UTC"),           # mid shape, different merge order
+    ("8", "16", "UTC", None),            # the driver's own shape
+    ("32", "200", "UTC", None),          # wide + default-ish partitioning
+    ("8", "7", "America/New_York", None),  # odd prime partitions, non-UTC
+    ("4", "16", "Asia/Kolkata", None),   # half-hour-offset timezone
+    ("16", "64", "UTC", "America/New_York"),  # python PROCESS zone shifted
 ]
 
 
@@ -53,7 +57,7 @@ def main() -> int:
     outdir = os.environ.get("SPARK_GRAFT_FLAKE_DIR", "/tmp/spark_graft_flake")
     os.makedirs(outdir, exist_ok=True)
     runs = []
-    for i, (cores, parts, tz) in enumerate(configs):
+    for i, (cores, parts, tz, proc_tz) in enumerate(configs):
         env = dict(os.environ)
         env.update(
             SPARK_GRAFT_SIM_CORES=cores,
@@ -63,6 +67,8 @@ def main() -> int:
             SPARK_GRAFT_SIM_LINES=f"{outdir}/run{i}.lines.json.gz",
             SPARK_GRAFT_SIM_DIVDIR=outdir,
         )
+        if proc_tz is not None:
+            env["TZ"] = proc_tz
         t0 = time.time()
         proc = subprocess.run(
             [sys.executable, f"{REPO}/tools/driver_sim.py"],
@@ -70,12 +76,14 @@ def main() -> int:
         )
         dur = round(time.time() - t0, 1)
         ok = proc.returncode == 0
-        print(f"run {i} local[{cores}] parts={parts} tz={tz}: "
+        print(f"run {i} local[{cores}] parts={parts} tz={tz}"
+              f" TZ={proc_tz or '-'}: "
               f"{'green' if ok else 'RED'} in {dur}s", flush=True)
         if not ok:
             tail = "\n".join(proc.stdout.splitlines()[-15:])
             print(tail)
-        runs.append({"config": {"cores": cores, "parts": parts, "tz": tz},
+        runs.append({"config": {"cores": cores, "parts": parts, "tz": tz,
+                                "proc_tz": proc_tz},
                      "green": ok, "seconds": dur})
 
     # cross-run stability: every key's spark hash must be one value

@@ -50,3 +50,38 @@ def as_utc_instant(col: Column | str, spark: SparkSession) -> Column:
     if tz in _UTC_NAMES:
         return cast
     return F.from_utc_timestamp(cast, tz)
+
+
+def as_utc_wall(col: Column | str) -> Column:
+    """Instant (TimestampType) -> its UTC wall as TIMESTAMP_NTZ,
+    independent of BOTH the session zone and the python process zone.
+
+    The inverse boundary of as_utc_instant: streaming runners convert
+    their memory-sink results back to walls before returning, because
+    PySpark renders TimestampType at collect via the PYTHON PROCESS
+    timezone (datetime.fromtimestamp) — a TZ env var would shift every
+    streamed timestamp while batch NTZ results stay put. The
+    session-dependent NTZ cast composed with a session->UTC
+    convert_timezone is session-independent (catalog.py note)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.convert_timezone(
+        F.current_timezone(), F.lit("UTC"), c.cast("timestamp_ntz")
+    )
+
+
+def walls_out(df: DataFrame) -> DataFrame:
+    """Apply as_utc_wall to every top-level TimestampType column — the
+    streaming runners' return boundary."""
+    from pyspark.sql.types import TimestampType
+
+    fields = df.schema.fields
+    if not any(isinstance(f.dataType, TimestampType) for f in fields):
+        return df
+    return df.select(
+        *[
+            as_utc_wall(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, TimestampType)
+            else F.col(f.name)
+            for f in fields
+        ]
+    )

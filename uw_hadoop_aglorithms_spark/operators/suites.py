@@ -34,6 +34,7 @@ from uw_hadoop_aglorithms_spark.operators import (
     text,
     textstats,
 )
+from uw_hadoop_aglorithms_spark.functions import render
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 from uw_hadoop_aglorithms_spark.streaming import windows as stream_windows
 
@@ -531,7 +532,7 @@ def window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             for (w, t, c) in futs[v].result()
         ]
     return spark.createDataFrame(
-        rows, "variant string, window_start timestamp, tag string, cnt long"
+        rows, "variant string, window_start timestamp_ntz, tag string, cnt long"
     )
 
 
@@ -645,11 +646,12 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "user_id",
             "session_start",
-            # last_ts is an as_utc_instant-derived instant (catalog +
-            # replay builders), so its epoch micros ARE the stored
-            # wall's UTC epoch — what the closed-form oracle computes —
-            # under any session zone
-            F.unix_micros("last_ts").cast("string").alias("lus"),
+            # the runner returns WALLS (render.walls_out); micros of
+            # the wall's UTC epoch — what the closed-form oracle
+            # computes — via the session-independent instant conversion
+            F.unix_micros(render.as_utc_instant("last_ts", spark))
+            .cast("string")
+            .alias("lus"),
             "n_events",
         )
         return [
@@ -718,9 +720,11 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         + rj
         + lt
     )
+    # timestamp_ntz: the streamed walls round-trip collect/createDataFrame
+    # without session- or process-zone interpretation (render.walls_out)
     return spark.createDataFrame(
         rows,
-        "variant string, window_start timestamp, doc_id long,"
+        "variant string, window_start timestamp_ntz, doc_id long,"
         " digest string, n long",
     ).orderBy("variant", "window_start", "doc_id")
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from uw_hadoop_aglorithms_spark.functions.render import walls_out
 from uw_hadoop_aglorithms_spark.sources.schemas import EVENTS as _EVENTS_NTZ
 
 #: Replay granularity: events table split into this many time-range files,
@@ -232,7 +233,7 @@ def stream_event_count(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name).orderBy("window_start")
+    return walls_out(spark.table(query_name)).orderBy("window_start")
 
 
 def stream_event_count_append(
@@ -262,7 +263,7 @@ def stream_event_count_append(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name).orderBy("window_start")
+    return walls_out(spark.table(query_name)).orderBy("window_start")
 
 
 def stream_sliding_event_count(
@@ -293,7 +294,7 @@ def stream_sliding_event_count(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name).orderBy("window_start")
+    return walls_out(spark.table(query_name)).orderBy("window_start")
 
 
 def stream_geo_region_count(
@@ -327,7 +328,7 @@ def stream_geo_region_count(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name).orderBy("window_start", "region")
+    return walls_out(spark.table(query_name)).orderBy("window_start", "region")
 
 
 def stream_range_join(
@@ -384,7 +385,7 @@ def stream_range_join(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name).distinct().orderBy("purchase_id", "other_id")
+    return walls_out(spark.table(query_name).distinct()).orderBy("purchase_id", "other_id")
 
 
 def stream_user_sessions(
@@ -429,7 +430,7 @@ def stream_user_sessions(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name).orderBy("user_id", "session_start")
+    return walls_out(spark.table(query_name)).orderBy("user_id", "session_start")
 
 
 def stream_region_event_count(
@@ -458,7 +459,7 @@ def stream_region_event_count(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name).orderBy("window_start", "event_type")
+    return walls_out(spark.table(query_name)).orderBy("window_start", "event_type")
 
 
 #: Ingestion-time dedup: duplicates arriving within this event-time
@@ -591,7 +592,7 @@ def stream_exact_dedup(
             .start()
         )
         q.awaitTermination()
-        return spark.table(query_name).orderBy("ts", "doc_id")
+        return walls_out(spark.table(query_name)).orderBy("ts", "doc_id")
     q = (
         stream.writeStream.format("parquet")
         .outputMode("append")
@@ -672,7 +673,7 @@ def stream_decontaminate(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name).orderBy("doc_id")
+    return walls_out(spark.table(query_name)).orderBy("doc_id")
 
 
 def stream_merge_to_lake(
