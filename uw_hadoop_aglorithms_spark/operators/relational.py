@@ -67,6 +67,24 @@ def _revenue_units():
     return _units("l_extendedprice") * (F.lit(100) - _units("l_discount"))
 
 
+def _revenue_base(spark: SparkSession, sf_dir: str):
+    """Exact DECIMAL(38,0) revenue totals at the FINEST grouping
+    (l_returnflag, l_linestatus) — the shared input for ROLLUP/CUBE.
+
+    Grouping-set plans Expand the fact rows by the number of grouping
+    sets BEFORE aggregating; running the (slower) decimal aggregation
+    through that multiplied scan cost ~3x at sf0.1. Revenue is
+    additive, so every ROLLUP/CUBE subtotal re-aggregates EXACTLY from
+    the finest level: one decimal pass over the facts produces a
+    |flags x statuses|-row frame, and the Expand runs over THAT. At
+    100 TB the saving is the Expand multiple times the corpus scan."""
+    return (
+        Catalog(spark, sf_dir)
+        .lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(_revenue_units().cast("decimal(38,0)")).alias("rev_dec"))
+    )
+
+
 def q1(spark: SparkSession, sf_dir: str, date: str = SHIP_DATE) -> DataFrame:
     """How many items shipped on `date`? (reference Q1.scala:30-41)
 
@@ -271,10 +289,10 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by (returnflag, linestatus) with ROLLUP subtotals — the
     multi-level aggregate family the reference lacked (SURVEY.md §2.4 note).
     """
-    cat = Catalog(spark, sf_dir)
     return (
-        cat.lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(_exact_sum(_revenue_units(), 1e4).alias("revenue"))
+        _revenue_base(spark, sf_dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg((F.sum("rev_dec").cast("double") / F.lit(1e4)).alias("revenue"))
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -392,10 +410,10 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by CUBE(returnflag, linestatus) — all 2^2 grouping sets in
     one pass (Expand + single aggregate; no scan-per-grouping union)."""
-    cat = Catalog(spark, sf_dir)
     return (
-        cat.lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(_exact_sum(_revenue_units(), 1e4).alias("revenue"))
+        _revenue_base(spark, sf_dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg((F.sum("rev_dec").cast("double") / F.lit(1e4)).alias("revenue"))
         .orderBy("l_returnflag", "l_linestatus")
     )
 
