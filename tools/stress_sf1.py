@@ -162,6 +162,50 @@ def stress_span_index(spark, d):
     return res
 
 
+def stress_kmv_rollup(spark, d):
+    """Round-7 KMV rollup lifecycle at 10×: full per-day sample rollup
+    over the 1M-row replica lake, a user-reassignment merge on the
+    early days, surgical day refresh, and the merged all-days estimate
+    off the rollup — work per refresh must stay proportional to the
+    MUTATED days (partition-pruned scan), and the merge re-take-K must
+    stay bounded (≤ types × days × K rows in, K out). Returns the
+    1-row merged estimate."""
+    from uw_hadoop_aglorithms_spark.operators import sketches
+    from uw_hadoop_aglorithms_spark.sources import lake as lake_mod
+
+    ev = spark.read.parquet(f"{d}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    rep = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    n_u = ev.agg(F.max("user_id")).first()[0] + 1
+    big = (
+        ev.crossJoin(rep)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * n_ev)
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * n_u)
+        .drop("rep")
+    )
+    scratch = tempfile.mkdtemp(prefix="stress_kmv_")
+    lp, rp = f"{scratch}/lake", f"{scratch}/rollup"
+    try:
+        lake_mod.write_date_partitioned(big, lp)
+        sketches.refresh_kmv_rollup(spark, lp, rp, "user_id")
+        upd = (
+            big.filter(
+                (F.col("event_id") % 97 == 0) & (F.dayofmonth("ts") <= 5)
+            )
+            .withColumn("user_id", F.col("user_id") + F.lit(10**9))
+        )
+        days = lake_mod.merge_into_lake(spark, lp, upd)
+        sketches.refresh_kmv_rollup(spark, lp, rp, "user_id", days=days)
+        merged = sketches.kmv_group_stats(
+            sketches.kmv_merge_all(spark.read.parquet(rp), "all_days")
+        )
+        return merged.select("g", "c", "kmv_est")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def stress_lake_lifecycle(spark, d):
     """Round-6 lake mutation lifecycle at 10×: a 1M-row (sf0.1 × 10)
     date-partitioned events lake goes through the full maintenance
@@ -366,6 +410,13 @@ def run(spark) -> dict:
         ("ann_index_lifecycle", stress_ann_index),
         ("ivfpq_index", stress_ivfpq_index),
         ("stream_neardup_ingest", stress_stream_ingest),
+        # round-7 additions: the KMV per-day rollup lifecycle (surgical
+        # day refresh + bounded merge at 10× density) and the widened
+        # 60-bit SimHash (9 exact twins per doc -> every band bucket
+        # holds >= 10 identical signatures; the banded join's candidate
+        # mass is the twin structure itself, the worst honest case)
+        ("kmv_rollup_lifecycle", stress_kmv_rollup),
+        ("simhash60", dedup.simhash_dedup),
     ):
         before = rss_mb()
         t0 = time.perf_counter()
