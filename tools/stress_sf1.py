@@ -201,7 +201,11 @@ def stress_kmv_rollup(spark, d):
         merged = sketches.kmv_group_stats(
             sketches.kmv_merge_all(spark.read.parquet(rp), "all_days")
         )
-        return merged.select("g", "c", "kmv_est")
+        # materialize BEFORE the finally deletes the scratch files —
+        # the runner collects the returned frame after this function
+        return merged.select("g", "c", "kmv_est").localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
