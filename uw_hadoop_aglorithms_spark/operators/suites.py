@@ -586,12 +586,17 @@ def _sbe_replay_dir(
 
 
 def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three REAL Structured Streaming runs under one key (round 5 folds
+    """Eight REAL Structured Streaming runs under one key (round 5 folds
     the streaming front door in as variants so the registry stays at the
-    driver's 50-key budget):
+    driver's 50-key budget; round 7 adds the sliding and per-region
+    true-stream forms, previously pytest-only):
 
     variant='window' — the scrambled-replay windowed event count ≡ the
     batch oracle (the original stream_batch_equiv contract).
+    variant='swin' / 'region' — the SLIDING (width 60 / slide 30) and
+    per-event_type tumbling forms in complete mode over the same
+    scrambled replay: the final tables equal the batch oracles verbatim
+    regardless of arrival order.
     variant='dedup' / 'decon' — the ingestion front door: see
     _ingest_collect for the operators and the closed-form watermark
     oracle design.
@@ -632,6 +637,8 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck_se = tempfile.mkdtemp(prefix="sbe_ck_se_")
     ck_rj = tempfile.mkdtemp(prefix="sbe_ck_rj_")
     ck_lt = tempfile.mkdtemp(prefix="sbe_ck_lt_")
+    ck_sw = tempfile.mkdtemp(prefix="sbe_ck_sw_")
+    ck_rg = tempfile.mkdtemp(prefix="sbe_ck_rg_")
     # The stateful agg repartitions to spark.sql.shuffle.partitions in
     # EVERY micro-batch; the state (one row per event-time window) is
     # tiny, so scope the conf down for the run — a fresh checkpoint pins
@@ -659,6 +666,24 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in out.collect()
         ]
 
+    def grab_swin():
+        out = runner.stream_sliding_event_count(
+            spark, replay, ck_sw, query_name="sbe_swin_mem"
+        )
+        return [
+            ("swin", r.window_start, None, None, int(r.cnt))
+            for r in out.collect()
+        ]
+
+    def grab_region():
+        out = runner.stream_region_event_count(
+            spark, replay, ck_rg, query_name="sbe_region_mem"
+        )
+        return [
+            ("region", r.window_start, None, r.event_type, int(r.cnt))
+            for r in out.collect()
+        ]
+
     def grab_late():
         out = runner.stream_event_count_append(
             spark, replay_l, ck_lt, query_name="sbe_late_mem"
@@ -681,11 +706,13 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     try:
-        with ThreadPoolExecutor(4) as pool:
+        with ThreadPoolExecutor(6) as pool:
             f_ing = pool.submit(_ingest_collect, spark, sf_dir)
             f_se = pool.submit(grab_sessions)
             f_rj = pool.submit(grab_rjoin)
             f_lt = pool.submit(grab_late)
+            f_sw = pool.submit(grab_swin)
+            f_rg = pool.submit(grab_region)
             out = runner.stream_event_count(
                 spark, replay, ckpt, query_name="stream_batch_equiv_mem"
             )
@@ -695,6 +722,7 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             dd, dc = f_ing.result()
             se, rj, lt = f_se.result(), f_rj.result(), f_lt.result()
+            sw, rg = f_sw.result(), f_rg.result()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # the memory sinks register temp views and the checkpoints are
@@ -702,7 +730,7 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         # accumulate
         for v in (
             "stream_batch_equiv_mem", "sbe_sessions_mem", "sbe_rjoin_mem",
-            "sbe_late_mem",
+            "sbe_late_mem", "sbe_swin_mem", "sbe_region_mem",
         ):
             try:
                 spark.catalog.dropTempView(v)
@@ -712,8 +740,12 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ck_se, ignore_errors=True)
         shutil.rmtree(ck_rj, ignore_errors=True)
         shutil.rmtree(ck_lt, ignore_errors=True)
+        shutil.rmtree(ck_sw, ignore_errors=True)
+        shutil.rmtree(ck_rg, ignore_errors=True)
     rows = (
         win
+        + sw
+        + rg
         + [("dedup", None, d, dg, None) for d, dg in dd]
         + [("decon", ws, d, None, n) for d, ws, n in dc]
         + se
@@ -1898,6 +1930,21 @@ def _suite_oracles() -> dict[str, str]:
                 STREAMING_ORACLES["event_count"],
                 "window_start, CAST(NULL AS BIGINT) AS doc_id,"
                 " CAST(NULL AS VARCHAR) AS digest, cnt AS n",
+            ),
+            # round 7: the sliding and per-region TRUE-stream forms run
+            # in complete mode, so their final tables equal the batch
+            # oracles verbatim (previously pytest-only; COVERAGE note)
+            _wrap(
+                "swin",
+                STREAMING_ORACLES["sliding_event_count"],
+                "window_start, CAST(NULL AS BIGINT) AS doc_id,"
+                " CAST(NULL AS VARCHAR) AS digest, cnt AS n",
+            ),
+            _wrap(
+                "region",
+                STREAMING_ORACLES["region_event_count"],
+                "window_start, CAST(NULL AS BIGINT) AS doc_id,"
+                " event_type AS digest, cnt AS n",
             ),
             f"""
             SELECT 'dedup' AS variant,
