@@ -816,3 +816,61 @@ def test_replay_dirs_clear_stale_files_on_reuse(spark, tmp_path):
         )
         assert "block-99.parquet" not in second, prep.__name__
         assert second == first, prep.__name__
+
+
+def test_stream_merge_maintains_kmv_rollup(spark, replay, tmp_path):
+    """KMV parity with the HLL streaming-maintenance composition
+    (round 7): the same post_merge hook keeps the per-day KMV sample
+    rollup live during streaming lake ingestion; after the stream
+    drains it equals a full rebuild, and a worst-case at-least-once
+    full re-replay (fresh checkpoint) leaves it unchanged — merge and
+    day-scoped refresh are both idempotent over identical lake state."""
+    from uw_hadoop_aglorithms_spark.operators import sketches
+
+    lake_path = str(tmp_path / "lake")
+    roll_path = str(tmp_path / "rollup")
+
+    def keep_rollup_live(days):
+        sketches.refresh_kmv_rollup(
+            spark, lake_path, roll_path, "user_id", days=days
+        )
+
+    runner.stream_merge_to_lake(
+        spark,
+        f"{replay}/events",
+        str(tmp_path / "cp"),
+        lake_path,
+        post_merge=keep_rollup_live,
+    )
+    full = str(tmp_path / "rollup_full")
+    sketches.refresh_kmv_rollup(spark, lake_path, full, "user_id")
+
+    def sampleset(path):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .withColumn("dt", F.col("dt").cast("string"))
+            .collect()
+        }
+
+    assert sampleset(roll_path) == sampleset(full)
+    # and the merged estimate off the maintained rollup equals the
+    # direct single-pass sketch over the final lake
+    est_roll = sketches.kmv_group_stats(
+        sketches.kmv_merge_all(spark.read.parquet(roll_path), "all")
+    ).collect()[0]
+    lake_ev = spark.read.parquet(lake_path).withColumn("g1", F.lit("all"))
+    est_direct = sketches.kmv_group_stats(
+        sketches.kmv_samples(lake_ev, "user_id", "g1")
+    ).collect()[0]
+    assert (est_roll.kmv_est, est_roll.hk) == (
+        est_direct.kmv_est, est_direct.hk)
+
+    runner.stream_merge_to_lake(
+        spark,
+        f"{replay}/events",
+        str(tmp_path / "cp2"),
+        lake_path,
+        post_merge=keep_rollup_live,
+    )
+    assert sampleset(roll_path) == sampleset(full)
