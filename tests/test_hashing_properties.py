@@ -196,3 +196,75 @@ def test_hll_three_way_agreement(duck, keys):
         regs[b] = max(regs.get(b, 0), r)
     assert sum_rho == sum(regs.values())
     assert sum_w == sum((b + 1) * r for b, r in regs.items())
+
+
+# --- engine-neutral integer log2 (functions/intlog.py, round 8) -------------
+
+INTLOG_EDGES = [
+    1, 2, 3, 4, 5, 7, 8, 63, 64, 65,
+    (1 << 30) - 1, 1 << 30, (1 << 30) + 1,
+    (1 << 31) - 1, 1 << 31, (1 << 31) + 1,
+    10**9, 10**12, 10**15, (1 << 53) - 1, 1 << 53,
+    (1 << 61), (1 << 62) - 1,
+]
+
+
+def test_ilog2_accuracy_and_monotonicity():
+    """ilog2_py IS the definition (not a libm approximation), but it must
+    track true log2 within its documented 2^-25 truncation bound and be
+    monotone — otherwise downstream rankings (tfidf windows) could
+    invert."""
+    import math
+
+    from uw_hadoop_aglorithms_spark.functions import intlog
+
+    prev = -1
+    for x in sorted(INTLOG_EDGES):
+        k = intlog.ilog2_py(x)
+        assert abs(k / intlog.ILOG2_Q - math.log2(x)) < 2**-24, x
+        assert k >= prev, f"non-monotone at {x}"
+        prev = k
+    # exact powers of two hit the grid exactly
+    for e in (0, 1, 10, 30, 45, 61):
+        assert intlog.ilog2_py(1 << e) == e * intlog.ILOG2_Q
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=(1 << 62) - 1),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ilog2_duckdb_matches_python(duck, xs):
+    """The generated DuckDB REPLACE-chain == ilog2_py, bit for bit, over
+    the full [1, 2^62) domain — the oracle side of the no-query-time-libm
+    contract."""
+    from uw_hadoop_aglorithms_spark.functions import intlog
+
+    src = (
+        "SELECT unnest(["
+        + ",".join(str(v) for v in xs)
+        + "]::BIGINT[]) AS x"
+    )
+    got = duck.execute(
+        f"SELECT x, k FROM ({intlog.ilog2_oracle_sql(src, 'x', 'k')})"
+    ).fetchall()
+    assert len(got) == len(xs)
+    for x, k in got:
+        assert int(k) == intlog.ilog2_py(int(x)), x
+
+
+def test_ilog2_spark_matches_python(spark):
+    """The Spark selectExpr chain == ilog2_py on edge values + a seeded
+    random sweep (one job; hypothesis-free to keep it a single plan)."""
+    import random
+
+    from uw_hadoop_aglorithms_spark.functions import intlog
+
+    rng = random.Random(0xB10)
+    xs = INTLOG_EDGES + [rng.randrange(1, 1 << 62) for _ in range(150)]
+    df = spark.createDataFrame([(v,) for v in xs], "x long")
+    for r in intlog.with_ilog2(df, "x", "k").collect():
+        assert r.k == intlog.ilog2_py(r.x), r.x

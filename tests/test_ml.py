@@ -14,6 +14,7 @@ import re
 import duckdb
 import pytest
 
+from uw_hadoop_aglorithms_spark.functions import intlog
 from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params
 from uw_hadoop_aglorithms_spark.operators import ml
 from tests.conftest import SF_TEST
@@ -54,7 +55,7 @@ def _python_train(insts):
     w: dict[int, float] = {}
     for _, label, feats in train:
         score = sum(w.get(f, 0.0) for f in feats)
-        p = 1.0 / (1.0 + math.exp(-max(min(score, 709.0), -709.0)))
+        p = intlog.sigmoid_py(score)
         g = math.floor((label - p) * ml.DELTA * ml.DYADIC_Q + 0.5) / ml.DYADIC_Q
         for f in feats:
             w[f] = w.get(f, 0.0) + g
@@ -93,18 +94,28 @@ def test_ensemble_vote_range(spark):
         assert r.prediction_vote == ("spam" if r.vote > 0 else "ham")
 
 
-def test_libm_exp_bit_identical_across_engines():
-    """The SQL replay oracle (_spam_oracle) relies on CPython and DuckDB
-    calling the same platform libm exp(): assert bit-equality over the
-    score range the fold can produce (|score| ≤ 709 after the clamp)."""
+def test_sigmoid_bit_identical_across_engines():
+    """The SQL replay oracle (_spam_oracle) uses the engine-neutral
+    dyadic sigmoid (round 8, replacing libm exp() whose cross-engine
+    bit-equality was platform-libm luck): assert the generated DuckDB
+    chain == intlog.sigmoid_py bit-for-bit over the score range the
+    fold can produce, and that it tracks the true logistic."""
+    import random
+
     con = duckdb.connect()
+    rng = random.Random(0x516)
     xs = [0.0, 1e-9, -1e-9, 0.002, -0.5, 1.5, -3.25, 7.0, -42.0, 100.0,
-          -100.0, 708.9, -708.9, 709.0, -709.0, 0.1234567891234]
-    got = con.execute(
-        "SELECT list_transform($1::DOUBLE[], x -> exp(x))", [xs]
-    ).fetchone()[0]
-    for x, d in zip(xs, got):
-        assert math.exp(x) == d, f"exp({x}): python {math.exp(x)!r} != duckdb {d!r}"
+          -100.0, 8191.0, -8191.0, 0.1234567891234]
+    xs += [rng.uniform(-60, 60) for _ in range(300)]
+    con.execute("CREATE TABLE s(x DOUBLE)")
+    con.executemany("INSERT INTO s VALUES (?)", [(x,) for x in xs])
+    q = intlog.sigmoid_oracle_sql("SELECT x FROM s", "x", "p")
+    got = dict(con.execute(f"SELECT x, p FROM ({q})").fetchall())
+    for x in xs:
+        py = intlog.sigmoid_py(x)
+        assert got[x] == py, f"sigmoid({x}): python {py!r} != duckdb {got[x]!r}"
+        true_p = 1.0 / (1.0 + math.exp(-max(min(x, 700.0), -700.0)))
+        assert abs(py - true_p) < 1e-8
 
 
 def _python_batch_gd(insts):

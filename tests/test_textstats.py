@@ -107,14 +107,15 @@ def test_lm_score_model_invariants(spark):
         if doc_id % textstats.TRAIN_MOD == 0:
             c.update(ts)
     n_train, v = sum(c.values()), len(c)
-    # dyadic quantizers, bit-identical to the plan's (LM_LOG_Q contract)
-    qlog = lambda x: math.floor(  # noqa: E731
-        math.log(x) * textstats.LM_LOG_Q + 0.5
-    ) / textstats.LM_LOG_Q
+    # integer log units + output quantizer, bit-identical to the plan's
+    # (LM_LOG_Q / intlog contract — no libm anywhere in the replica)
+    from uw_hadoop_aglorithms_spark.functions import intlog
+
     qout = lambda x: math.floor(  # noqa: E731
         x * textstats.LM_OUT_Q + 0.5
     ) / textstats.LM_OUT_Q
-    floor = qlog(1.0) - qlog(n_train + v + 1.0)
+    k_max = intlog.ilog2_py(n_train + v + 1)
+    floor = -k_max / textstats.LM_LOG_Q
     for r in rows:
         ts = toks[r.doc_id]
         assert floor - 1e-6 <= r.avg_logprob < 0.0
@@ -122,10 +123,10 @@ def test_lm_score_model_invariants(spark):
             assert r.n_oov == 0
         exp_oov = sum(1 for t in ts if t not in c)
         assert r.n_oov == exp_oov
-        s = sum(qlog(c.get(t, 0) + 1.0) for t in ts)
-        expected = qout((s - len(ts) * qlog(n_train + v + 1.0)) / len(ts))
+        s = sum(intlog.ilog2_py(c.get(t, 0) + 1) for t in ts)
+        expected = qout(((s - len(ts) * k_max) / len(ts)) / textstats.LM_LOG_Q)
         # the contract is EXACT equality: every step of the replica is
-        # the same IEEE op sequence the plan runs
+        # the same exact-integer + IEEE op sequence the plan runs
         assert r.avg_logprob == expected, (r.doc_id, r.avg_logprob, expected)
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from uw_hadoop_aglorithms_spark.functions import intlog
 from uw_hadoop_aglorithms_spark.functions.text import tokens
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
@@ -198,14 +199,19 @@ def bm25_rank(
     doc order, BooleanRetrievalCompressed.java:145-158).
 
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
-    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    idf(t) = log2((N − df + 0.5)/(df + 0.5) + 1)
+           = (ilog2(2N+2) − ilog2(2df+1)) / 2^30   (bits, round 8).
 
-    Everything is exact-integer until the final per-term expression: N,
-    df, tf, dl are counts, and avgdl = exact integer sum / N, so both
-    engines compute identical doubles; each per-term score is
-    dyadic-quantized (floor(s*2^30+0.5), exact integer units) so the
-    per-doc sum is exact and summation-order-independent before
-    ordering.
+    The idf's argument simplifies to the integer ratio (2N+2)/(2df+1),
+    so the log is two engine-neutral ilog2 chains (functions/intlog.py)
+    — zero query-time ln() on either engine; a log-base change is a
+    constant factor, so the RANKING is unchanged from the Robertson
+    ln() form. Everything else is exact-integer until the final
+    per-term expression: N, df, tf, dl are counts, and avgdl = exact
+    integer sum / N, so both engines compute identical doubles; each
+    per-term score is dyadic-quantized (floor(s*2^30+0.5), exact
+    integer units) so the per-doc sum is exact and summation-order-
+    independent before ordering.
 
     Scale: postings for the query terms come from a pushed-down
     isin-filter on the index (touches |terms| posting lists, not the
@@ -218,13 +224,21 @@ def bm25_rank(
     dl = cat.documents.select(
         "doc_id", F.size(tokens("text")).cast("long").alias("dl")
     )
-    stats = cat.documents.select(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(tokens("text"))).alias("avgdl"),
+    stats = intlog.with_ilog2(
+        cat.documents.select(
+            F.count("*").alias("n_docs"),
+            F.avg(F.size(tokens("text"))).alias("avgdl"),
+        ),
+        "2 * n_docs + 2",
+        "k_num",
     )
-    df_t = tfq.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    df_t = intlog.with_ilog2(
+        tfq.groupBy("term").agg(F.countDistinct("doc_id").alias("df")),
+        "2 * df + 1",
+        "k_den",
+    )
+    idf = (F.col("k_num") - F.col("k_den")).cast("double") / F.lit(
+        float(intlog.ILOG2_Q)
     )
     norm = F.col("tf") * (BM25_K1 + 1) / (
         F.col("tf")

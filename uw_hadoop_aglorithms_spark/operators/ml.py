@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from uw_hadoop_aglorithms_spark.functions import intlog
 from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params, polyhash
 from uw_hadoop_aglorithms_spark.functions.text import tokens
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
@@ -61,8 +62,10 @@ SHUFFLE_MEMBER = 11
 #: every score sum EXACT integer arithmetic in the 53-bit mantissa —
 #: order-independent, so the oracle's regrouped-by-step score sum is
 #: BIT-IDENTICAL to the fold's by-feature sum with ZERO residual tie
-#: risk. The sigmoid input being bit-identical, libm exp() (bit-equal
-#: across CPython and DuckDB — tests/test_ml.py) closes the loop.
+#: risk. The sigmoid input being bit-identical, the engine-neutral
+#: dyadic sigmoid (intlog.sigmoid_py / sigmoid_oracle_sql — round 8;
+#: the retired libm exp() was only bit-portable while CPython and
+#: DuckDB bound the SAME platform libm) closes the loop.
 #: Exactness envelope |score| < 2^13 is asserted in the fold.
 DYADIC_Q = float(1 << 40)
 #: Exactness envelope for the serial fold: every weight is a k*2^-40
@@ -137,8 +140,10 @@ def _sgd_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "contract no longer holds"
                 )
             score = sum(vals)
-            # clamp: exp overflow guard; reference relies on small scores
-            p = 1.0 / (1.0 + math.exp(-max(min(score, 709.0), -709.0)))
+            # engine-neutral dyadic sigmoid (round 8): no libm exp(), so
+            # no duckdb/CPython math-library version can flip a gradient
+            # grid tie (functions/intlog.py sigmoid note)
+            p = intlog.sigmoid_py(score)
             # dyadic-quantized gradient: bit-deterministic in any engine
             g = math.floor((float(label) - p) * DELTA * DYADIC_Q + 0.5) / DYADIC_Q
             for f in feats:
@@ -395,8 +400,11 @@ def spam_batch_gd(
 #      vector instead of an O(N·|w|) map rebuild) — with exact terms the
 #      regrouping is BIT-IDENTICAL, not merely within a rounding grid
 #      (round 5: this retired the tie-fragile round(score, 9) contract);
-#   3. libm exp() is bit-identical across CPython and DuckDB (both call
-#      the platform libm; asserted in tests/test_ml.py).
+#   3. the logistic link is the engine-neutral dyadic sigmoid
+#      (intlog.sigmoid_py == intlog.sigmoid_oracle_sql, pinned in
+#      tests/test_ml.py) — round 8 retired libm exp(), whose
+#      CPython-vs-DuckDB bit-equality held only while both bound the
+#      same platform libm (a vendored-math duckdb wheel breaks it).
 # Given identical rounded scores, g_i is bit-identical, and each final
 # weight is the same left-fold of the same g's in the same step order.
 
@@ -409,19 +417,7 @@ def _fold_sql(tag: str, train_cte: str) -> str:
         "j -> f.gs[j + 1] * (coalesce(o.ov, []::DOUBLE[]))[j + 1])), "
         "(a, x) -> a + x)"
     )
-    return f"""ov{tag} AS MATERIALIZED (
-    SELECT a.rn AS i,
-           list(len(list_intersect(a.feats, b.feats))::DOUBLE ORDER BY b.rn) AS ov
-    FROM {train_cte} a JOIN {train_cte} b ON b.rn < a.rn GROUP BY a.rn
-),
-fold{tag} AS (
-    SELECT 0::BIGINT AS i, []::DOUBLE[] AS gs
-    UNION ALL
-    SELECT i, list_append(gs,
-        floor((y - 1.0/(1.0 + exp(-(greatest(least(score_r, 709.0), -709.0)))))
-              * {DELTA!r}::DOUBLE * {DYADIC_Q!r}::DOUBLE + 0.5)
-        / {DYADIC_Q!r}::DOUBLE) AS gs
-    FROM (
+    inner = f"""
         -- gradients are exact 2^-40 multiples, so this regrouped-by-
         -- step sum is EXACT and bit-identical to the fold's by-feature
         -- sum — no rounding contract (DYADIC_Q note)
@@ -430,7 +426,22 @@ fold{tag} AS (
         FROM fold{tag} f
         JOIN {train_cte} t ON t.rn = f.i + 1
         LEFT JOIN ov{tag} o ON o.i = t.rn
-    )
+    """
+    return f"""ov{tag} AS MATERIALIZED (
+    SELECT a.rn AS i,
+           list(len(list_intersect(a.feats, b.feats))::DOUBLE ORDER BY b.rn) AS ov
+    FROM {train_cte} a JOIN {train_cte} b ON b.rn < a.rn GROUP BY a.rn
+),
+fold{tag} AS (
+    SELECT 0::BIGINT AS i, []::DOUBLE[] AS gs
+    UNION ALL
+    -- p via the engine-neutral dyadic sigmoid (intlog.sigmoid_oracle_sql):
+    -- bit-for-bit the Python fold's intlog.sigmoid_py, no libm exp()
+    SELECT i, list_append(gs,
+        floor((y - _p)
+              * {DELTA!r}::DOUBLE * {DYADIC_Q!r}::DOUBLE + 0.5)
+        / {DYADIC_Q!r}::DOUBLE) AS gs
+    FROM ({intlog.sigmoid_oracle_sql(inner, "score_r", "_p")})
 ),
 gsf{tag} AS MATERIALIZED (SELECT gs FROM fold{tag} ORDER BY i DESC LIMIT 1),
 w{tag} AS MATERIALIZED (

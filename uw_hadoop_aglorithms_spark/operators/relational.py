@@ -349,13 +349,22 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def distinct_users_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """distinct_users + an in-plan certificate for the HLL sketch: the
-    same two-level plan also computes approx_count_distinct on the
-    DEDUPED level (HLL is multiplicity-insensitive, so the estimate is
-    identical to sketching the raw rows — and cheaper, since the sketch
-    sees one row per distinct user) and emits `approx_within_5pct`,
-    which the DuckDB oracle asserts TRUE. This is the registered form
-    (suites.distinct_users).
+    """distinct_users + an in-plan certificate for the BUILTIN HLL
+    sketch: the same two-level plan also computes approx_count_distinct
+    on the DEDUPED level (HLL is multiplicity-insensitive, so the
+    estimate is identical to sketching the raw rows — and cheaper,
+    since the sketch sees one row per distinct user) and emits
+    `approx_within_5pct`.
+
+    NOT in the registered/hashed surface (round 8): Spark's HLL++ is an
+    opaque engine internal whose estimate can change across pyspark
+    versions, so hashing any value derived from it is inherently
+    version-fragile — it flipped the driver's `distinct_users` hash two
+    rounds running (VERDICT r7 §What's wrong 1). The registered suite
+    (suites.distinct_users) certs the exact counts against the
+    ENGINE-NEUTRAL sketch instead; this builtin-HLL 5% certificate is
+    asserted in pytest (tests/test_plans.py::test_builtin_hll_cert),
+    where a version-skewed estimate fails a test instead of a hash.
 
     rsd=0.02 (2^12 registers): the 5% certificate bound is 2.5σ, and
     Spark's HLL aggregation buffer is an UnsafeRow of m/6 longs, so

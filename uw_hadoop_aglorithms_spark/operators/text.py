@@ -24,9 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from uw_hadoop_aglorithms_spark.functions import intlog
 from uw_hadoop_aglorithms_spark.functions.text import bigrams, tokens
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
-from uw_hadoop_aglorithms_spark.functions.rounding import fround
 
 #: Perfect-follower pivot (reference MapReduce/Counting/PerfectX.java:61-71
 #: emits words directly following "perfect"); our synthetic vocab pivots on
@@ -135,10 +135,16 @@ def pmi_pairs(
 ) -> DataFrame:
     """Pointwise mutual information over co-occurring word pairs.
 
-    pmi(a,b) = log10( N · c(a,b) / (c(a) · c(b)) ), where counts are
-    *document* frequencies (per-doc distinct, reference PairsPMI.java:77-85)
-    and pairs are ordered (both (a,b) and (b,a) emitted, reference
-    PairsPMI.scala:60-68 permutations).
+    pmi(a,b) = log2( N · c(a,b) / (c(a) · c(b)) ) in BITS — computed as
+    (ilog2(N·c(a,b)) − ilog2(c(a)·c(b))) / 2^30, the engine-neutral
+    integer log (functions/intlog.py, round 8): both arguments are
+    integer count products, so no query-time log10()/ln() runs on
+    either engine and no libm version can flip a value. The reference
+    emits log10 (PairsPMI.java:85); bits is a monotone constant
+    rescale — same co-occurrence ranking, information-theoretic units.
+    Counts are *document* frequencies (per-doc distinct, reference
+    PairsPMI.java:77-85) and pairs are ordered (both (a,b) and (b,a)
+    emitted, reference PairsPMI.scala:60-68 permutations).
 
     Plan shape: neighborhoods → double explode (ordered pairs) → count;
     unigram doc-freqs broadcast-joined twice; N injected via a broadcast
@@ -160,19 +166,22 @@ def pmi_pairs(
         .agg(F.count("*").alias("pair_docs"))
         .where(F.col("pair_docs") >= threshold)
     )
-    return (
+    joined = (
         pairs.join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("docs", "docs1")), "w1")
         .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("docs", "docs2")), "w2")
         .crossJoin(F.broadcast(n_docs))
-        .select(
+    )
+    # the two ilog2 chains run per PAIR row (post-threshold, bounded by
+    # vocab², not corpus size) — pure int64 codegen, no extra shuffle
+    joined = intlog.with_ilog2(joined, "n_docs * pair_docs", "k_num")
+    joined = intlog.with_ilog2(joined, "docs1 * docs2", "k_den")
+    return (
+        joined.select(
             "w1",
             "w2",
-            fround(
-                F.log10(
-                    F.col("n_docs") * F.col("pair_docs")
-                    / (F.col("docs1") * F.col("docs2"))
-                ),
-                6,
+            (
+                (F.col("k_num") - F.col("k_den")).cast("double")
+                / F.lit(float(intlog.ILOG2_Q))
             ).alias("pmi"),
             F.col("pair_docs"),
         )

