@@ -46,6 +46,7 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from tools.engineversions import engine_versions  # noqa: E402
 from uw_hadoop_aglorithms_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -266,6 +267,9 @@ def main() -> None:
     peak = tracker.peak_jvm_heap()
     if peak is not None:
         full["peak_jvm_heap_bytes"] = peak
+    # engine versions (VERDICT r7 §What's missing 3): full artifact only
+    # — the compact stdout line must stay inside the driver's capture tail
+    full["versions"] = engine_versions(spark)
     if errors:
         full["errors"] = errors
     full_path = os.path.join(REPO_ROOT, "BENCH_local.json")

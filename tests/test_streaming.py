@@ -715,6 +715,64 @@ def test_stream_neardup_ingest_chains_the_maintenance_invariant(spark, tmp_path)
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_stream_neardup_ingest_reports_gated_keys(spark, tmp_path):
+    """No-silent-caps at ingest (VERDICT r7 §Next 4): a band key that
+    CROSSES BAND_BUCKET_CAP mid-stream-lifecycle must land in the
+    durable per-batch gated-key audit (`{pairs}_gated/batch_id=N`) the
+    moment it crosses, and stop contributing pairs from that batch on —
+    while batches before the crossing report nothing gated."""
+    import datetime as dt
+    import glob
+    import shutil
+    import uuid
+
+    from uw_hadoop_aglorithms_spark.operators import dedup
+    from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+
+    pfx = f"ndgate_{uuid.uuid4().hex[:10]}"
+    work = str(tmp_path)
+    same = "alpha beta gamma delta epsilon zeta"
+    ts = dt.datetime(2024, 1, 1)
+    # batch 0: ids 0,1 (occupancy 2); batch 1: ids 2,3 (2+2=4 <= cap);
+    # batch 2: id 4 (4+1=5 > cap -> gated)
+    batches = [[(0, same, ts), (1, same, ts)],
+               [(2, same, ts), (3, same, ts)],
+               [(4, same, ts)]]
+    replay_dir = f"{work}/replay"
+    import os
+
+    os.makedirs(replay_dir)
+    for i, rows in enumerate(batches):
+        tmp = f"{work}/b{i}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0],
+                    f"{replay_dir}/f{i}.parquet")
+    docs = Catalog(spark, SF_TEST).documents
+    try:
+        dedup.save_neardup_index(docs.where(F.lit(False)), pfx)
+        got = runner.stream_neardup_ingest(
+            spark, replay_dir, f"{work}/ckpt", pfx, f"{work}/pairs",
+            bucket_cap=4,
+        )
+        pair_ids = {(r.doc_a, r.doc_b) for r in got.collect()}
+        # batch 2's doc 4 is gated out: no pair touches it
+        assert pair_ids and all(4 not in p for p in pair_ids)
+        gated = spark.read.parquet(f"{work}/pairs_gated").collect()
+        assert gated, "crossing batch must report its gated keys"
+        by_batch = {}
+        for r in gated:
+            by_batch.setdefault(int(r.batch_id), []).append(r)
+        assert set(by_batch) == {2}, "only the crossing batch gates"
+        assert len(by_batch[2]) == dedup.BANDS
+        assert all((r.n_new, r.n_idx, r.bsz) == (1, 4, 5) for r in by_batch[2])
+    finally:
+        for t in (f"{pfx}_bands", f"{pfx}_hsets", f"{pfx}_ingest_log",
+                  f"{pfx}_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_stream_merge_maintains_hll_rollup(spark, replay, tmp_path):
     """The two round-6 lifecycles composed end-to-end: streaming lake
     ingestion drives per-batch rollup maintenance through the

@@ -20,6 +20,7 @@ import datetime as dt, gzip, hashlib, json, math, os, sys
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from pyspark.sql import SparkSession
+from tools.engineversions import engine_versions
 
 SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 CORES = os.environ.get("SPARK_GRAFT_SIM_CORES", "8")
@@ -139,11 +140,13 @@ for name, fn in sorted(qmap.items()):
         divergence_report(name, scols, slines, dlines)
 
 bad = [k for k, v in results.items() if not all(v.get(f, True) for f in ("count_match", "schema_match", "hash_match"))]
-print(json.dumps({"failed": bad}))
+versions = engine_versions(spark)
+print(json.dumps({"failed": bad, "versions": versions}))
 if OUT:
     with open(OUT, "w") as fh:
         json.dump({"sf": SF,
                    "config": {"cores": CORES, "parts": PARTS, "tz": TZ},
+                   "versions": versions,
                    "results": results}, fh, indent=1)
 if LINES_OUT:
     with gzip.open(LINES_OUT, "wt") as fh:

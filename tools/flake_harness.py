@@ -19,9 +19,25 @@ in-run spark-vs-oracle mismatch is already persisted by driver_sim as
 DIVERGENCE_{key}.json. A summary (configs, per-key hash sets, verdict)
 is written to FLAKE.json (commit as FLAKE_r{N}.json).
 
+Round 8 adds the VERSION-SKEW axis (VERDICT r7 §Next 2): the r6/r7
+driver-red keys diverged only under a different duckdb/libm build —
+a failure class run-shape sweeps can never reach. Every run now records
+its engine versions (tools/engineversions.py) into FLAKE.json, and if
+``SPARK_GRAFT_SKEW_PYTHON`` names an alternate python interpreter
+(a venv with a DIFFERENT duckdb wheel), one extra sweep config runs the
+full sim under it and its hashes join the same per-key equality
+assertion. This container is offline with a single duckdb wheel baked
+in, so by default the leg records itself as env-gated-skipped — the
+harness SUPPORT is in place for any environment that has two wheels.
+(Round 8 also removed every query-time libm call from the hashed
+surface — tests/test_libm_invariant.py — so the class this leg hunts
+is additionally excluded by construction.)
+
 Usage:
     python tools/flake_harness.py            # default 5-config sweep
     SPARK_GRAFT_FLAKE_RUNS=3 python tools/flake_harness.py   # first 3
+    SPARK_GRAFT_SKEW_PYTHON=/path/venv/bin/python \\
+        python tools/flake_harness.py        # + duckdb version-skew leg
 """
 from __future__ import annotations
 
@@ -53,11 +69,16 @@ CONFIGS = [
 
 def main() -> int:
     n = int(os.environ.get("SPARK_GRAFT_FLAKE_RUNS", len(CONFIGS)))
-    configs = CONFIGS[:n]
+    configs = [list(c) + [sys.executable] for c in CONFIGS[:n]]
+    # version-skew leg: the driver's own run shape under an alternate
+    # interpreter whose venv pins a DIFFERENT duckdb wheel
+    skew_py = os.environ.get("SPARK_GRAFT_SKEW_PYTHON")
+    if skew_py:
+        configs.append(["8", "16", "UTC", None, skew_py])
     outdir = os.environ.get("SPARK_GRAFT_FLAKE_DIR", "/tmp/spark_graft_flake")
     os.makedirs(outdir, exist_ok=True)
     runs = []
-    for i, (cores, parts, tz, proc_tz) in enumerate(configs):
+    for i, (cores, parts, tz, proc_tz, py) in enumerate(configs):
         env = dict(os.environ)
         env.update(
             SPARK_GRAFT_SIM_CORES=cores,
@@ -71,20 +92,50 @@ def main() -> int:
             env["TZ"] = proc_tz
         t0 = time.time()
         proc = subprocess.run(
-            [sys.executable, f"{REPO}/tools/driver_sim.py"],
+            [py, f"{REPO}/tools/driver_sim.py"],
             env=env, capture_output=True, text=True,
         )
         dur = round(time.time() - t0, 1)
         ok = proc.returncode == 0
+        versions = {}
+        try:
+            versions = json.load(open(f"{outdir}/run{i}.json")).get(
+                "versions", {}
+            )
+        except Exception:
+            pass
         print(f"run {i} local[{cores}] parts={parts} tz={tz}"
-              f" TZ={proc_tz or '-'}: "
+              f" TZ={proc_tz or '-'}"
+              f" duckdb={versions.get('duckdb', '?')}: "
               f"{'green' if ok else 'RED'} in {dur}s", flush=True)
         if not ok:
             tail = "\n".join(proc.stdout.splitlines()[-15:])
             print(tail)
         runs.append({"config": {"cores": cores, "parts": parts, "tz": tz,
-                                "proc_tz": proc_tz},
+                                "proc_tz": proc_tz,
+                                "skew_interpreter": py != sys.executable},
+                     "versions": versions,
                      "green": ok, "seconds": dur})
+
+    duckdbs = sorted({r["versions"].get("duckdb") for r in runs} - {None})
+    version_skew = (
+        {"status": "active", "duckdb_versions": duckdbs}
+        if skew_py
+        else {
+            "status": "env-gated-skipped",
+            "reason": (
+                "offline container, single duckdb wheel baked in; set "
+                "SPARK_GRAFT_SKEW_PYTHON to a venv python with a "
+                "different duckdb to activate"
+            ),
+            "duckdb_versions": duckdbs,
+            "mitigation": (
+                "hashed surface contains no query-time libm call "
+                "(tests/test_libm_invariant.py), excluding the "
+                "version-divergence class by construction"
+            ),
+        }
+    )
 
     # cross-run stability: every key's spark hash must be one value
     per_run = [json.load(open(f"{outdir}/run{i}.json"))["results"]
@@ -106,6 +157,7 @@ def main() -> int:
 
     verdict = {"runs": runs, "n_keys": len(keys), "unstable": unstable,
                "all_stable": not unstable and all(r["green"] for r in runs),
+               "version_skew": version_skew,
                "keys": summary}
     with open(f"{REPO}/FLAKE.json", "w") as fh:
         json.dump(verdict, fh, indent=1)

@@ -756,6 +756,7 @@ def stream_neardup_ingest(
     checkpoint_dir: str,
     prefix: str,
     pairs_path: str,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup back pressure AT INGEST: each arriving micro-batch is
     queried against the persisted band index (work ∝ |batch| +
@@ -767,6 +768,15 @@ def stream_neardup_ingest(
     maintenance invariant chained across every micro-batch (asserted in
     tests/test_streaming.py). This is how the MinHash pass actually
     runs on a lake: nobody re-minhashes 100 TB per crawl drop.
+
+    No silent caps (round 8, VERDICT r7 §Next 4): before querying, every
+    batch persists the band keys its hot-bucket gate excludes
+    (dedup.incremental_hot_band_buckets — combined live-index + batch
+    occupancy > cap) into `{pairs_path}_gated/batch_id=<bid>`, so a key
+    crossing BAND_BUCKET_CAP mid-lifecycle is a durable, auditable
+    event in the ingest log's own exactly-once envelope (the gated
+    write precedes the index extend, like the pairs write, so a replay
+    of an admitted batch never recomputes occupancy post-extend).
 
     Exactly-once is idempotence over at-least-once foreachBatch
     (the stream_merge_to_lake contract), via the commit-log recipe:
@@ -795,6 +805,8 @@ def stream_neardup_ingest(
 
     from uw_hadoop_aglorithms_spark.operators import dedup
 
+    cap = dedup.BAND_BUCKET_CAP if bucket_cap is None else bucket_cap
+    gated_path = pairs_path.rstrip("/") + "_gated"
     log_table = f"{prefix}_ingest_log"
 
     schema = T.StructType(
@@ -834,7 +846,16 @@ def stream_neardup_ingest(
             > 0
         )
         if not admitted:
-            pairs = dedup.incremental_neardup_pairs(s, prefix, b)
+            # gated-key audit BEFORE the extend: the same pre-admission
+            # occupancy the pairs gate sees (no-silent-caps contract)
+            dedup.incremental_hot_band_buckets(
+                s, prefix, b, bucket_cap=cap
+            ).repartition(1).write.mode("overwrite").parquet(
+                os.path.join(gated_path, f"batch_id={int(bid)}")
+            )
+            pairs = dedup.incremental_neardup_pairs(
+                s, prefix, b, bucket_cap=cap
+            )
             # each batch owns its batch_id= subdirectory outright, so
             # the overwrite is scoped to it by construction; the dir
             # name doubles as the partition column on read
