@@ -107,8 +107,9 @@ def test_registered_wrappers_collect_only_bounded_state():
 
     problems = []
     for name, fn in sorted(entry_mod.queries().items()):
-        # registered callables are functools-wrapped by the UTC-rendering
-        # contract (__spark_entry__._utc); guard the REAL wrapper source
+        # unwrap defensively in case a registered callable is ever
+        # functools-wrapped again (the round-7 NTZ migration removed the
+        # last wrapper, commit 31935fc); today this is a no-op
         src = inspect.getsource(inspect.unwrap(fn))
         hits = [m for m in _COLLECT_MARKERS if m in src]
         if hits and name not in _BOUNDED_COLLECT_ALLOWLIST:

@@ -645,6 +645,72 @@ def test_stream_merge_to_lake_exactly_once_and_upsert(spark, replay, tmp_path):
     )
 
 
+def test_lake_lifecycle_session_zone_independent(spark, replay, tmp_path):
+    """ADVICE r7 (medium): the replay boundary stores ts as an INSTANT,
+    and dt labels / day rollups used to be derived via date_format over
+    that instant — rendered in the SESSION zone, so a lake ingested
+    under one zone and refreshed under another could place the same
+    event in different dt partitions. _merge_batch now converts back to
+    UTC walls (walls_out) before anything reaches the lake; this test
+    runs the FULL lifecycle (stream ingest -> dt-partitioned lake ->
+    post_merge KMV rollup refresh) under UTC and under Asia/Kolkata
+    (the half-hour offset that caught the round-7 window bug), reads
+    both under a THIRD zone, and requires byte-identical lake rows, dt
+    labels equal to the UTC-wall day of the stored event time, and
+    identical rollup sample rows."""
+    from uw_hadoop_aglorithms_spark.operators import sketches
+
+    zone_key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(zone_key)
+    ev_dir = f"{replay}/events"
+    lakes, rolls = {}, {}
+    try:
+        for zone in ("UTC", "Asia/Kolkata"):
+            tag = zone.split("/")[-1].lower()
+            spark.conf.set(zone_key, zone)
+            lakes[zone] = str(tmp_path / f"lake_{tag}")
+            rolls[zone] = str(tmp_path / f"roll_{tag}")
+            runner.stream_merge_to_lake(
+                spark,
+                ev_dir,
+                str(tmp_path / f"cp_{tag}"),
+                lakes[zone],
+                post_merge=lambda days, z=zone: sketches.refresh_kmv_rollup(
+                    spark, lakes[z], rolls[z], "user_id", days=days
+                ),
+            )
+        # read + compare under a zone neither lifecycle ran in (+12:45)
+        spark.conf.set(zone_key, "Pacific/Chatham")
+        a, b = (
+            spark.read.parquet(lakes[z]).withColumn(
+                "dt", F.col("dt").cast("string")
+            )
+            for z in ("UTC", "Asia/Kolkata")
+        )
+        assert a.count() == b.count()
+        assert a.join(b, a.columns, "left_anti").count() == 0, (
+            "lake rows (including ts walls and dt labels) must not "
+            "depend on the ingesting session zone"
+        )
+        # dt must be the UTC-wall day: ts is TIMESTAMP_NTZ in the lake,
+        # so date_format renders the stored wall, session-independent
+        assert a.filter(
+            F.date_format("ts", "yyyy-MM-dd") != F.col("dt")
+        ).count() == 0
+        ra, rb = (
+            spark.read.parquet(rolls[z]).withColumn(
+                "dt", F.col("dt").cast("string")
+            )
+            for z in ("UTC", "Asia/Kolkata")
+        )
+        assert ra.count() == rb.count()
+        assert ra.join(rb, ra.columns, "left_anti").count() == 0, (
+            "per-day KMV rollup rows must not depend on the session zone"
+        )
+    finally:
+        spark.conf.set(zone_key, orig)
+
+
 def test_stream_neardup_ingest_chains_the_maintenance_invariant(spark, tmp_path):
     """Streaming ingest through the persisted band index: after
     draining the corpus batch-by-batch into an initially-empty index,

@@ -446,8 +446,10 @@ def approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The per-doc sum Σ tf·k is EXACT BIGINT arithmetic (order-
 #: independent); the mean (s − n_tok·k_max)/n_tok/2^30 is two
 #: correctly-rounded IEEE divisions on identical integers, and the
-#: final 2^-20 quantizer floor(x·Q + 0.5)/Q is exact IEEE steps that
-#: can never emit -0.0 (IEEE: -0.5 + 0.5 = +0.0) — the round-7 ±0.0
+#: final 2^-20 quantizer floor(x·Q + 0.5)/Q is identical correctly-
+#: rounded IEEE arithmetic in both engines (deterministic, though the
+#: +0.5 add itself may round for large |x·Q|) and can never emit -0.0
+#: (IEEE: -0.5 + 0.5 = +0.0) — the round-7 ±0.0
 #: and order-independence closures carry over unchanged.
 #:
 #: Exactness envelope: |Σ tf·k| ≤ n_tok·k_max where k_max =

@@ -602,7 +602,8 @@ def stream_exact_dedup(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(output_dir).orderBy("ts", "doc_id")
+    # same return boundary as the memory-sink leg: instants -> UTC walls
+    return walls_out(spark.read.parquet(output_dir)).orderBy("ts", "doc_id")
 
 
 def stream_decontaminate(
@@ -725,6 +726,15 @@ def stream_merge_to_lake(
     from uw_hadoop_aglorithms_spark.sources import lake as lake_mod
 
     def _merge_batch(batch, _bid: int) -> None:
+        # The replay boundary stores ts as a TimestampType INSTANT
+        # (prepare_replay_dir); date_format over an instant renders in
+        # the SESSION zone, so a lake ingested under one zone and
+        # merged/refreshed under another would derive different dt
+        # labels for the same event. Convert back to the UTC wall
+        # (TIMESTAMP_NTZ) here so the lake — and every dt label or day
+        # rollup derived from it — is session-zone-independent, the
+        # same contract the batch Catalog serves (ADVICE r7 medium).
+        batch = walls_out(batch)
         if not os.path.exists(lake_path):
             lake_mod.write_date_partitioned(batch, lake_path)
             days = sorted(
