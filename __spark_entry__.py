@@ -144,10 +144,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": pipeline.corpus_curation,
         "doc_chunks": pipeline.doc_chunks,
         # Training-data pipeline: multimodal binary-column plumbing
-        # (Arrow-batched mapInPandas feature extraction + frame sampling;
-        # decode itself is stubbed — no media libs in this container)
+        # (Arrow-batched mapInPandas feature extraction + frame sampling).
+        # media_real round-trips ACTUAL PNG/WAV container bytes through
+        # the binary column via stdlib codecs (functions/codecs.py);
+        # only library-bound formats (JPEG/H.264) remain stubbed.
         "media_features": multimodal.media_features,
         "frame_sample": multimodal.frame_sample,
+        "media_real": multimodal.media_real,
         # Temporal: sessionization + as-of join (beyond-reference;
         # oracle uses DuckDB's native ASOF JOIN)
         "user_sessions": temporal.user_sessions,

@@ -1,12 +1,19 @@
 """Multimodal column plumbing (beyond-reference capability).
 
 Treats image/audio/video as opaque `binary` payload columns with a typed
-metadata struct, per the training-data-pipeline brief. The container has
-no media libraries, so DECODE is a clearly-marked stub — but everything
+metadata struct, per the training-data-pipeline brief. Everything
 Spark-side is real and tested: the binary schema, the Arrow-batched
 `mapInPandas` UDF signatures, the per-batch numpy work, and the
 partitioning story (all operators here are map-side; nothing shuffles
 payload bytes).
+
+DECODE comes in two tiers. REAL containers that stdlib can handle —
+PNG (zlib DEFLATE + full five-filter scanline reconstruction) and WAV
+(RIFF PCM16) — decode for real via functions/codecs.py: `media_real`
+round-trips actual encoded container bytes through the binary column
+and value-checks the decoded content against the DuckDB oracle.
+Formats that genuinely need codec libraries (JPEG/FLAC/H.264…) keep a
+clearly-marked NotImplementedError — no media libs in this container.
 
 The media table derives deterministically from `documents` (payload =
 utf-8 bytes of the text, metadata from doc fields), which keeps every
@@ -29,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from uw_hadoop_aglorithms_spark.functions import codecs
 from uw_hadoop_aglorithms_spark.functions.hashing import P
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
@@ -179,6 +187,29 @@ def _decode_one(mtype: str, raw: bytes, meta: dict):
     return [nf, FRAME_BYTES], fr
 
 
+def _decode_any(mtype: str, fmt: str, raw: bytes, meta: dict):
+    """Dispatch one payload to its codec: real PNG/WAV via the stdlib
+    decoders (extents come from the CONTAINER, not the metadata), the
+    synthetic/v1 codec via _decode_one, anything else an explicit
+    raise — JPEG/FLAC/H.264 need codec libs this container lacks."""
+    import numpy as np
+
+    if fmt == "image/png":
+        w, h, px = codecs.png_decode(raw)
+        return [h, w], np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+    if fmt == "audio/wav":
+        # same value scale as synthetic/v1 audio: int16 -> [-1, 1)
+        _rate, samples = codecs.wav_decode(raw)
+        return [len(samples)], np.asarray(samples, dtype=np.float64) / 32768.0
+    if fmt != "synthetic/v1":
+        raise NotImplementedError(
+            f"media decode backend for format {fmt!r} not available"
+            " (PIL/libav not shipped); only 'synthetic/v1', 'image/png',"
+            " 'audio/wav' decode"
+        )
+    return _decode_one(mtype, raw, meta)
+
+
 def _decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
@@ -186,14 +217,7 @@ def _decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["doc_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
         ):
             fmt = meta["format"]
-            if fmt != "synthetic/v1":
-                # real codecs (JPEG/FLAC/H.264…) need PIL/libav — not in
-                # this container; the synthetic codec needs only numpy
-                raise NotImplementedError(
-                    f"media decode backend for format {fmt!r} not available"
-                    " (PIL/libav not shipped); only 'synthetic/v1' decodes"
-                )
-            shape, data = _decode_one(mtype, bytes(payload), meta)
+            shape, data = _decode_any(mtype, fmt, bytes(payload), meta)
             out.append((int(doc_id), mtype, fmt, shape, data))
         yield pd.DataFrame(
             out, columns=["doc_id", "media_type", "format", "shape", "data"]
@@ -207,10 +231,13 @@ def decode_media(df: DataFrame) -> DataFrame:
     numpy alone: image → width×height row-major pixel matrix, audio →
     centered float samples in [-1, 1), video → n_frames×64 frame-major
     byte matrix, each zero-padded/truncated to the metadata-declared
-    extent. Real container formats still raise NotImplementedError
-    (PIL/libav are not shipped here); the Spark-side shape — Arrow-
-    batched mapInPandas over BinaryType, map-side only, no payload
-    shuffle — is identical for both.
+    extent. REAL containers stdlib can handle decode for real —
+    `image/png` (zlib + five-filter reconstruction) and `audio/wav`
+    (RIFF PCM16), extents taken from the container itself
+    (functions/codecs.py); formats needing codec libraries (JPEG/
+    FLAC/H.264…) raise NotImplementedError. The Spark-side shape —
+    Arrow-batched mapInPandas over BinaryType, map-side only, no
+    payload shuffle — is identical for all.
 
     Round-trip contract (tests/test_multimodal.py): re-encoding the
     arrays reproduces the payload bytes up to the declared extent.
@@ -267,12 +294,7 @@ def _resize_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, mtype, payload, meta in zip(
             pdf["doc_id"], pdf["media_type"], pdf["payload"], pdf["meta"]
         ):
-            if meta["format"] != "synthetic/v1":
-                raise NotImplementedError(
-                    f"media decode backend for format {meta['format']!r} not"
-                    " available (PIL/libav not shipped)"
-                )
-            shape, data = _decode_one(mtype, bytes(payload), meta)
+            shape, data = _decode_any(mtype, meta["format"], bytes(payload), meta)
             rshape, rdata = _resize_one(mtype, shape, data)
             out.append((int(doc_id), mtype, rshape, rdata))
         yield pd.DataFrame(
@@ -289,4 +311,102 @@ def resize_media(df: DataFrame) -> DataFrame:
     pipeline; map-side only, like every multimodal op here."""
     return df.select("doc_id", "media_type", "payload", "meta").mapInPandas(
         _resize_fn, schema=RESIZED_SCHEMA
+    )
+
+
+# --- real containers: actual PNG/WAV bytes through the binary column --------
+
+#: WAV sample derivation for the real table: byte b → int16 (b-128)*256
+#: — exactly invertible (s // 256 + 128), so decoded content is
+#: oracle-expressible over the text column.
+_WAV_GAIN = 256
+
+MEDIA_REAL_SCHEMA = "doc_id long, container string, payload binary"
+MEDIA_REAL_FEATURES_SCHEMA = (
+    "doc_id long, container string, n_values long, byte_sum long, hist string"
+)
+
+
+def _encode_real_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            b = text.encode("utf-8")
+            if doc_id % 3 == 0:
+                # image doc: text bytes laid into the metadata extent
+                # (media_table's width/height), zero-padded/truncated
+                w, h = len(b) % 64 + 1, len(b) % 48 + 1
+                px = (b[: h * w] + bytes(max(0, h * w - len(b))))[: h * w]
+                payload, fmt = codecs.png_encode(px, w, h), "image/png"
+            else:
+                samples = [(c - 128) * _WAV_GAIN for c in b]
+                payload, fmt = codecs.wav_encode(samples), "audio/wav"
+            out.append((int(doc_id), fmt, bytearray(payload)))
+        yield pd.DataFrame(out, columns=["doc_id", "container", "payload"])
+
+
+def media_real_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table carrying REAL container bytes: image docs
+    (doc_id % 3 == 0) an actual zlib-compressed PNG of the text bytes in
+    the metadata extent, audio docs (doc_id % 3 == 1) an actual
+    RIFF/WAVE PCM16 stream of (byte-128)*256 samples. Video keeps no
+    real-container leg — H.264 needs libav. Encoding is Arrow-batched
+    map work, exactly where a crawler's already-encoded payloads would
+    enter the pipeline."""
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.filter(F.col("doc_id") % 3 != 2)
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(_encode_real_fn, schema=MEDIA_REAL_SCHEMA)
+
+
+def _real_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, fmt, payload in zip(
+            pdf["doc_id"], pdf["container"], pdf["payload"]
+        ):
+            if fmt == "image/png":
+                _w, _h, px = codecs.png_decode(bytes(payload))
+                bs = px
+            elif fmt == "audio/wav":
+                _rate, samples = codecs.wav_decode(bytes(payload))
+                bs = bytes(s // _WAV_GAIN + 128 for s in samples)
+            else:
+                raise NotImplementedError(f"no stdlib decoder for {fmt!r}")
+            arr = np.frombuffer(bs, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=HIST_BINS).astype("int64")
+            out.append(
+                (
+                    int(doc_id),
+                    fmt,
+                    int(arr.size),
+                    int(arr.sum(dtype=np.int64)),
+                    "|".join(str(int(h)) for h in hist),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "container", "n_values", "byte_sum", "hist"],
+        )
+
+
+def media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-container round trip under the oracle contract: encode text
+    content into ACTUAL PNG/WAV byte streams (media_real_table), ship
+    them through the binary column, decode with the stdlib codecs, and
+    reduce the decoded content to integer features (value count, exact
+    byte sum, 16-bin high-nibble histogram — pad zeros land in bin 0).
+    The DuckDB oracle recomputes the same features from the text column
+    in closed form (ASCII ⇒ bytes == chars; PNG padding = extent −
+    length), so a codec bug anywhere in encode→bytes→decode flips the
+    value hash. Both mapInPandas passes are map-side; nothing shuffles
+    payload bytes."""
+    return (
+        media_real_table(spark, sf_dir)
+        .mapInPandas(_real_features_fn, schema=MEDIA_REAL_FEATURES_SCHEMA)
+        .orderBy("doc_id")
     )

@@ -1058,6 +1058,46 @@ MULTIMODAL_ORACLES: dict[str, str] = {
                {polyhash_sql('f')} AS frame_hash
         FROM fr ORDER BY doc_id, frame_idx
     """,
+    # media_real ships ACTUAL PNG/WAV container bytes through the binary
+    # column (multimodal.media_real_table) and decodes them with the
+    # stdlib codecs; the decoded content is the text bytes laid into the
+    # container (image: metadata extent, zero-padded/truncated; audio:
+    # exactly-invertible (b-128)*256 int16 samples), so the oracle
+    # recomputes every feature from the text column in closed form —
+    # pad zeros land in histogram bin 0 and add nothing to the sum.
+    "media_real": """
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        ELSE 'audio/wav' END AS container,
+                   list_transform(string_split(text, ''),
+                                  c -> ascii(c)::BIGINT) AS codes,
+                   length(text) AS n
+            FROM documents WHERE doc_id % 3 != 2
+        ),
+        x AS (
+            SELECT doc_id, container,
+                   CASE WHEN container = 'image/png'
+                        THEN (n % 64 + 1) * (n % 48 + 1) ELSE n END AS nv,
+                   CASE WHEN container = 'image/png'
+                        THEN codes[1:LEAST(n, (n % 64 + 1) * (n % 48 + 1))]
+                        ELSE codes END AS used,
+                   CASE WHEN container = 'image/png'
+                        THEN GREATEST(0, (n % 64 + 1) * (n % 48 + 1) - n)
+                        ELSE 0 END AS pad
+            FROM m
+        )
+        SELECT doc_id, container,
+               nv::BIGINT AS n_values,
+               list_reduce(list_prepend(0::BIGINT, used),
+                           (a, b) -> a + b)::BIGINT AS byte_sum,
+               array_to_string(
+                   list_transform(range(0, 16),
+                                  b -> len(list_filter(used, c -> c // 16 = b))
+                                       + CASE WHEN b = 0 THEN pad ELSE 0 END),
+                   '|') AS hist
+        FROM x ORDER BY doc_id
+    """,
 }
 
 
