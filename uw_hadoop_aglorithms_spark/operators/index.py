@@ -191,6 +191,46 @@ BM25_TERMS = ("spark", "join", "filter")
 BM25_TOP = 20
 
 
+def bm25_term_scores(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = BM25_TERMS
+) -> DataFrame:
+    """(doc_id, s_raw): the pre-quantization per-term BM25 score double
+    — the frame bm25_rank floors onto the 2^-30 grid, exposed so the
+    boundary-margin audit (tests/test_quantizer_margins.py) can measure
+    grid-boundary distances."""
+    cat = Catalog(spark, sf_dir)
+    tfq = term_frequencies(spark, sf_dir).where(F.col("term").isin(*terms))
+    dl = cat.documents.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("dl")
+    )
+    stats = intlog.with_ilog2(
+        cat.documents.select(
+            F.count("*").alias("n_docs"),
+            F.avg(F.size(tokens("text"))).alias("avgdl"),
+        ),
+        "2 * n_docs + 2",
+        "k_num",
+    )
+    df_t = intlog.with_ilog2(
+        tfq.groupBy("term").agg(F.countDistinct("doc_id").alias("df")),
+        "2 * df + 1",
+        "k_den",
+    )
+    idf = (F.col("k_num") - F.col("k_den")).cast("double") / F.lit(
+        float(intlog.ILOG2_Q)
+    )
+    norm = F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tfq.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * norm).alias("s_raw"))
+    )
+
+
 def bm25_rank(
     spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = BM25_TERMS
 ) -> DataFrame:
@@ -219,45 +259,15 @@ def bm25_rank(
     aggregates broadcast back. The only shuffle is the per-doc sum over
     |terms|-row groups.
     """
-    cat = Catalog(spark, sf_dir)
-    tfq = term_frequencies(spark, sf_dir).where(F.col("term").isin(*terms))
-    dl = cat.documents.select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("dl")
-    )
-    stats = intlog.with_ilog2(
-        cat.documents.select(
-            F.count("*").alias("n_docs"),
-            F.avg(F.size(tokens("text"))).alias("avgdl"),
-        ),
-        "2 * n_docs + 2",
-        "k_num",
-    )
-    df_t = intlog.with_ilog2(
-        tfq.groupBy("term").agg(F.countDistinct("doc_id").alias("df")),
-        "2 * df + 1",
-        "k_den",
-    )
-    idf = (F.col("k_num") - F.col("k_den")).cast("double") / F.lit(
-        float(intlog.ILOG2_Q)
-    )
-    norm = F.col("tf") * (BM25_K1 + 1) / (
-        F.col("tf")
-        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        tfq.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        # dyadic-quantized per-term score (functions/rounding.py
-        # DYADIC_SUM_Q contract): exact integer-unit sums are
-        # summation-order-independent, unlike the retired
-        # round(sum(double), 6) form
-        .select(
-            "doc_id",
-            F.floor((idf * norm) * F.lit(float(1 << 30)) + F.lit(0.5))
-            .cast("long")
-            .alias("su"),
-        )
+    # dyadic-quantized per-term score (functions/rounding.py
+    # DYADIC_SUM_Q contract): exact integer-unit sums are
+    # summation-order-independent, unlike the retired
+    # round(sum(double), 6) form
+    scored = bm25_term_scores(spark, sf_dir, terms).select(
+        "doc_id",
+        F.floor(F.col("s_raw") * F.lit(float(1 << 30)) + F.lit(0.5))
+        .cast("long")
+        .alias("su"),
     )
     return (
         scored.groupBy("doc_id")

@@ -462,28 +462,12 @@ LM_OUT_Q = 1 << 20
 LM_ENVELOPE = 1 << 52
 
 
-def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM quality score: average token log-probability under an
-    add-one-smoothed unigram model trained on the doc_id % TRAIN_MOD == 0
-    split — the perplexity-filter family (CCNet/KenLM-style corpus
-    filtering) reduced to its SQL-expressible core. Low avg_logprob =
-    unusual token distribution = candidate for filtering; n_oov counts
-    token occurrences unseen in training.
-
-    Model: p(t) = (c(t) + 1) / (N + V + 1), c(t) = 0 for OOV (the +1 in
-    the denominator reserves mass for the single unseen-token class).
-    Score units are BITS: log2 p via the engine-neutral integer ilog2
-    (see LM_LOG_Q contract note above — no query-time libm).
-
-    Plan shape: one explode → (doc, term) tf counts [shuffle, map-side
-    partials]; train counts reuse that grouping's output [term shuffle]
-    and take the 30-step ilog2 chain ON THE TERM LEVEL (per-row int64
-    codegen over |vocab| rows, not per corpus row); N and V are a 1-row
-    aggregate broadcast back; the score join keys on term (vocabulary-
-    sized right side — AQE broadcasts it when it fits) and one per-doc
-    aggregate finishes. Nothing is driver-side and every shuffle is
-    high-cardinality-keyed — linear in corpus bytes at 100 TB.
-    """
+def lm_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact-integer LM statistics (doc_id, n_tok, n_oov, s,
+    k_max) — the frame lm_score quantizes, exposed unquantized so the
+    boundary-margin audit (tests/test_quantizer_margins.py) can measure
+    how far every pre-quantization mean sits from its 2^-20 grid
+    boundary."""
     docs = Catalog(spark, sf_dir).documents
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
@@ -515,8 +499,31 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * F.coalesce(F.col("k"), F.lit(0))).alias("s"),
         )
     )
-    # (s − n_tok·k_max) is exact BIGINT; then two correctly-rounded IEEE
-    # divisions — operand-for-operand the oracle's expression
+    return per_doc.crossJoin(F.broadcast(scalars))
+
+
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: average token log-probability under an
+    add-one-smoothed unigram model trained on the doc_id % TRAIN_MOD == 0
+    split — the perplexity-filter family (CCNet/KenLM-style corpus
+    filtering) reduced to its SQL-expressible core. Low avg_logprob =
+    unusual token distribution = candidate for filtering; n_oov counts
+    token occurrences unseen in training.
+
+    Model: p(t) = (c(t) + 1) / (N + V + 1), c(t) = 0 for OOV (the +1 in
+    the denominator reserves mass for the single unseen-token class).
+    Score units are BITS: log2 p via the engine-neutral integer ilog2
+    (see LM_LOG_Q contract note above — no query-time libm).
+
+    Plan shape: one explode → (doc, term) tf counts [shuffle, map-side
+    partials]; train counts reuse that grouping's output [term shuffle]
+    and take the 30-step ilog2 chain ON THE TERM LEVEL (per-row int64
+    codegen over |vocab| rows, not per corpus row); N and V are a 1-row
+    aggregate broadcast back; the score join keys on term (vocabulary-
+    sized right side — AQE broadcasts it when it fits) and one per-doc
+    aggregate finishes. Nothing is driver-side and every shuffle is
+    high-cardinality-keyed — linear in corpus bytes at 100 TB.
+    """
     mean = (
         (F.col("s") - F.col("n_tok") * F.col("k_max")) / F.col("n_tok")
     ) / F.lit(float(LM_LOG_Q))
@@ -527,7 +534,7 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("double") * F.col("k_max").cast("double")
     ) < F.lit(float(LM_ENVELOPE))
     return (
-        per_doc.crossJoin(F.broadcast(scalars))
+        lm_stats_frame(spark, sf_dir)
         .select(
             "doc_id",
             "n_oov",
