@@ -32,7 +32,7 @@ DIVDIR = os.environ.get("SPARK_GRAFT_SIM_DIVDIR", "/root/repo")
 
 spark = (SparkSession.builder.appName("driver-sim").master(f"local[{CORES}]")
          .config("spark.sql.shuffle.partitions", PARTS)
-         # one JVM runs all 50 keys back-to-back; the 1g default heap is
+         # one JVM runs every registered key back-to-back; the 1g default heap is
          # borderline at sf0.1 (observed: a transient localCheckpoint
          # failure on the alphabetically-late pagerank_suite)
          .config("spark.driver.memory", "8g")
