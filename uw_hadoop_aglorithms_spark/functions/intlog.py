@@ -25,12 +25,15 @@ also Knuth TAOCP §1.2.2 ex. 25):
     30×: m ← ⌊m² / 2^30⌋;  if m ≥ 2^31: bit=1, m ← ⌊m/2⌋ else bit=0
     result = e·2^30 + (bit₁bit₂…bit₃₀)₂
 
-Every step is int64 arithmetic (m < 2^31 so m² < 2^62), expressed in
-shared ANSI fragments — the SAME strings feed the Spark plan
-(``F.expr``) and the DuckDB oracle (``SELECT * REPLACE`` chain) — so
-the two engines cannot disagree on ANY input, under ANY library
-version: there is no floating-point op in the definition, only the
-final exact dyadic division by 2^30 (an exponent shift).
+Every step is int64 arithmetic (m < 2^31 so m² < 2^62). The Spark plan
+runs it as ONE ``aggregate(sequence(1,30), …)`` fold; the DuckDB oracle
+as a ``SELECT * REPLACE`` chain built from the same step fragments; the
+Python reference (``ilog2_py``) as a plain loop — three renderings of
+one integer recurrence, pinned byte-identical on the full domain
+boundary set by tests/test_hashing_properties.py, so the two engines
+cannot disagree on ANY input, under ANY library version: there is no
+floating-point op in the definition, only the final exact dyadic
+division by 2^30 (an exponent shift).
 
 The truncation error vs true log2 is < 2^-25 (30 squarings each
 truncating ≤ 2^-30 relative, plus the final-bit floor); callers treat
@@ -126,26 +129,50 @@ def _step_exprs() -> tuple[str, str]:
 def with_ilog2(df: DataFrame, x_expr: str, out: str) -> DataFrame:
     """Append ``out`` = ilog2_units(x_expr) to ``df`` (Spark side).
 
-    30 chained single-projection steps of per-row int64 arithmetic —
-    whole-stage-codegen'd, no shuffle, no UDF; apply on the SMALLEST
-    frame with the needed integers (term-level counts, scalar rows),
-    never per corpus row, and join/broadcast the result downstream."""
+    ONE ``aggregate(sequence(1, 30), …)`` fold expression of per-row
+    int64 arithmetic — no shuffle, no UDF. The round-8 first cut chained
+    30 selectExpr projections instead; Catalyst's CollapseProject merged
+    them by substituting each step's aliases into the next step's 8
+    references, growing the optimized expression tree multiplicatively —
+    pmi/tfidf/bm25 regressed 2-5× on pure planning/codegen time
+    (BENCH_local r8 A/B). The fold keeps the tree constant-size and the
+    30 iterations a runtime loop. It evaluates on Spark's interpreted
+    HOF path, which is why callers apply it on the SMALLEST frame with
+    the needed integers (term-level counts, scalar rows), never per
+    corpus row, and join/broadcast the result downstream.
+
+    The step recurrence is the SAME integer algorithm the DuckDB chain
+    (ilog2_oracle_sql) and the Python reference (ilog2_py) run —
+    three-way bit-equality pinned by tests/test_hashing_properties.py.
+    Spark-only cheapenings that cannot change a bit: the exponent/
+    mantissa CASEs stay in the codegen'd projection (only the loop is
+    interpreted), and ⌊n/2^p⌋ on non-negative int64 is shiftright(n, p)
+    — identical integers to the oracle's (n - n%d)/d form."""
     df = (
         df.withColumn("_x", F.expr(f"CAST({x_expr} AS BIGINT)"))
         .withColumn("_e", F.expr(f"{_bitlen_case('_x')} - 1"))
-    )
-    df = df.withColumn("_m", F.expr(_m0_case("_x", "_e"))).withColumn(
-        "_acc", F.lit(0).cast("long")
-    )
-    m_next, acc_next = _step_exprs()
-    others = [c for c in df.columns if c not in ("_m", "_acc")]
-    for _ in range(ILOG2_F):
-        df = df.selectExpr(
-            *others, f"{m_next} AS _m", f"{acc_next} AS _acc"
+        .withColumn(
+            "_m0",
+            F.expr(
+                f"CASE WHEN _e <= {ILOG2_F} THEN"
+                f" shiftleft(_x, {ILOG2_F} - _e)"
+                f" ELSE shiftright(_x, _e - {ILOG2_F}) END"
+            ),
         )
-    return df.withColumn(
-        out, F.expr(f"CAST(_e AS BIGINT) * {ILOG2_Q} + _acc")
-    ).drop("_x", "_e", "_m", "_acc")
+    )
+    hi = 1 << (ILOG2_F + 1)
+    q = f"shiftright((s.m) * (s.m), {ILOG2_F})"
+    fold = (
+        f"aggregate(sequence(1, {ILOG2_F}), "
+        f"struct(CAST(_m0 AS BIGINT) AS m, CAST(0 AS BIGINT) AS acc), "
+        f"(s, i) -> struct("
+        f"CAST(CASE WHEN {q} >= {hi} THEN shiftright({q}, 1)"
+        f" ELSE {q} END AS BIGINT) AS m, "
+        f"CAST(s.acc * 2 + (CASE WHEN {q} >= {hi} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS acc), "
+        f"s -> CAST(_e AS BIGINT) * {ILOG2_Q} + s.acc)"
+    )
+    return df.withColumn(out, F.expr(fold)).drop("_x", "_e", "_m0")
 
 
 # --------------------------------------------------------------------------
