@@ -268,3 +268,23 @@ def test_ilog2_spark_matches_python(spark):
     df = spark.createDataFrame([(v,) for v in xs], "x long")
     for r in intlog.with_ilog2(df, "x", "k").collect():
         assert r.k == intlog.ilog2_py(r.x), r.x
+
+
+def test_ilog2_domain_guard_fires_on_both_engines(spark, duck):
+    """x outside [1, 2^62) must raise EXPLICITLY in the Spark fold and
+    the DuckDB chain (matching ilog2_py) — x=0 would silently yield
+    -2^30 and a negative x wraps in Spark but overflows in DuckDB, the
+    exact engine-divergence class intlog exists to eliminate."""
+    import pytest as _pytest
+
+    from uw_hadoop_aglorithms_spark.functions import intlog
+
+    for bad in (0, -5, 1 << 62):
+        with _pytest.raises(Exception, match="ilog2 domain"):
+            intlog.with_ilog2(
+                spark.createDataFrame([(bad,)], "x long"), "x", "k"
+            ).collect()
+        with _pytest.raises(Exception, match="ilog2 domain"):
+            duck.execute(
+                intlog.ilog2_oracle_sql(f"SELECT {bad}::BIGINT AS x", "x", "k")
+            ).fetchall()

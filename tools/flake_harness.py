@@ -90,6 +90,15 @@ def main() -> int:
         )
         if proc_tz is not None:
             env["TZ"] = proc_tz
+        # outdir persists across sweeps: drop any prior run{i} artifacts
+        # BEFORE launching, so a sim that crashes pre-write cannot make
+        # this run silently inherit a stale versions block / lineset
+        # from a previous code revision (code-review r8 finding)
+        for stale in (f"{outdir}/run{i}.json", f"{outdir}/run{i}.lines.json.gz"):
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
         t0 = time.time()
         proc = subprocess.run(
             [py, f"{REPO}/tools/driver_sim.py"],
@@ -137,9 +146,20 @@ def main() -> int:
         }
     )
 
-    # cross-run stability: every key's spark hash must be one value
-    per_run = [json.load(open(f"{outdir}/run{i}.json"))["results"]
-               for i in range(len(configs))]
+    # cross-run stability: every key's spark hash must be one value.
+    # A run that crashed before writing its artifact contributes
+    # nothing here (its file was pre-deleted, never stale) — the
+    # verdict is already red via runs[i]["green"].
+    per_run = []
+    for i in range(len(configs)):
+        try:
+            per_run.append(
+                json.load(open(f"{outdir}/run{i}.json"))["results"]
+            )
+        except FileNotFoundError:
+            pass
+    if not per_run:
+        per_run = [{}]
     keys = sorted(set().union(*per_run))
     summary, unstable = {}, []
     for k in keys:
@@ -170,7 +190,12 @@ def _diff_runs(outdir: str, key: str, hashes: list, n: int) -> None:
     """Persist the first differing run pair's linesets for `key`."""
     base = None
     for i in range(n):
-        lines = json.load(gzip.open(f"{outdir}/run{i}.lines.json.gz", "rt")).get(key)
+        try:
+            lines = json.load(
+                gzip.open(f"{outdir}/run{i}.lines.json.gz", "rt")
+            ).get(key)
+        except FileNotFoundError:  # run i crashed pre-write
+            continue
         if lines is None:
             continue
         if base is None:

@@ -148,8 +148,18 @@ def with_ilog2(df: DataFrame, x_expr: str, out: str) -> DataFrame:
     mantissa CASEs stay in the codegen'd projection (only the loop is
     interpreted), and ⌊n/2^p⌋ on non-negative int64 is shiftright(n, p)
     — identical integers to the oracle's (n - n%d)/d form."""
+    guard = (
+        f"CASE WHEN _x >= 1 AND _x < {ILOG2_MAX} THEN _x ELSE "
+        f"CAST(raise_error(CONCAT('ilog2 domain is [1, 2^62): got ', "
+        f"CAST(_x AS STRING))) AS BIGINT) END"
+    )
     df = (
         df.withColumn("_x", F.expr(f"CAST({x_expr} AS BIGINT)"))
+        # same domain contract as ilog2_py: x=0 would silently yield
+        # -2^30 and a negative x wraps in Spark but overflows in DuckDB
+        # — the exact engine-divergence class this module eliminates,
+        # so fail loudly instead (code-review r8 finding)
+        .withColumn("_x", F.expr(guard))
         .withColumn("_e", F.expr(f"{_bitlen_case('_x')} - 1"))
         .withColumn(
             "_m0",
@@ -263,12 +273,18 @@ def ilog2_oracle_sql(src: str, x_expr: str, out: str) -> str:
     Uses DuckDB ``* REPLACE``/``* EXCLUDE`` for the per-step projection
     — the STEP EXPRESSIONS are the same strings the Spark side runs."""
     m_next, acc_next = _step_exprs()
+    # same domain guard as with_ilog2/ilog2_py (code-review r8 finding)
+    x_guarded = (
+        f"CASE WHEN CAST({x_expr} AS BIGINT) >= 1 AND "
+        f"CAST({x_expr} AS BIGINT) < {ILOG2_MAX} "
+        f"THEN CAST({x_expr} AS BIGINT) "
+        f"ELSE CAST(error('ilog2 domain is [1, 2^62)') AS BIGINT) END"
+    )
     sql = (
         f"SELECT *, {_m0_case('_x', '_e')} AS _m, "
         f"CAST(0 AS BIGINT) AS _acc FROM ("
-        f"SELECT *, CAST({x_expr} AS BIGINT) AS _x, "
-        f"{_bitlen_case(f'CAST({x_expr} AS BIGINT)')} - 1 AS _e "
-        f"FROM ({src}))"
+        f"SELECT *, {_bitlen_case('_x')} - 1 AS _e FROM ("
+        f"SELECT *, {x_guarded} AS _x FROM ({src})))"
     )
     for _ in range(ILOG2_F):
         sql = (

@@ -557,6 +557,27 @@ def incremental_neardup_pairs(
     operating regime — exact dedup runs first); a key that CROSSES the
     cap mid-lifecycle stops emitting pairs from that point, which is the
     documented back-pressure behavior, not drift."""
+    pairs, _gated = incremental_neardup_with_audit(
+        spark, prefix, new_docs, bucket_cap
+    )
+    return pairs
+
+
+def incremental_neardup_with_audit(
+    spark: SparkSession,
+    prefix: str,
+    new_docs: DataFrame,
+    bucket_cap: int | None = BAND_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, gated): `incremental_neardup_pairs` and its gated-key
+    audit (`incremental_hot_band_buckets` content) from ONE shared
+    signature/banding/occupancy computation — the per-micro-batch
+    ingest shape (runner.stream_neardup_ingest). Calling the two
+    standalone functions separately recomputed hsets_from_docs +
+    bands_from_hsets + the occupancy probe twice per batch, roughly
+    doubling per-batch signature work (code-review r8 finding; the sf1
+    ingest regression this explains is logged in SCALING.md).
+    `gated` is empty when bucket_cap is None (nothing is gated)."""
     # localCheckpoint, not cache: released on GC by the ContextCleaner,
     # so per-batch ingest calls don't accumulate executor storage
     new_hsets = hsets_from_docs(new_docs).localCheckpoint(eager=True)
@@ -572,14 +593,17 @@ def incremental_neardup_pairs(
             .groupBy(*on)
             .agg(F.count(F.lit(1)).alias("n_idx"))
         )
-        ok_keys = (
+        # ONE occupancy frame feeds the gate AND the audit (delta-keyed,
+        # tiny by construction — materialize so neither consumer re-runs
+        # the probe)
+        occ = (
             new_keys.join(idx_occ, on, "left")
-            .where(
-                F.col("n_new") + F.coalesce(F.col("n_idx"), F.lit(0))
-                <= bucket_cap
-            )
-            .select(*on)
+            .withColumn("n_idx", F.coalesce(F.col("n_idx"), F.lit(0)))
+            .withColumn("bsz", F.col("n_new") + F.col("n_idx"))
+            .localCheckpoint(eager=True)
         )
+        gated = occ.where(F.col("bsz") > bucket_cap)
+        ok_keys = occ.where(F.col("bsz") <= bucket_cap).select(*on)
         # the gated band frame feeds three consumers (index join, both
         # self-join sides); materialize it once (<= 8 rows per batch
         # doc) so the signature groupBy + occupancy gate don't re-run
@@ -587,6 +611,14 @@ def incremental_neardup_pairs(
         new_bands = new_bands.join(
             F.broadcast(ok_keys), on
         ).localCheckpoint(eager=True)
+    else:
+        gated = (
+            new_bands.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("n_new"))
+            .withColumn("n_idx", F.lit(0).cast("long"))
+            .withColumn("bsz", F.col("n_new"))
+            .where(F.lit(False))
+        )
     against_index = (
         idx_bands.alias("a")
         .join(new_bands.alias("b"), on)
@@ -604,7 +636,8 @@ def incremental_neardup_pairs(
         against_index.distinct(), idx_hsets, new_hsets
     )
     verified_new = verify_pairs(within_batch.distinct(), new_hsets)
-    return verified_idx.unionAll(verified_new).orderBy("doc_a", "doc_b")
+    pairs = verified_idx.unionAll(verified_new).orderBy("doc_a", "doc_b")
+    return pairs, gated
 
 
 #: Label-propagation round budget before dedup_clusters escapes to the

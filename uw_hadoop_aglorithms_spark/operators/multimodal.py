@@ -276,6 +276,11 @@ def _resize_one(mtype: str, shape, data):
         return [RESIZE_H, RESIZE_W], out.ravel()
     if mtype == "audio":
         n = int(shape[0])
+        if n == 0:
+            # a zero-sample real WAV decodes to an empty array (newly
+            # reachable via _decode_any); resample to silence rather
+            # than let np.interp raise on empty sample points
+            return [RESAMPLE_N], np.zeros(RESAMPLE_N)
         if n == 1:
             return [RESAMPLE_N], np.full(RESAMPLE_N, arr[0])
         pos = np.arange(RESAMPLE_N) * (n - 1) / (RESAMPLE_N - 1)
@@ -331,7 +336,7 @@ def _encode_real_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            b = text.encode("utf-8")
+            b = text.encode("ascii")  # upstream projection drops non-ASCII
             if doc_id % 3 == 0:
                 # image doc: text bytes laid into the metadata extent
                 # (media_table's width/height), zero-padded/truncated
@@ -352,11 +357,20 @@ def media_real_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIFF/WAVE PCM16 stream of (byte-128)*256 samples. Video keeps no
     real-container leg — H.264 needs libav. Encoding is Arrow-batched
     map work, exactly where a crawler's already-encoded payloads would
-    enter the pipeline."""
+    enter the pipeline.
+
+    The bytes==chars oracle equivalence is ENFORCED, not assumed
+    (code-review r8 finding): non-ASCII codepoints are dropped in the
+    projection below, mirrored verbatim by the oracle's regexp — on the
+    all-ASCII fixtures this is the identity, and on any future fixture
+    both engines see the same byte sequence by construction."""
     docs = (
         Catalog(spark, sf_dir)
         .documents.filter(F.col("doc_id") % 3 != 2)
-        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            F.regexp_replace("text", r"[^\x00-\x7F]", "").alias("text"),
+        )
     )
     return docs.mapInPandas(_encode_real_fn, schema=MEDIA_REAL_SCHEMA)
 

@@ -137,15 +137,25 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = sketches.hll_estimate(
         sketches.hll_merge(regs_u, ("event_type",)), ("event_type",)
     )
-    exact = base.join(mu.select("event_type", "hll_est"), "event_type").selectExpr(
+    # ONE base⋈mu join feeds both variants ('exact' carries the same
+    # neutral-sketch 20% cert as 'hll_users' BY DESIGN — the r7 verdict
+    # asked the exact rows to cert against the engine-neutral estimate,
+    # and that comparison is per (event_type, hll_est, n_users) — so
+    # compute it from one joined frame instead of two joins whose cert
+    # definitions could drift apart)
+    ex_u = base.select("event_type", F.col("n_users").alias("n"))
+    bj = base.join(
+        mu.select("event_type", "hll_est", "v_empty"), "event_type"
+    )
+    exact = bj.selectExpr(
         "'exact' AS variant", "event_type AS k", "n_users AS n",
         "n_events AS v", "CAST(NULL AS BIGINT) AS aux",
         f"{sketches.hll_bound_sql('hll_est', 'n_users')} AS cert",
     )
-    ex_u = base.select("event_type", F.col("n_users").alias("n"))
-    hll_users = mu.join(ex_u, "event_type").selectExpr(
-        "'hll_users' AS variant", "event_type AS k", "n",
-        "hll_est AS v", "v_empty AS aux", bound,
+    hll_users = bj.selectExpr(
+        "'hll_users' AS variant", "event_type AS k", "n_users AS n",
+        "hll_est AS v", "v_empty AS aux",
+        f"{sketches.hll_bound_sql('hll_est', 'n_users')} AS cert",
     )
     regsum = mu.selectExpr(
         "'hll_regsum' AS variant", "event_type AS k", "sum_rho AS n",

@@ -575,7 +575,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm run in Python — bit-identical by construction).
     """
     docs = Catalog(spark, sf_dir).documents
-    k_n = intlog.ilog2_py(docs.count())
+    n_docs = docs.count()
+    # empty corpus: tf/df_ below are empty frames, so the join emits
+    # zero rows regardless of k_n — don't let ilog2_py(0) raise where
+    # the retired F.log form returned an empty result
+    k_n = intlog.ilog2_py(n_docs) if n_docs else 0
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")

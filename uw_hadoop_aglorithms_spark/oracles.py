@@ -1070,9 +1070,13 @@ MULTIMODAL_ORACLES: dict[str, str] = {
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                         ELSE 'audio/wav' END AS container,
-                   list_transform(string_split(text, ''),
-                                  c -> ascii(c)::BIGINT) AS codes,
-                   length(text) AS n
+                   list_transform(
+                       string_split(
+                           regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'),
+                           ''),
+                       c -> ascii(c)::BIGINT) AS codes,
+                   length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                       AS n
             FROM documents WHERE doc_id % 3 != 2
         ),
         x AS (

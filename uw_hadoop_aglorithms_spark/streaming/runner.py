@@ -781,8 +781,10 @@ def stream_neardup_ingest(
 
     No silent caps (round 8, VERDICT r7 §Next 4): before querying, every
     batch persists the band keys its hot-bucket gate excludes
-    (dedup.incremental_hot_band_buckets — combined live-index + batch
-    occupancy > cap) into `{pairs_path}_gated/batch_id=<bid>`, so a key
+    (combined live-index + batch occupancy > cap, shared with the pairs
+    computation via dedup.incremental_neardup_with_audit so the
+    signature/occupancy work runs ONCE per batch) into
+    `{pairs_path}_gated/batch_id=<bid>`, so a key
     crossing BAND_BUCKET_CAP mid-lifecycle is a durable, auditable
     event in the ingest log's own exactly-once envelope (the gated
     write precedes the index extend, like the pairs write, so a replay
@@ -856,15 +858,17 @@ def stream_neardup_ingest(
             > 0
         )
         if not admitted:
-            # gated-key audit BEFORE the extend: the same pre-admission
-            # occupancy the pairs gate sees (no-silent-caps contract)
-            dedup.incremental_hot_band_buckets(
+            # pairs + gated-key audit from ONE shared signature/
+            # occupancy computation (incremental_neardup_with_audit —
+            # the separate audit call recomputed the whole MinHash/
+            # banding pipeline per batch); audit writes BEFORE the
+            # extend: the same pre-admission occupancy the pairs gate
+            # sees (no-silent-caps contract)
+            pairs, gated = dedup.incremental_neardup_with_audit(
                 s, prefix, b, bucket_cap=cap
-            ).repartition(1).write.mode("overwrite").parquet(
-                os.path.join(gated_path, f"batch_id={int(bid)}")
             )
-            pairs = dedup.incremental_neardup_pairs(
-                s, prefix, b, bucket_cap=cap
+            gated.repartition(1).write.mode("overwrite").parquet(
+                os.path.join(gated_path, f"batch_id={int(bid)}")
             )
             # each batch owns its batch_id= subdirectory outright, so
             # the overwrite is scoped to it by construction; the dir
