@@ -76,6 +76,41 @@ def test_no_libm_in_oracle_sql():
     assert not bad, f"transcendental call in oracle SQL: {bad}"
 
 
+#: Zone-/type-sensitive renderings of the raw events timestamp (round 9,
+#: VERDICT r8 §Next 2): each of these renders in the harness process's
+#: TimeZone when a fixture types ``ts`` as TIMESTAMPTZ (the round-2
+#: error trace proves driver/local parquet encodings differ), flipping
+#: day labels and rendered walls between environments. Hashed SQL must
+#: derive days/walls from integer epoch arithmetic instead
+#: (functions/days.utc_day_label_sql / utc_wall_sql / utc_epoch_day_sql;
+#: ``epoch``/``epoch_us`` themselves are absolute and therefore fine).
+_TS = r"(?:\w+\s*\.\s*)?(?:min\(|max\()?\s*ts\b"
+ZONE_SENSITIVE = [
+    re.compile(r"strftime\(\s*" + _TS, re.I),
+    re.compile(_TS + r"\s*\)?\s*::\s*(DATE|TIMESTAMP)\b", re.I),
+    re.compile(r"CAST\(\s*" + _TS + r"\s*\)?\s+AS\s+(DATE|TIMESTAMP)\b", re.I),
+    re.compile(r"EXTRACT\(\s*\w+\s+FROM\s+" + _TS, re.I),
+    re.compile(r"date_trunc\([^,]+,\s*" + _TS, re.I),
+    re.compile(r"time_bucket\([^,]+,\s*" + _TS, re.I),
+]
+
+
+def test_no_zone_sensitive_ts_rendering_in_oracle_sql():
+    """No oracle may render the raw events timestamp through a
+    zone-sensitive path (strftime/CAST-to-DATE/EXTRACT/::TIMESTAMP…);
+    day labels and walls must come from integer epoch arithmetic."""
+    sys.path.insert(0, str(PKG.parent))
+    import __spark_entry__ as entry
+
+    bad = {}
+    for k, sql in entry.oracle_sql().items():
+        body = _strip_sql_comments(sql)
+        hits = [p.search(body).group(0) for p in ZONE_SENSITIVE if p.search(body)]
+        if hits:
+            bad[k] = hits
+    assert not bad, f"zone-sensitive ts rendering in oracle SQL: {bad}"
+
+
 #: (relative module path, enclosing scope) pairs allowed to call math.*
 #: transcendentals — all IMPORT-TIME constant generators whose outputs
 #: feed BOTH engine sides (version-portable by construction).

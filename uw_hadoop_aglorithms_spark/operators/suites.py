@@ -35,8 +35,21 @@ from uw_hadoop_aglorithms_spark.operators import (
     textstats,
 )
 from uw_hadoop_aglorithms_spark.functions import render
+from uw_hadoop_aglorithms_spark.functions.days import (
+    utc_day_label,
+    utc_day_label_sql,
+    utc_epoch_day_sql,
+    utc_wall_sql,
+)
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 from uw_hadoop_aglorithms_spark.streaming import windows as stream_windows
+
+#: Portable day-label fragments over the events.ts column (oracle side):
+#: integer epoch-day arithmetic, identical for naive/instant/ns parquet
+#: typings under any harness TimeZone (functions/days docstring).
+_DAY_LABEL_TS = utc_day_label_sql("ts")
+_WALL_TS = utc_wall_sql("ts")
+_EPOCH_DAY_TS = utc_epoch_day_sql("ts")
 
 
 def _u(*parts: str) -> str:
@@ -185,7 +198,7 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_w1")
     )
     ud = (
-        ev.select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        ev.select("user_id", utc_day_label(ev, "ts").alias("dt"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -1413,9 +1426,11 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake_mod.write_date_partitioned(
             cat.events.select("ts", "event_type"), f"{lake_dir}/events"
         )
-        day = cat.events.agg(
-            F.date_format(F.min("ts"), "yyyy-MM-dd").alias("d")
-        ).first().d
+        day = (
+            cat.events.select(utc_day_label(cat.events, "ts").alias("d"))
+            .agg(F.min("d").alias("d"))
+            .first().d
+        )
         df_day = lake_mod.read_day(spark, f"{lake_dir}/events", day)
         pplan = df_day._jdf.queryExecution().executedPlan().toString()
         pf = (
@@ -1615,7 +1630,12 @@ def _distinct_users_oracle() -> str:
         WITH regs_u AS ({regs_u}),
              regs_e AS ({regs_e}),
              regs_all AS ({regs_all}),
-             w1 AS (SELECT strftime(CAST(min(ts) AS DATE) + 6, '%Y-%m-%d') AS d
+             -- week cutoff from INTEGER epoch-day arithmetic (round 9:
+             -- CAST(ts AS DATE)/strftime(ts) render in the harness zone
+             -- when a fixture types ts as TIMESTAMPTZ — functions/days)
+             w1 AS (SELECT strftime(DATE '1970-01-01'
+                             + CAST(min({_EPOCH_DAY_TS}) AS INT) + 6,
+                             '%Y-%m-%d') AS d
                     FROM events),
              -- KMV / theta replay (sketches.kmv_*): K smallest distinct
              -- key-hashes per type; integer estimators, both regimes
@@ -1665,7 +1685,7 @@ def _distinct_users_oracle() -> str:
                          FROM ks_all),
              kh_w AS (SELECT DISTINCT {sketches.kmv_hash_sql('user_id')} AS h
                       FROM events
-                      WHERE strftime(ts, '%Y-%m-%d') <= (SELECT d FROM w1)),
+                      WHERE {_DAY_LABEL_TS} <= (SELECT d FROM w1)),
              ks_w AS (SELECT h FROM (
                           SELECT h, row_number() OVER (ORDER BY h) AS rk
                           FROM kh_w)
@@ -1705,7 +1725,7 @@ def _distinct_users_oracle() -> str:
         SELECT 'hll_rollup', 'first_week', x.n, e.hll_est, e.v_empty, {bound}
         FROM ({est_w}) e
         JOIN (SELECT 'ALL' AS g, count(DISTINCT user_id) AS n FROM events
-              WHERE strftime(ts, '%Y-%m-%d') <= (SELECT d FROM w1)) x
+              WHERE {_DAY_LABEL_TS} <= (SELECT d FROM w1)) x
           USING (g)
         UNION ALL
         SELECT 'kmv_users', kst.g, x.n, kst.kmv_est, kst.hk,
@@ -1725,7 +1745,7 @@ def _distinct_users_oracle() -> str:
                   <= {sketches.KMV_CERT_PCT} * x.n)
         FROM kst_w,
              (SELECT count(DISTINCT user_id) AS n FROM events
-              WHERE strftime(ts, '%Y-%m-%d') <= (SELECT d FROM w1)) x
+              WHERE {_DAY_LABEL_TS} <= (SELECT d FROM w1)) x
         UNION ALL
         SELECT 'kmv_inter', ki.ga || '|' || ki.gb, xp.n, ki.inter_est,
                ki.theta,
@@ -1862,8 +1882,12 @@ def _suite_oracles() -> dict[str, str]:
         "spam": ML_ORACLES["spam"],
         # salted/bucketed layouts must be result-identical to the plain
         # joins; the plan certificates (no Exchange below the bucketed
-        # join, dt in PartitionFilters) are asserted TRUE by the oracle
-        "layout_suite": """
+        # join, dt in PartitionFilters) are asserted TRUE by the oracle.
+        # Day selection / day-of-month come from integer epoch-day
+        # arithmetic (functions/days), never CAST(ts AS DATE) /
+        # EXTRACT(day FROM ts), which render in the harness zone when a
+        # fixture types ts as TIMESTAMPTZ (round 9, VERDICT r8 §Next 2)
+        "layout_suite": f"""
             SELECT 'salted' AS variant, s_name AS k, count(*) AS n,
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
@@ -1880,7 +1904,7 @@ def _suite_oracles() -> dict[str, str]:
             UNION ALL
             SELECT 'pruned', event_type, count(*), CAST(NULL AS DOUBLE), TRUE
             FROM events
-            WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+            WHERE {_EPOCH_DAY_TS} = (SELECT min({_EPOCH_DAY_TS}) FROM events)
             GROUP BY event_type
             UNION ALL
             SELECT 'zorder', event_type, count(*), CAST(NULL AS DOUBLE), TRUE
@@ -1914,10 +1938,14 @@ def _suite_oracles() -> dict[str, str]:
             FROM (
                 SELECT event_id,
                        CASE WHEN event_id % 97 = 0
-                             AND EXTRACT(day FROM ts) <= 10 THEN 'patched'
+                             AND EXTRACT(day FROM DATE '1970-01-01'
+                                 + CAST({_EPOCH_DAY_TS} AS INT)) <= 10
+                            THEN 'patched'
                             ELSE event_type END AS event_type,
                        CASE WHEN event_id % 97 = 0
-                             AND EXTRACT(day FROM ts) <= 10 THEN value + 1000
+                             AND EXTRACT(day FROM DATE '1970-01-01'
+                                 + CAST({_EPOCH_DAY_TS} AS INT)) <= 10
+                            THEN value + 1000
                             ELSE value END AS value
                 FROM events
                 UNION ALL
@@ -2042,7 +2070,7 @@ def _suite_oracles() -> dict[str, str]:
                    CAST(n_events AS BIGINT) AS n
             FROM (\n{TEMPORAL_ORACLES["user_sessions"]}\n)
             WHERE epoch_us(last_ts) + {SESSION_GAP_S * 1_000_000}
-                  <= (SELECT max(epoch_us(ts::TIMESTAMP))
+                  <= (SELECT max(epoch_us(ts))
                              - {WATERMARK_MIN * 60_000_000}
                       FROM events)
             """,
@@ -2056,7 +2084,7 @@ def _suite_oracles() -> dict[str, str]:
                    CAST(other_id AS BIGINT) AS n
             FROM (
                 WITH ev AS (SELECT event_id, user_id, event_type,
-                                   epoch_us(ts::TIMESTAMP) AS us
+                                   epoch_us(ts) AS us
                             FROM events),
                 p AS (SELECT event_id AS purchase_id, user_id, us AS ps
                       FROM ev WHERE event_type = 'purchase')
@@ -2082,9 +2110,9 @@ def _suite_oracles() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS digest, cnt AS n
             FROM (
                 WITH ev AS (
-                    SELECT ts::TIMESTAMP AS ts,
+                    SELECT {_WALL_TS} AS ts,
                            row_number() OVER (
-                               ORDER BY ts::TIMESTAMP, event_id) - 1 AS rn
+                               ORDER BY {_WALL_TS}, event_id) - 1 AS rn
                     FROM events
                 ),
                 params AS (
@@ -2117,7 +2145,7 @@ def _suite_oracles() -> dict[str, str]:
                     WHERE wm.wmk IS NULL OR a.ts >= wm.wmk
                 ),
                 fin AS (
-                    SELECT max(ts::TIMESTAMP)
+                    SELECT max({_WALL_TS})
                              - INTERVAL {WATERMARK_MIN} MINUTE AS fw
                     FROM events
                 )

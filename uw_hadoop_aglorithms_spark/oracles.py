@@ -467,19 +467,24 @@ STREAMING_ORACLES: dict[str, str] = {
 
 
 # --- temporal (operators/temporal.py) ---------------------------------------
-# events.ts is TIMESTAMP_NS in DuckDB; ::TIMESTAMP truncates to micros,
-# matching the catalog's nanos→micros normalization.
+# ts is normalized to its UTC wall via integer epoch arithmetic
+# (functions/days.utc_wall_sql): identical for TIMESTAMP / TIMESTAMPTZ /
+# TIMESTAMP_NS fixture typings under any harness TimeZone, and it
+# truncates nanos to micros exactly like the catalog's normalization.
 
+from uw_hadoop_aglorithms_spark.functions.days import utc_wall_sql
 from uw_hadoop_aglorithms_spark.operators.temporal import (
     RANGE_WINDOW_S,
     SESSION_GAP_S,
 )
 
+_TS_WALL = utc_wall_sql("ts")
+
 TEMPORAL_ORACLES: dict[str, str] = {
     "range_join_nearby_events": f"""
         WITH e AS (
             SELECT event_id, user_id, event_type,
-                   floor(epoch(ts::TIMESTAMP))::BIGINT AS es
+                   (epoch_us(ts) // 1000000) AS es
             FROM events
         ),
         p AS (
@@ -495,7 +500,7 @@ TEMPORAL_ORACLES: dict[str, str] = {
         ORDER BY purchase_id, other_id
     """,
     "user_sessions": f"""
-        WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+        WITH e AS (SELECT user_id, {_TS_WALL} AS ts FROM events),
         gaps AS (
             SELECT user_id, ts,
                    CASE WHEN lag(ts) OVER w IS NULL
@@ -514,8 +519,8 @@ TEMPORAL_ORACLES: dict[str, str] = {
         FROM sess GROUP BY user_id, sid
         ORDER BY user_id, session_start
     """,
-    "asof_last_order": """
-        WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events),
+    "asof_last_order": f"""
+        WITH e AS (SELECT event_id, user_id, {_TS_WALL} AS ts FROM events),
         od AS (
             SELECT o_custkey AS user_id, o_orderdate,
                    max(o_orderkey) AS o_orderkey

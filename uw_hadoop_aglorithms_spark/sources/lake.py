@@ -23,9 +23,18 @@ def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None
     """Write with a derived `dt` partition column (one directory per day).
 
     Partition count = distinct days — bounded, unlike partitioning by a
-    high-cardinality key (the classic small-files mistake)."""
+    high-cardinality key (the classic small-files mistake).
+
+    The dt label derives from integer epoch-day arithmetic
+    (functions/days.utc_day_label): for a TimestampType column it is the
+    UTC day of the instant under ANY session zone, so a lake ingested
+    under one zone and refreshed under another labels the same event
+    identically (closes ADVICE r8 medium: date_format over an instant
+    renders in the session zone)."""
+    from uw_hadoop_aglorithms_spark.functions.days import utc_day_label
+
     (
-        df.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        df.withColumn("dt", utc_day_label(df, ts_col))
         .write.mode("overwrite")
         .partitionBy("dt")
         .parquet(path)
@@ -123,8 +132,12 @@ def merge_into_lake(
     (BuildInvertedIndexCompressed.java:200); re-ingest means full
     rebuild. Incremental upsert is the lake-native replacement.
     """
+    from uw_hadoop_aglorithms_spark.functions.days import utc_day_label
+
+    # dt from integer epoch-day arithmetic: session-zone-independent for
+    # instant-typed updates (write_date_partitioned docstring)
     up = updates.withColumn(
-        "dt", F.date_format(F.col(ts_col), "yyyy-MM-dd")
+        "dt", utc_day_label(updates, ts_col)
     ).localCheckpoint()
     # partition-column inference types `dt` as DATE; normalize to the
     # writer's string form so day-set comparison and the union line up
