@@ -145,12 +145,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": pipeline.doc_chunks,
         # Training-data pipeline: multimodal binary-column plumbing
         # (Arrow-batched mapInPandas feature extraction + frame sampling).
-        # media_real round-trips ACTUAL PNG/WAV container bytes through
-        # the binary column via stdlib codecs (functions/codecs.py);
-        # only library-bound formats (JPEG/H.264) remain stubbed.
-        "media_features": multimodal.media_features,
+        # media_features carries two tagged variants (round 9 fold, which
+        # restored the 50-key budget after media_real's round-8 addition
+        # pushed layout_suite off the driver's verification window):
+        # 'bytes' = synthetic byte features, 'real' = ACTUAL PNG/WAV
+        # container bytes round-tripped through the binary column via
+        # stdlib codecs (functions/codecs.py); only library-bound formats
+        # (JPEG/H.264) remain stubbed.
+        "media_features": suites.media_features,
         "frame_sample": multimodal.frame_sample,
-        "media_real": multimodal.media_real,
         # Temporal: sessionization + as-of join (beyond-reference;
         # oracle uses DuckDB's native ASOF JOIN)
         "user_sessions": temporal.user_sessions,

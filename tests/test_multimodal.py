@@ -374,3 +374,51 @@ def test_media_real_matches_duckdb_oracle(spark, duck):
         oracles.MULTIMODAL_ORACLES["media_real"]
     ).fetchall()]
     assert got == exp
+
+
+def test_media_real_empty_null_and_nonascii_text(spark, tmp_path):
+    """ADVICE r8: empty/NULL/non-ASCII-only text rows must agree across
+    engines — duckdb's string_split('', '') = [''] used to plant a
+    phantom ascii('') = 0 code in histogram bin 0 while the Spark side
+    decoded zero samples, and a NULL text raised inside mapInPandas
+    while the oracle quietly emitted NULLs. Both sides now pin
+    NULL/empty to '' and empty codes to []."""
+    import duckdb
+
+    from uw_hadoop_aglorithms_spark import oracles
+
+    # doc_id % 3: 0 = image/png, 1 = audio/wav, 2 = excluded
+    rows = [
+        (0, "", "en", "s", 0),          # empty image doc → 1 zero pad pixel
+        (1, "", "en", "s", 0),          # empty audio doc → zero samples
+        (3, "café☃", "en", "s", 5),  # strips to 'caf' (image)
+        (4, None, "en", "s", 0),        # NULL audio doc → '' (no raise)
+        (6, "☃☃", "en", "s", 2),     # strips to '' (image)
+        (7, "hello world", "en", "s", 11),     # normal audio doc
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "mini")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = [
+        (r.doc_id, r.container, r.n_values, r.byte_sum, r.hist)
+        for r in multimodal.media_real(spark, d).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    exp = [tuple(t) for t in con.execute(
+        oracles.MULTIMODAL_ORACLES["media_real"]
+    ).fetchall()]
+    con.close()
+    assert sorted(got) == sorted(exp)
+    by_id = dict((g[0], g) for g in got)
+    # empty image doc: extent 1x1, one zero pad pixel in bin 0
+    assert by_id[0][2:] == (1, 0, "1|0|0|0|0|0|0|0|0|0|0|0|0|0|0|0")
+    # empty/NULL/stripped-to-empty audio & image docs: zero values
+    assert by_id[1][2] == 0 and by_id[4][2] == 0
+    # 'caf' image doc: extent (3%64+1)x(3%48+1) = 4x4, 13 pad zeros
+    assert by_id[3][2] == 16 and by_id[3][4].split("|")[0] == "13"

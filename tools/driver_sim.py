@@ -14,6 +14,15 @@ diagnosable post-hoc and flakes catchable in the act):
   (gzip JSON) so a cross-run divergence can be diffed WITHOUT rerunning.
 - On any hash mismatch the divergent linesets are PERSISTED to
   DIVERGENCE_{key}.json next to the repo root (not just printed).
+
+Round 9 adds SPARK_GRAFT_SIM_FETCH=pandas: both sides are fetched
+through the DATAFRAME path (spark .toPandas() / duckdb .fetchdf())
+before canonicalization instead of row lists. Client-side type
+conversion is itself a divergence channel — duckdb's HUGEINT (integer
+sum()) reaches fetchall() as a plain int but fetchdf() as float64
+("150.0" vs "150"), which is the round-9 explanation for the ONLY two
+driver-red keys (tests/test_oracle_types.py). This mode keeps the whole
+class exercised.
 """
 import datetime as dt, gzip, hashlib, json, math, os, sys
 
@@ -26,6 +35,7 @@ SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 CORES = os.environ.get("SPARK_GRAFT_SIM_CORES", "8")
 PARTS = os.environ.get("SPARK_GRAFT_SIM_PARTS", "16")
 TZ = os.environ.get("SPARK_GRAFT_SIM_TZ", "UTC")
+FETCH = os.environ.get("SPARK_GRAFT_SIM_FETCH", "rows")  # rows | pandas
 OUT = os.environ.get("SPARK_GRAFT_SIM_OUT")
 LINES_OUT = os.environ.get("SPARK_GRAFT_SIM_LINES")
 DIVDIR = os.environ.get("SPARK_GRAFT_SIM_DIVDIR", "/root/repo")
@@ -52,6 +62,10 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def norm(v):
+    # numpy scalars (the pandas fetch path) unwrap to python first; a
+    # pandas NaT has no .item() and renders via str() below
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if v is None: return "NULL"
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
@@ -59,6 +73,26 @@ def norm(v):
     if isinstance(v, (dt.datetime, dt.date)): return v.isoformat().replace("T", " ")
     if isinstance(v, (list, tuple)): return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
+
+
+def fetch_spark(sdf):
+    """(cols, rows) via the configured fetch path."""
+    if FETCH == "pandas":
+        pdf = sdf.toPandas()
+        return list(pdf.columns), [
+            tuple(r) for r in pdf.itertuples(index=False, name=None)
+        ]
+    return sdf.columns, [tuple(r) for r in sdf.collect()]
+
+
+def fetch_duck(cur):
+    """(cols, rows) via the configured fetch path."""
+    if FETCH == "pandas":
+        pdf = cur.fetchdf()
+        return list(pdf.columns), [
+            tuple(r) for r in pdf.itertuples(index=False, name=None)
+        ]
+    return [d[0] for d in cur.description], cur.fetchall()
 
 def lines_of(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -92,7 +126,7 @@ def divergence_report(name, scols, slines, dlines, limit=5):
     path = os.path.join(DIVDIR, f"DIVERGENCE_{name}.json")
     with open(path, "w") as fh:
         json.dump({"key": name, "sf": SF,
-                   "config": {"cores": CORES, "parts": PARTS, "tz": TZ},
+                   "config": {"cores": CORES, "parts": PARTS, "tz": TZ, "fetch": FETCH},
                    "sorted_cols": sorted(scols),
                    "spark_only": only_s, "oracle_only": only_d}, fh, indent=1)
     print(f"  {name} divergent linesets persisted to {path}")
@@ -109,8 +143,7 @@ for name, fn in sorted(qmap.items()):
     # (the bench.py round-2 lesson, applied to the sim)
     try:
         sdf = fn(spark, SF)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
+        scols, srows = fetch_spark(sdf)
     except Exception as exc:  # noqa: BLE001 — record and move on
         results[name] = {"count_match": False, "err": f"{type(exc).__name__}: {exc}"[:200]}
         print(f"{name}: ERR {results[name]['err']}")
@@ -123,9 +156,7 @@ for name, fn in sorted(qmap.items()):
                          "spark_hash": vhash(slines)}
         print(f"{name}: rows-only rows={len(srows)}")
         continue
-    cur = con.execute(omap[name])
-    dcols = [d[0] for d in cur.description]
-    drows = cur.fetchall()
+    dcols, drows = fetch_duck(con.execute(omap[name]))
     dlines = lines_of(dcols, drows)
     ok_count = len(srows) == len(drows)
     ok_schema = sorted(scols) == sorted(dcols)
@@ -145,7 +176,7 @@ print(json.dumps({"failed": bad, "versions": versions}))
 if OUT:
     with open(OUT, "w") as fh:
         json.dump({"sf": SF,
-                   "config": {"cores": CORES, "parts": PARTS, "tz": TZ},
+                   "config": {"cores": CORES, "parts": PARTS, "tz": TZ, "fetch": FETCH},
                    "versions": versions,
                    "results": results}, fh, indent=1)
 if LINES_OUT:

@@ -50,20 +50,41 @@ import time
 
 REPO = "/root/repo"
 
-#: (cores, shuffle partitions, session timezone, PROCESS timezone): the
-#: judge's four reproduction configs (VERDICT r6) plus a low-core
-#: prime-partition eastern-timezone combination and a PROCESS-zone run
-#: (TZ env var — PySpark renders TimestampType at collect via python's
-#: local zone, a channel the session zone doesn't cover; batch NTZ
-#: results and the runners' walls_out boundary are immune, this run
-#: proves it). Each run permutes task scheduling, partition boundaries,
-#: and both rendering zones independently.
+#: (cores, shuffle partitions, session timezone, PROCESS timezone,
+#: fixture encoding): the judge's four reproduction configs (VERDICT
+#: r6) plus a low-core prime-partition eastern-timezone combination and
+#: a PROCESS-zone run (TZ env var — PySpark renders TimestampType at
+#: collect via python's local zone, a channel the session zone doesn't
+#: cover; batch NTZ results and the runners' walls_out boundary are
+#: immune, this run proves it). Each run permutes task scheduling,
+#: partition boundaries, and both rendering zones independently.
+#:
+#: Round 9 adds the FIXTURE-ENCODING axis (VERDICT r8 §Next 3): the
+#: round-2 driver error trace proves the driver's parquet typing of
+#: events.ts differs from local, so two legs run the sim against
+#: tools/fixture_recode.py rewrites of sf0.01 — events.ts as an
+#: INSTANT (TIMESTAMP MICROS isAdjustedToUTC=1; DuckDB reads
+#: TIMESTAMPTZ and renders in the process zone) and as INT64 NANOS
+#: (the encoding earlier testdata rounds shipped) — both under a
+#: non-UTC process TZ. Every value hash must be invariant to them.
+#: Round 9 also adds the FETCH-PATH axis: the round-red keys turned out
+#: to diverge only through CLIENT-SIDE type conversion (duckdb HUGEINT →
+#: pandas float64, "150.0" vs "150"; tests/test_oracle_types.py), which
+#: fetchall()-based sweeps are structurally blind to. One leg fetches
+#: both engines through the dataframe path (toPandas()/fetchdf()).
+#: Its spark hashes are compared against the ORACLE within the run but
+#: excluded from the cross-run rows-fetch hash set (int-with-NULL
+#: columns legitimately render 5.0/NaN under pandas on BOTH sides).
 CONFIGS = [
-    ("8", "16", "UTC", None),            # the driver's own shape
-    ("32", "200", "UTC", None),          # wide + default-ish partitioning
-    ("8", "7", "America/New_York", None),  # odd prime partitions, non-UTC
-    ("4", "16", "Asia/Kolkata", None),   # half-hour-offset timezone
-    ("16", "64", "UTC", "America/New_York"),  # python PROCESS zone shifted
+    # (cores, parts, session tz, process TZ, fixture encoding, fetch)
+    ("8", "16", "UTC", None, None, "rows"),      # the driver's own shape
+    ("32", "200", "UTC", None, None, "rows"),    # wide + default-ish parts
+    ("8", "7", "America/New_York", None, None, "rows"),  # odd primes, non-UTC
+    ("4", "16", "Asia/Kolkata", None, None, "rows"),  # half-hour offset
+    ("16", "64", "UTC", "America/New_York", None, "rows"),  # PROCESS zone
+    ("8", "16", "UTC", "America/New_York", "instant_us", "rows"),  # TZ fixture
+    ("8", "16", "UTC", "America/New_York", "nanos", "rows"),  # ns fixture
+    ("8", "16", "UTC", None, None, "pandas"),    # dataframe fetch path
 ]
 
 
@@ -74,22 +95,33 @@ def main() -> int:
     # interpreter whose venv pins a DIFFERENT duckdb wheel
     skew_py = os.environ.get("SPARK_GRAFT_SKEW_PYTHON")
     if skew_py:
-        configs.append(["8", "16", "UTC", None, skew_py])
+        configs.append(["8", "16", "UTC", None, None, "rows", skew_py])
     outdir = os.environ.get("SPARK_GRAFT_FLAKE_DIR", "/tmp/spark_graft_flake")
     os.makedirs(outdir, exist_ok=True)
     runs = []
-    for i, (cores, parts, tz, proc_tz, py) in enumerate(configs):
+    for i, (cores, parts, tz, proc_tz, enc, fetch, py) in enumerate(configs):
         env = dict(os.environ)
         env.update(
             SPARK_GRAFT_SIM_CORES=cores,
             SPARK_GRAFT_SIM_PARTS=parts,
             SPARK_GRAFT_SIM_TZ=tz,
+            SPARK_GRAFT_SIM_FETCH=fetch,
             SPARK_GRAFT_SIM_OUT=f"{outdir}/run{i}.json",
             SPARK_GRAFT_SIM_LINES=f"{outdir}/run{i}.lines.json.gz",
             SPARK_GRAFT_SIM_DIVDIR=outdir,
         )
         if proc_tz is not None:
             env["TZ"] = proc_tz
+        if enc is not None:
+            # fixture-encoding leg: rewrite events.ts typing, same values
+            from tools.fixture_recode import recode_sf_dir
+
+            src = os.environ.get(
+                "SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01"
+            )
+            env["SPARK_GRAFT_SIM_SF"] = recode_sf_dir(
+                src, f"{outdir}/fixture_{enc}", enc
+            )
         # outdir persists across sweeps: drop any prior run{i} artifacts
         # BEFORE launching, so a sim that crashes pre-write cannot make
         # this run silently inherit a stale versions block / lineset
@@ -114,7 +146,7 @@ def main() -> int:
         except Exception:
             pass
         print(f"run {i} local[{cores}] parts={parts} tz={tz}"
-              f" TZ={proc_tz or '-'}"
+              f" TZ={proc_tz or '-'} enc={enc or '-'} fetch={fetch}"
               f" duckdb={versions.get('duckdb', '?')}: "
               f"{'green' if ok else 'RED'} in {dur}s", flush=True)
         if not ok:
@@ -122,6 +154,8 @@ def main() -> int:
             print(tail)
         runs.append({"config": {"cores": cores, "parts": parts, "tz": tz,
                                 "proc_tz": proc_tz,
+                                "fixture_encoding": enc,
+                                "fetch": fetch,
                                 "skew_interpreter": py != sys.executable},
                      "versions": versions,
                      "green": ok, "seconds": dur})
@@ -133,9 +167,18 @@ def main() -> int:
         else {
             "status": "env-gated-skipped",
             "reason": (
-                "offline container, single duckdb wheel baked in; set "
-                "SPARK_GRAFT_SKEW_PYTHON to a venv python with a "
-                "different duckdb to activate"
+                "single duckdb wheel baked in; set SPARK_GRAFT_SKEW_PYTHON "
+                "to a venv python with a different duckdb to activate. "
+                "Round-9 acquisition attempts (VERDICT r8 §Next 5), all "
+                "negative: `pip cache list` → 'No locally built wheels "
+                "cached'; filesystem sweep `find / -name 'duckdb*.whl' "
+                "-o -name 'duckdb*.tar.gz'` → none; `pip download "
+                "duckdb==1.1.3 --no-deps` → 'from versions: none' (index "
+                "unreachable/filtered); no duckdb sdist on disk to build "
+                "from. NOTE the round-9 HUGEINT finding "
+                "(tests/test_oracle_types.py) identified the actual red-key "
+                "channel as CLIENT-SIDE fetch typing, not engine version — "
+                "the fetch-path leg below now covers that class directly."
             ),
             "duckdb_versions": duckdbs,
             "mitigation": (
@@ -146,27 +189,36 @@ def main() -> int:
         }
     )
 
-    # cross-run stability: every key's spark hash must be one value.
+    # cross-run stability: every key's spark hash must be one value
+    # across the ROWS-fetch runs (the pandas-fetch leg legitimately
+    # renders int-with-NULL columns as 5.0/NaN on both sides, so its
+    # hashes are a different — internally consistent — canonical form:
+    # it participates only through its own within-run oracle match).
     # A run that crashed before writing its artifact contributes
     # nothing here (its file was pre-deleted, never stale) — the
     # verdict is already red via runs[i]["green"].
-    per_run = []
+    per_run, run_fetch = [], []
     for i in range(len(configs)):
         try:
             per_run.append(
                 json.load(open(f"{outdir}/run{i}.json"))["results"]
             )
+            run_fetch.append(configs[i][5])
         except FileNotFoundError:
             pass
     if not per_run:
         per_run = [{}]
+        run_fetch = ["rows"]
     keys = sorted(set().union(*per_run))
     summary, unstable = {}, []
     for k in keys:
-        hashes = [r.get(k, {}).get("spark_hash") for r in per_run]
-        ohashes = [r.get(k, {}).get("oracle_hash") for r in per_run]
-        oracle_ok = all(h is None or h == s
-                        for h, s in zip(ohashes, hashes))
+        hashes = [r.get(k, {}).get("spark_hash")
+                  for r, f in zip(per_run, run_fetch) if f == "rows"]
+        oracle_ok = all(
+            r.get(k, {}).get("oracle_hash") is None
+            or r.get(k, {}).get("oracle_hash") == r.get(k, {}).get("spark_hash")
+            for r in per_run
+        )
         stable = len(set(hashes)) == 1 and hashes[0] is not None and oracle_ok
         summary[k] = {"spark_hashes": sorted(set(map(str, hashes))),
                       "oracle_match_every_run": oracle_ok,
@@ -175,9 +227,22 @@ def main() -> int:
             unstable.append(k)
             _diff_runs(outdir, k, hashes, len(configs))
 
+    # fixture-encoding axis verdict (round 9): the legs reading recoded
+    # events.ts join the same per-key hash-equality assertion above;
+    # this block just makes the axis visible in the artifact.
+    enc_runs = [r for r in runs if r["config"].get("fixture_encoding")]
+    fixture_encoding = {
+        "status": "active" if enc_runs else "not-run (SPARK_GRAFT_FLAKE_RUNS truncated the sweep)",
+        "encodings": sorted(
+            {r["config"]["fixture_encoding"] for r in enc_runs}
+        ),
+        "all_green": bool(enc_runs) and all(r["green"] for r in enc_runs),
+    }
+
     verdict = {"runs": runs, "n_keys": len(keys), "unstable": unstable,
                "all_stable": not unstable and all(r["green"] for r in runs),
                "version_skew": version_skew,
+               "fixture_encoding": fixture_encoding,
                "keys": summary}
     with open(f"{REPO}/FLAKE.json", "w") as fh:
         json.dump(verdict, fh, indent=1)

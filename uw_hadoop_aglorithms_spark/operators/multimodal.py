@@ -363,13 +363,18 @@ def media_real_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (code-review r8 finding): non-ASCII codepoints are dropped in the
     projection below, mirrored verbatim by the oracle's regexp — on the
     all-ASCII fixtures this is the identity, and on any future fixture
-    both engines see the same byte sequence by construction."""
+    both engines see the same byte sequence by construction. NULL text
+    coalesces to '' on both sides (ADVICE r8: .encode on a NULL would
+    raise inside mapInPandas while the oracle quietly yields NULLs —
+    asymmetric failure modes for the same input)."""
     docs = (
         Catalog(spark, sf_dir)
         .documents.filter(F.col("doc_id") % 3 != 2)
         .select(
             "doc_id",
-            F.regexp_replace("text", r"[^\x00-\x7F]", "").alias("text"),
+            F.coalesce(
+                F.regexp_replace("text", r"[^\x00-\x7F]", ""), F.lit("")
+            ).alias("text"),
         )
     )
     return docs.mapInPandas(_encode_real_fn, schema=MEDIA_REAL_SCHEMA)

@@ -363,8 +363,20 @@ def hll_oracle_estimate(regs_cte: str, where: str = "TRUE") -> str:
         SELECT g, CAST({v} AS BIGINT) AS v_empty, {est} AS hll_est,
                sum_rho, sum_w
         FROM (
-            SELECT g, count(*) AS nb, sum({_hll_pow2_case('rho')}) AS sp,
-                   sum(rho) AS sum_rho, sum((b + 1) * rho) AS sum_w
+            -- CASTs: duckdb sum(BIGINT) returns HUGEINT (int128).
+            -- fetchall() converts it to a plain int, so every local
+            -- sim was blind to it, but a pandas/arrow fetch renders
+            -- HUGEINT as float/decimal — and the two driver-red keys
+            -- were EXACTLY the two whose oracle output typed HUGEINT
+            -- (sum_rho/sum_w here ride the distinct_users UNION, which
+            -- promoted its whole n/v columns). BIGINT is value-
+            -- identical for these sums (registers are tiny) and keeps
+            -- the output schema in the engine-portable type set;
+            -- tests/test_oracle_types.py pins the invariant.
+            SELECT g, count(*) AS nb,
+                   CAST(sum({_hll_pow2_case('rho')}) AS BIGINT) AS sp,
+                   CAST(sum(rho) AS BIGINT) AS sum_rho,
+                   CAST(sum((b + 1) * rho) AS BIGINT) AS sum_w
             FROM (
                 SELECT g, b, max(rho) AS rho FROM ({regs_cte})
                 WHERE {where} GROUP BY 1, 2

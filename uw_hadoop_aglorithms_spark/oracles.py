@@ -883,7 +883,13 @@ def _span_dedup_sql() -> str:
                    coalesce(p.dup_toks, 0) AS sp_dup_tokens,
                    coalesce(p.kept, '') AS kept
             FROM toks t
-            LEFT JOIN (SELECT doc_id, sum(n_starts) AS n_starts,
+            -- CAST: duckdb sum(BIGINT) returns HUGEINT (int128), which
+            -- python fetchall() hides (converts to int) but a pandas/
+            -- arrow fetch renders as float/decimal — the ONLY two
+            -- driver-red keys were exactly the two whose oracle output
+            -- typed HUGEINT (round-9 finding; tests/test_oracle_types.py
+            -- pins the invariant)
+            LEFT JOIN (SELECT doc_id, CAST(sum(n_starts) AS BIGINT) AS n_starts,
                               count(*) AS n_spans
                        FROM spans GROUP BY doc_id) ss USING (doc_id)
             LEFT JOIN prof p USING (doc_id)
@@ -1071,18 +1077,27 @@ MULTIMODAL_ORACLES: dict[str, str] = {
     # recomputes every feature from the text column in closed form —
     # pad zeros land in histogram bin 0 and add nothing to the sum.
     "media_real": """
-        WITH m AS (
+        WITH m0 AS (
+            -- coalesce mirrors the Spark projection's NULL guard; the
+            -- n = 0 CASE avoids duckdb's string_split('', '') = ['']
+            -- putting a phantom ascii('') = 0 code into histogram bin 0
+            -- for a doc whose text is empty (or becomes empty after the
+            -- non-ASCII strip) — ADVICE r8
+            SELECT doc_id,
+                   coalesce(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'),
+                            '') AS t
+            FROM documents WHERE doc_id % 3 != 2
+        ),
+        m AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                         ELSE 'audio/wav' END AS container,
-                   list_transform(
-                       string_split(
-                           regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'),
-                           ''),
-                       c -> ascii(c)::BIGINT) AS codes,
-                   length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
-                       AS n
-            FROM documents WHERE doc_id % 3 != 2
+                   CASE WHEN length(t) = 0 THEN []::BIGINT[]
+                        ELSE list_transform(string_split(t, ''),
+                                            c -> ascii(c)::BIGINT)
+                   END AS codes,
+                   length(t) AS n
+            FROM m0
         ),
         x AS (
             SELECT doc_id, container,
