@@ -22,6 +22,9 @@ def test_diag_green_and_compact(spark):
     assert not any(ln.startswith(("DG C", "DG V", "DG ERR")) for ln in lines)
     for ln in ks:
         assert " m17=1 " in ln, ln
+        # pandas fetch-path (toPandas/fetchdf) agreement — the duckdb
+        # HUGEINT channel behind the r6-r8 driver reds stays closed
+        assert " mp=1 " in ln, ln
         cb = ln.rsplit("cb=", 1)[1]
         assert set(cb) == {"1"}, ln
         s, o = ln.split(" s=")[1][:16], ln.split(" o=")[1][:16]

@@ -62,6 +62,8 @@ _TABLES = (
 
 def _norm(v, fmt: str = "%.9g") -> str:
     """Mirror of tools/driver_sim.py's canonicalizer (keep in sync)."""
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -135,7 +137,30 @@ def _fingerprint(spark, sf_dir: str, con) -> str:
     return json.dumps(fp, separators=(",", ":"))
 
 
-def _key_lines(name, sdf, cur) -> list[str]:
+def _pandas_match(sdf, con, sql) -> int:
+    """1 if the two sides also agree when both are fetched through the
+    DATAFRAME path (spark .toPandas() / duckdb .fetchdf()) — the
+    client-side typing channel (duckdb HUGEINT → float64) behind the
+    r6–r8 driver reds; -1 if the probe itself fails."""
+    try:
+        sp = sdf.toPandas()
+        dp = con.execute(sql).fetchdf()
+        sl = _pd_lines(sp)
+        dl = _pd_lines(dp)
+        return int(sl == dl)
+    except Exception:  # noqa: BLE001
+        return -1
+
+
+def _pd_lines(pdf) -> list[str]:
+    order = sorted(range(len(pdf.columns)), key=lambda i: pdf.columns[i])
+    return sorted(
+        "|".join(_norm(r[i]) for i in order)
+        for r in pdf.itertuples(index=False, name=None)
+    )
+
+
+def _key_lines(name, sdf, cur, pm: int | None = None) -> list[str]:
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     dcols = [d[0] for d in cur.description]
@@ -200,6 +225,7 @@ def _key_lines(name, sdf, cur) -> list[str]:
         )
     out.append(
         f"DG K {name} n={len(srows)}/{len(drows)} s={sh} o={oh} m17={m17}"
+        + (f" mp={pm}" if pm is not None else "")
         + (f" vb={vb}" if vb else "")
         + f" cb={cb}"
     )
@@ -233,9 +259,9 @@ def diag_lines(spark, sf_dir: str) -> list[str]:
     qmap, omap = entry.queries(), entry.oracle_sql()
     for name in DIAG_KEYS:
         try:
-            kl = _key_lines(
-                name, qmap[name](spark, diag_sf), con.execute(omap[name])
-            )
+            sdf = qmap[name](spark, diag_sf)
+            pm = _pandas_match(sdf, con, omap[name])
+            kl = _key_lines(name, sdf, con.execute(omap[name]), pm)
             detail.extend(kl[:-1])
             summary.append(kl[-1])
         except Exception as exc:  # noqa: BLE001
