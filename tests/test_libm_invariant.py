@@ -85,13 +85,19 @@ def test_no_libm_in_oracle_sql():
 #: (functions/days.utc_day_label_sql / utc_wall_sql / utc_epoch_day_sql;
 #: ``epoch``/``epoch_us`` themselves are absolute and therefore fine).
 _TS = r"(?:\w+\s*\.\s*)?(?:min\(|max\()?\s*ts\b"
+#: TIMESTAMPTZ is listed and \b dropped after the type-name group:
+#: `ts::TIMESTAMPTZ` (interpret a naive wall in the session zone) is
+#: strictly worse than the banned `ts::TIMESTAMP`, and a \b between
+#: 'P' and 'T' never matches (code-review r9)
+_TS_TYPES = r"(DATE|TIMESTAMPTZ|TIMESTAMP(\s+WITH\s+TIME\s+ZONE)?)"
 ZONE_SENSITIVE = [
     re.compile(r"strftime\(\s*" + _TS, re.I),
-    re.compile(_TS + r"\s*\)?\s*::\s*(DATE|TIMESTAMP)\b", re.I),
-    re.compile(r"CAST\(\s*" + _TS + r"\s*\)?\s+AS\s+(DATE|TIMESTAMP)\b", re.I),
+    re.compile(_TS + r"\s*\)?\s*::\s*" + _TS_TYPES, re.I),
+    re.compile(r"CAST\(\s*" + _TS + r"\s*\)?\s+AS\s+" + _TS_TYPES, re.I),
     re.compile(r"EXTRACT\(\s*\w+\s+FROM\s+" + _TS, re.I),
     re.compile(r"date_trunc\([^,]+,\s*" + _TS, re.I),
     re.compile(r"time_bucket\([^,]+,\s*" + _TS, re.I),
+    re.compile(_TS + r"\s*\)?\s+AT\s+TIME\s+ZONE", re.I),
 ]
 
 

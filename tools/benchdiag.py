@@ -41,10 +41,7 @@ env-sensitive there.
 
 from __future__ import annotations
 
-import datetime as dt
-import hashlib
 import json
-import math
 import os
 import re
 import sys
@@ -60,25 +57,8 @@ _TABLES = (
 ).split()
 
 
-def _norm(v, fmt: str = "%.9g") -> str:
-    """Mirror of tools/driver_sim.py's canonicalizer (keep in sync)."""
-    if hasattr(v, "item") and type(v).__module__ == "numpy":
-        v = v.item()
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return fmt % v
-    if isinstance(v, (dt.datetime, dt.date)):
-        return v.isoformat().replace("T", " ")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x, fmt) for x in v) + "]"
-    return str(v)
-
-
-def _h(lines, n=16) -> str:
-    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:n]
+from tools.canon import norm as _norm  # noqa: E402
+from tools.canon import vhash as _h  # noqa: E402
 
 
 def _colhash(vals, fmt="%.9g", n=8) -> str:
@@ -259,7 +239,13 @@ def diag_lines(spark, sf_dir: str) -> list[str]:
     qmap, omap = entry.queries(), entry.oracle_sql()
     for name in DIAG_KEYS:
         try:
-            sdf = qmap[name](spark, diag_sf)
+            # localCheckpoint: the Spark plan computes ONCE; the two
+            # fetch paths (collect vs toPandas) then read the
+            # materialized partitions instead of re-running the job
+            # (code-review r9). The duckdb oracle still executes per
+            # fetch path — a cursor can only be consumed once, and the
+            # sf0.01 oracles are 1-2 s.
+            sdf = qmap[name](spark, diag_sf).localCheckpoint(eager=True)
             pm = _pandas_match(sdf, con, omap[name])
             kl = _key_lines(name, sdf, con.execute(omap[name]), pm)
             detail.extend(kl[:-1])

@@ -24,11 +24,12 @@ sum()) reaches fetchall() as a plain int but fetchdf() as float64
 driver-red keys (tests/test_oracle_types.py). This mode keeps the whole
 class exercised.
 """
-import datetime as dt, gzip, hashlib, json, math, os, sys
+import gzip, json, os, sys
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from pyspark.sql import SparkSession
+from tools.canon import lines_of, norm, vhash  # noqa: F401 — THE canonicalizer (tools/canon.py)
 from tools.engineversions import engine_versions
 
 SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
@@ -61,20 +62,6 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
-def norm(v):
-    # numpy scalars (the pandas fetch path) unwrap to python first; a
-    # pandas NaT has no .item() and renders via str() below
-    if hasattr(v, "item") and type(v).__module__ == "numpy":
-        v = v.item()
-    if v is None: return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, (dt.datetime, dt.date)): return v.isoformat().replace("T", " ")
-    if isinstance(v, (list, tuple)): return "[" + ",".join(norm(x) for x in v) + "]"
-    return str(v)
-
-
 def fetch_spark(sdf):
     """(cols, rows) via the configured fetch path."""
     if FETCH == "pandas":
@@ -93,13 +80,6 @@ def fetch_duck(cur):
             tuple(r) for r in pdf.itertuples(index=False, name=None)
         ]
     return [d[0] for d in cur.description], cur.fetchall()
-
-def lines_of(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
-
-def vhash(lines):
-    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 def divergence_report(name, scols, slines, dlines, limit=5):
     """On hash mismatch: print which variant/rows diverge AND persist

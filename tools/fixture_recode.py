@@ -64,8 +64,13 @@ def recode_sf_dir(src: str, dst: str, encoding: str) -> str:
     for t in _TABLES:
         link = os.path.join(dst, f"{t}.parquet")
         if t != "events":
-            if not os.path.exists(link):
-                os.symlink(os.path.join(os.path.abspath(src), f"{t}.parquet"), link)
+            # lexists + remove, not exists-guarded create: a dangling
+            # symlink left by a moved source dir makes exists() False
+            # while symlink() still raises FileExistsError (code-review
+            # r9) — and re-pointing keeps a persisted recode dir honest
+            if os.path.lexists(link):
+                os.remove(link)
+            os.symlink(os.path.join(os.path.abspath(src), f"{t}.parquet"), link)
             continue
         tbl = pq.read_table(os.path.join(src, "events.parquet"))
         naive = _to_naive_us(tbl["ts"])

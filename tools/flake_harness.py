@@ -49,6 +49,11 @@ import sys
 import time
 
 REPO = "/root/repo"
+# `python tools/flake_harness.py` puts only tools/ on sys.path — the
+# repo root must be added for `tools.*` imports (code-review r9: the
+# unresolvable import crashed the sweep before the round-9 legs ran)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 #: (cores, shuffle partitions, session timezone, PROCESS timezone,
 #: fixture encoding): the judge's four reproduction configs (VERDICT
@@ -225,7 +230,13 @@ def main() -> int:
                       "stable": stable}
         if not stable:
             unstable.append(k)
-            _diff_runs(outdir, k, hashes, len(configs))
+            # diff ROWS-fetch runs only: the pandas leg's canonical form
+            # legitimately differs (5.0/NaN vs 5/NULL) and would bury
+            # the real cross-run signal (code-review r9)
+            _diff_runs(
+                outdir, k, hashes,
+                [i for i, c in enumerate(configs) if c[5] == "rows"],
+            )
 
     # fixture-encoding axis verdict (round 9): the legs reading recoded
     # events.ts join the same per-key hash-equality assertion above;
@@ -251,10 +262,11 @@ def main() -> int:
     return 0 if verdict["all_stable"] else 1
 
 
-def _diff_runs(outdir: str, key: str, hashes: list, n: int) -> None:
-    """Persist the first differing run pair's linesets for `key`."""
+def _diff_runs(outdir: str, key: str, hashes: list, idxs: list[int]) -> None:
+    """Persist the first differing ROWS-fetch run pair's linesets for
+    `key` (hashes is the rows-runs hash list, parallel to idxs)."""
     base = None
-    for i in range(n):
+    for i in idxs:
         try:
             lines = json.load(
                 gzip.open(f"{outdir}/run{i}.lines.json.gz", "rt")
