@@ -54,3 +54,52 @@ def test_oracle_output_types_are_portable(duck, key, sql):
         f"{key}: fetch-path-dependent output type(s) {odd} — cast to "
         "BIGINT/DOUBLE in the oracle SQL (module docstring)"
     )
+
+
+def _dtype_class(t: str) -> str:
+    t = t.upper()
+    if any(x in t for x in ("BIGINT", "INT", "LONG", "SHORT", "BYTE")):
+        return "int"
+    if any(x in t for x in ("DOUBLE", "FLOAT", "REAL", "DECIMAL")):
+        return "float"
+    if "BOOL" in t:
+        return "bool"
+    if "TIMESTAMP" in t or "DATE" in t:
+        return "time"
+    return "str"
+
+
+def test_spark_and_oracle_agree_on_column_dtype_classes(spark, duck):
+    """Sideways guard for the same family: a column typed int on one
+    engine side and float on the other renders "5" vs "5.0" under a
+    str()-style canonicalizer while %.9g hides it — exactly how the
+    HUGEINT channel stayed invisible locally. Every key's columns must
+    agree on numeric CLASS (int/float/bool/time/str) across engines.
+
+    Runs every queries() callable at sf0.001 for its schema; the eager
+    suite members (layout writes, ann threads) make this the one
+    multi-minute test in the file — it is the price of pinning the
+    whole cross-engine type surface."""
+    import __spark_entry__ as entry
+
+    qmap, omap = entry.queries(), entry.oracle_sql()
+    bad = {}
+    for k in sorted(qmap):
+        ssch = {
+            f.name: _dtype_class(f.dataType.simpleString())
+            for f in qmap[k](spark, "/root/testdata/sf0.001").schema.fields
+        }
+        osch = {
+            name: _dtype_class(str(t))
+            for name, t, *_ in (
+                tuple(x) for x in duck.execute(f"DESCRIBE ({omap[k]})").fetchall()
+            )
+        }
+        diff = {
+            c: (ssch.get(c), osch.get(c))
+            for c in set(ssch) | set(osch)
+            if ssch.get(c) != osch.get(c)
+        }
+        if diff:
+            bad[k] = diff
+    assert not bad, f"cross-side dtype-class mismatch: {bad}"
