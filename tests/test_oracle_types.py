@@ -64,8 +64,12 @@ def _dtype_class(t: str) -> str:
         return "float"
     if "BOOL" in t:
         return "bool"
-    if "TIMESTAMP" in t or "DATE" in t:
-        return "time"
+    # DATE and TIMESTAMP are distinct classes: a cross-side split
+    # renders "2024-01-15" vs "2024-01-15 00:00:00"
+    if "TIMESTAMP" in t:
+        return "timestamp"
+    if "DATE" in t:
+        return "date"
     return "str"
 
 
