@@ -55,8 +55,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: aren't single-run noise; set 1 for a quick local pass.
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 #: Comma-separated key filter for targeted A/B runs (empty = all keys).
-#: A filtered run still writes BENCH_local.json — keep full-suite runs
-#: and A/B runs in separate checkouts or stash the artifact first.
+#: A filtered run writes BENCH_local_partial.json, never the whole-suite
+#: BENCH_local.json close-out artifact (VERDICT r9 §Next 7).
 ONLY = {k for k in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if k}
 
 
@@ -291,16 +291,30 @@ def main() -> None:
             dg = [f"DG ERR harness {type(exc).__name__}: {exc}"[:140]]
         full["diag"] = dg
 
-    full_path = os.path.join(REPO_ROOT, "BENCH_local.json")
+    # A SPARK_GRAFT_BENCH_ONLY-filtered A/B run must not clobber the
+    # whole-suite close-out artifact (VERDICT r9 §Next 7 / the round-8
+    # footgun): filtered runs land in BENCH_local_partial.json instead.
+    full_name = "BENCH_local_partial.json" if ONLY else "BENCH_local.json"
+    if ONLY:
+        full["only"] = sorted(ONLY)
+    full_path = os.path.join(REPO_ROOT, full_name)
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
     print(json.dumps(full), file=sys.stderr)
+    compact_line = json.dumps(compact, separators=(",", ":"))
+    # the driver's tail capture is 2000 chars: trim DG lines (whole
+    # lines, from the front — detail first, env fingerprint last) so
+    # the compact line always survives intact (ADVICE r9)
+    if dg:
+        from tools.benchdiag import trim_to_budget
+
+        dg = trim_to_budget(dg, 2000 - len(compact_line) - 1)
     for ln in dg:
         print(ln)
     # COMPACT line LAST on stdout — the driver tail-captures stdout and
     # must be able to parse this line whole.
-    print(json.dumps(compact, separators=(",", ":")))
+    print(compact_line)
     spark.stop()
 
 

@@ -1,44 +1,121 @@
-"""The bench-tail driver diagnostic (tools/benchdiag.py, round 9).
+"""The bench-tail driver diagnostic (tools/benchdiag.py, rounds 9-10).
 
-Contract under test (VERDICT r8 §Next 1 "done" criteria): the probe
-exists, runs green against the local fixtures, its green-path output
-fits the driver's 2000-char tail next to the ~1500-char compact bench
-line, and a mismatch would actually be localized (the per-column bits
-flip when a column diverges).
+Contract under test (VERDICT r8 §Next 1 + VERDICT r9 §Next 1 "done"
+criteria): the probe exists, its observed key set is env-selectable and
+rotates by round number by default, the green-path output fits the
+driver's 2000-char tail next to the MEASURED compact bench line
+(ADVICE r9: the previous fixed 700-char allowance could truncate the
+env fingerprint), the fingerprint probe restores session conf, and a
+mismatch would actually be localized (per-column bits flip when a
+column diverges).
 """
 
 from __future__ import annotations
 
 import json
 
+import __spark_entry__ as entry
 from tools import benchdiag
 
 
-def test_diag_green_and_compact(spark):
+def _worst_case_compact_len() -> int:
+    """The driver-tail compact bench line, rendered pessimistically from
+    the real registry (every timing 7 chars, 4-digit total)."""
+    compact = {
+        "metric": "total_query_sec",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {k: 999.999 for k in entry.queries()},
+        "sf": 0.1,
+        "n": 3,
+    }
+    return len(json.dumps(compact, separators=(",", ":")))
+
+
+def test_diag_key_rotation_and_override(monkeypatch):
+    keys = sorted(entry.queries())
+    monkeypatch.delenv("SPARK_GRAFT_DIAG_KEYS", raising=False)
+    picked = benchdiag.diag_keys(keys)
+    # default: DIAG_KEYS_N consecutive registry keys at the round offset
+    assert len(picked) == benchdiag.DIAG_KEYS_N
+    start = (benchdiag._round_number() * benchdiag.DIAG_KEYS_N) % len(keys)
+    assert picked == [
+        keys[(start + i) % len(keys)] for i in range(benchdiag.DIAG_KEYS_N)
+    ]
+    # consecutive rounds observe disjoint consecutive windows (rotation)
+    assert set(picked) <= set(keys)
+    # env override wins verbatim
+    monkeypatch.setenv("SPARK_GRAFT_DIAG_KEYS", "doc_profile, q1")
+    assert benchdiag.diag_keys(keys) == ["doc_profile", "q1"]
+
+
+def test_trim_to_budget_keeps_suffix():
+    lines = ["DG C detail " + "x" * 100, "DG K t n=1 s=a o=a", "DG E {}"]
+    # generous budget: everything survives
+    assert benchdiag.trim_to_budget(lines, 10_000) == lines
+    # tight budget: the FRONT (detail) dies first, E survives last
+    tight = benchdiag.trim_to_budget(lines, len(lines[1]) + len(lines[2]) + 2)
+    assert tight == lines[1:]
+    assert benchdiag.trim_to_budget(lines, 5) == []
+
+
+def test_diag_green_default_rotation_and_budget(spark, monkeypatch):
+    """The SHIPPED default — this round's rotated keys — runs green at
+    sf0.001 and fits the measured tail budget without trimming."""
+    monkeypatch.delenv("SPARK_GRAFT_DIAG_KEYS", raising=False)
     lines = benchdiag.diag_lines(spark, "/root/testdata/sf0.001")
-    # green path: one E fingerprint + one K summary per key, no C/V/ERR
     ks = [ln for ln in lines if ln.startswith("DG K ")]
-    assert [ln.split()[2] for ln in ks] == list(benchdiag.DIAG_KEYS)
+    assert [ln.split()[2] for ln in ks] == benchdiag.diag_keys(entry.queries())
     assert not any(ln.startswith(("DG C", "DG V", "DG ERR")) for ln in lines)
     for ln in ks:
         assert " m17=1 " in ln, ln
-        # pandas fetch-path (toPandas/fetchdf) agreement — the duckdb
-        # HUGEINT channel behind the r6-r8 driver reds stays closed
         assert " mp=1 " in ln, ln
         cb = ln.rsplit("cb=", 1)[1]
         assert set(cb) == {"1"}, ln
         s, o = ln.split(" s=")[1][:16], ln.split(" o=")[1][:16]
         assert s == o, ln
-    # the distinct_users line carries per-variant bits, all green
+    # env fingerprint present, LAST (truncation-safe), and parseable
+    assert lines[-1].startswith("DG E ")
+    fp = json.loads(lines[-1][5:])
+    assert "pq" in fp and "ddb" in fp and "jtz" in fp
+    # tail budget: green-path diag + the MEASURED worst-case compact
+    # line must fit the driver's 2000-char capture (ADVICE r9)
+    assert (
+        sum(len(ln) + 1 for ln in lines) + _worst_case_compact_len() + 1
+        <= 2000
+    ), lines
+
+
+def test_diag_green_variant_key(spark, monkeypatch):
+    """A variant-bearing key via the env override: per-variant bits
+    present and all green (the r9 solved-case keys stay reachable)."""
+    monkeypatch.setenv("SPARK_GRAFT_DIAG_KEYS", "distinct_users")
+    lines = benchdiag.diag_lines(spark, "/root/testdata/sf0.001")
+    ks = [ln for ln in lines if ln.startswith("DG K ")]
+    assert len(ks) == 1 and " distinct_users " in ks[0]
     vb = ks[0].split("vb=")[1].split()[0]
     assert set(vb) == {"1"} and len(vb) >= 8
-    # env fingerprint parses and answers the fixture-typing question
-    e = next(ln for ln in lines if ln.startswith("DG E "))
-    fp = json.loads(e[5:])
-    assert "pq" in fp and "ddb" in fp and "jtz" in fp
-    # tail budget: green-path diag must leave room for the ~1500-char
-    # compact line inside the driver's 2000-char capture
-    assert sum(len(ln) + 1 for ln in lines) <= 700, lines
+
+
+def test_fingerprint_restores_session_conf(spark):
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')"
+        )
+        fp = json.loads(
+            benchdiag._fingerprint(spark, "/root/testdata/sf0.001", con)
+        )
+    finally:
+        con.close()
+    assert fp["spk"] and not fp["spk"].startswith("ERR")
+    # the probe's nanosAsLong override must not leak into the session
+    assert spark.conf.get(key, None) == prev
 
 
 def test_diag_localizes_a_divergent_column():

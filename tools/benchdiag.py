@@ -1,42 +1,45 @@
 """Driver-environment diagnostic emitted through the bench stdout tail
-(round 9 centerpiece; VERDICT r8 §Next 1).
+(round 9 centerpiece, VERDICT r8 §Next 1; generalized round 10,
+VERDICT r9 §Next 1).
 
 ``bench.py`` is the ONE piece of this repo whose stdout runs inside the
 driver's own container and comes back committed (``BENCH_r{N}.json``
-``tail``). ``CORRECTNESS_r{N}`` has been hash-red on the SAME two keys
-(``distinct_users``, ``doc_profile``) for three rounds while every
-local reproduction — 5-config sweeps, three SFs, zone/process-TZ
-permutations, a 17-significant-digit exact-rendering comparison — stays
-green, and the driver's own r8 versions block disproves version skew.
-Only data FROM the driver environment can localize the divergence, so
-this module re-runs the two red keys at sf0.01 against a DuckDB oracle
-IN-PROCESS and prints, in a few ultra-compact lines:
+``tail``). This channel is what cracked the three-round r6-r8 driver-red
+mystery (duckdb HUGEINT → pandas float64 on the harness's fetch path),
+so it stays live: each round it re-runs a small ROTATING set of
+registered keys at sf0.01 against a DuckDB oracle IN-PROCESS, inside
+the driver's own container, and prints, in a few ultra-compact lines:
 
 - ``DG C``: per-column two-side hashes + a sample differing value for
   each mismatching column (localizes the exact column/member);
 - ``DG V``: per-variant column match bits for mismatching variants;
+- ``DG K``: per key, full-frame value hashes of BOTH sides (the same
+  canonicalization as tools/driver_sim.py, so they compare directly
+  against the committed FLAKE/DIVERGENCE artifacts), a
+  17-significant-digit match flag, a pandas-fetch-path match flag,
+  per-variant match bits, and per-column match bits;
 - ``DG E``: an environment fingerprint — the parquet physical/logical
   typing of ``events.ts`` (the round-2 error trace proves fixture
   encodings differ between environments), DuckDB's view typing and
   ``TimeZone``, the JVM default zone and locale, and the
-  TZ/LANG/LC_ALL/PYTHONHASHSEED process env;
-- ``DG K``: per key, full-frame value hashes of BOTH sides (the same
-  canonicalization as tools/driver_sim.py, so they compare directly
-  against the committed FLAKE/DIVERGENCE artifacts), a
-  17-significant-digit match flag, per-variant match bits, and
-  per-column match bits.
+  TZ/LANG/LC_ALL/PYTHONHASHSEED process env.
+
+KEY SELECTION: ``SPARK_GRAFT_DIAG_KEYS`` (comma-separated) overrides;
+the default rotates ``DIAG_KEYS_N`` consecutive keys through the sorted
+registry by round number (derived from the committed ``BENCH_r{N}``
+artifacts), so over rounds the whole contract passes through the
+driver-side observability channel instead of it forever watching the
+two solved r9 cases.
 
 CALIBRATION: the driver's tail capture is 2000 characters and the
-compact bench line consumes ~1500, so the green-path budget here is
-~400 chars (3-4 short lines). Lines are ordered least- to
-most-critical (C/V detail, then E, then K) so truncation eats detail
-before it eats the summary. The decisive fork the K lines give us even
-when everything here matches: if DG says spark==oracle in the driver's
-env while CORRECTNESS_r09 is still red, the divergence is in the
-HARNESS's own duckdb/canonicalizer, not in anything this repo computes
-— and if the spark-side hash differs from the committed local one
-(ad6b9578…/9badc4e1…, FLAKE_r08), the Spark plan itself is
-env-sensitive there.
+compact bench line consumes ~1500. Lines are ordered least- to
+most-critical (C/V detail, then K summaries, then E LAST): truncation
+eats from the FRONT of the tail, so detail dies first and the env
+fingerprint — the one thing only this channel can exfiltrate — dies
+last (ADVICE r9: the previous detail→E→K order could truncate E out on
+the green path). bench.py additionally trims the printed lines to the
+measured byte budget (2000 minus the actual compact-line length) so the
+compact line always survives whole.
 """
 
 from __future__ import annotations
@@ -46,10 +49,59 @@ import os
 import re
 import sys
 
-#: the driver-red keys under observation
-DIAG_KEYS = ("distinct_users", "doc_profile")
+#: rotation width: how many registry keys each round's tail observes
+DIAG_KEYS_N = 3
 #: cap on per-column mismatch detail lines per key
 MAX_DETAIL = 4
+
+
+def trim_to_budget(lines: list[str], budget: int) -> list[str]:
+    """Keep the LONGEST SUFFIX of ``lines`` whose printed size (each
+    line + its newline) fits ``budget`` bytes. The driver's tail capture
+    keeps the END of stdout, so dropping whole lines from the front is
+    exactly what uncontrolled truncation would do — except line-aligned
+    and guaranteed to leave the compact bench line intact (ADVICE r9:
+    the green-path DG output plus the ~1500-char compact line could
+    exceed the 2000-char capture and cut mid-line from the front)."""
+    keep: list[str] = []
+    total = 0
+    for ln in reversed(lines):
+        total += len(ln) + 1
+        if total > budget:
+            break
+        keep.append(ln)
+    return keep[::-1]
+
+
+def _round_number() -> int:
+    """Best-effort current round: 1 + the highest committed
+    ``BENCH_r{N}.json`` (the driver commits round N's bench artifact at
+    the END of round N, so while round N's bench RUNS the repo holds
+    r1..r{N-1}). Falls back to 1 in a bare checkout."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def diag_keys(all_keys) -> list[str]:
+    """The keys this round's bench tail observes: the env override if
+    set, else DIAG_KEYS_N consecutive keys of the sorted registry
+    starting at a round-rotated offset (wrapping)."""
+    env = os.environ.get("SPARK_GRAFT_DIAG_KEYS")
+    if env:
+        return [k for k in (s.strip() for s in env.split(",")) if k]
+    keys = sorted(all_keys)
+    if not keys:
+        return []
+    start = (_round_number() * DIAG_KEYS_N) % len(keys)
+    return [
+        keys[(start + i) % len(keys)]
+        for i in range(min(DIAG_KEYS_N, len(keys)))
+    ]
 
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -98,11 +150,22 @@ def _fingerprint(spark, sf_dir: str, con) -> str:
     except Exception as exc:  # noqa: BLE001
         fp["ddb"] = f"ERR:{type(exc).__name__}"
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        fp["spk"] = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .schema["ts"].dataType.simpleString()
-        )
+        # set-and-RESTORE: the probe must not leave the shared session
+        # reading nanos-typed parquet timestamps as bigint for any later
+        # caller (ADVICE r9)
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            fp["spk"] = (
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+                .schema["ts"].dataType.simpleString()
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     except Exception as exc:  # noqa: BLE001
         fp["spk"] = f"ERR:{type(exc).__name__}"
     try:
@@ -237,7 +300,20 @@ def diag_lines(spark, sf_dir: str) -> list[str]:
     detail: list[str] = []
     summary: list[str] = []
     qmap, omap = entry.queries(), entry.oracle_sql()
-    for name in DIAG_KEYS:
+    for name in diag_keys(qmap):
+        if name not in qmap:
+            summary.append(f"DG K {name} UNKNOWN-KEY")
+            continue
+        if name not in omap:
+            # non-SQL-expressible key rotated in: rows-only observation
+            try:
+                n = qmap[name](spark, diag_sf).count()
+                summary.append(f"DG K {name} rows-only n={n}")
+            except Exception as exc:  # noqa: BLE001
+                summary.append(
+                    f"DG ERR {name} {type(exc).__name__}: {exc}"[:140]
+                )
+            continue
         try:
             # localCheckpoint: the Spark plan computes ONCE; the two
             # fetch paths (collect vs toPandas) then read the
@@ -254,11 +330,13 @@ def diag_lines(spark, sf_dir: str) -> list[str]:
             summary.append(
                 f"DG ERR {name} {type(exc).__name__}: {exc}"[:140]
             )
+    # least- to most-critical: detail, K summaries, env fingerprint LAST
+    # (tail truncation eats from the front; module docstring CALIBRATION)
     out.extend(detail)
+    out.extend(summary)
     try:
         out.append("DG E " + _fingerprint(spark, diag_sf, con))
     except Exception as exc:  # noqa: BLE001
         out.append(f"DG ERR fingerprint {type(exc).__name__}: {exc}"[:140])
-    out.extend(summary)
     con.close()
     return out

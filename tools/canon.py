@@ -27,7 +27,19 @@ import math
 
 def norm(v, fmt: str = "%.9g") -> str:
     if hasattr(v, "item") and type(v).__module__ == "numpy":
-        v = v.item()
+        # np.datetime64 with ns unit .item()s to a raw int (epoch nanos),
+        # which would hash as '1704067200000000000' instead of taking the
+        # isoformat path below — downcast to us first so timestamps always
+        # render as walls (ADVICE r9: latent asymmetry; itertuples yields
+        # pd.Timestamp today, but THE shared canonicalizer must not fork
+        # on the unit of a numpy scalar that reaches it directly).
+        import numpy as np
+
+        if isinstance(v, np.datetime64):
+            iv = v.item()  # D→date, s/ms/us→datetime, ns/finer→raw int
+            v = v.astype("datetime64[us]").item() if isinstance(iv, int) else iv
+        else:
+            v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):

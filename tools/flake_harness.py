@@ -202,23 +202,32 @@ def main() -> int:
     # A run that crashed before writing its artifact contributes
     # nothing here (its file was pre-deleted, never stale) — the
     # verdict is already red via runs[i]["green"].
-    per_run, run_fetch = [], []
+    per_run, run_fetch, run_idx = [], [], []
     for i in range(len(configs)):
         try:
             per_run.append(
                 json.load(open(f"{outdir}/run{i}.json"))["results"]
             )
             run_fetch.append(configs[i][5])
+            run_idx.append(i)
         except FileNotFoundError:
             pass
     if not per_run:
         per_run = [{}]
         run_fetch = ["rows"]
+        run_idx = [-1]
     keys = sorted(set().union(*per_run))
     summary, unstable = {}, []
     for k in keys:
-        hashes = [r.get(k, {}).get("spark_hash")
-                  for r, f in zip(per_run, run_fetch) if f == "rows"]
+        # (config index, hash) pairs — keyed by index, NOT positional:
+        # if a rows run crashed pre-write its artifact is absent, and a
+        # bare hash list would silently shift alignment against the
+        # config enumeration during post-hoc triage (ADVICE r9)
+        hashes_by_run = [
+            (i, r.get(k, {}).get("spark_hash"))
+            for r, f, i in zip(per_run, run_fetch, run_idx) if f == "rows"
+        ]
+        hashes = [h for _, h in hashes_by_run]
         oracle_ok = all(
             r.get(k, {}).get("oracle_hash") is None
             or r.get(k, {}).get("oracle_hash") == r.get(k, {}).get("spark_hash")
@@ -233,10 +242,7 @@ def main() -> int:
             # diff ROWS-fetch runs only: the pandas leg's canonical form
             # legitimately differs (5.0/NaN vs 5/NULL) and would bury
             # the real cross-run signal (code-review r9)
-            _diff_runs(
-                outdir, k, hashes,
-                [i for i, c in enumerate(configs) if c[5] == "rows"],
-            )
+            _diff_runs(outdir, k, hashes_by_run)
 
     # fixture-encoding axis verdict (round 9): the legs reading recoded
     # events.ts join the same per-key hash-equality assertion above;
@@ -262,11 +268,14 @@ def main() -> int:
     return 0 if verdict["all_stable"] else 1
 
 
-def _diff_runs(outdir: str, key: str, hashes: list, idxs: list[int]) -> None:
+def _diff_runs(outdir: str, key: str, hashes_by_run: list) -> None:
     """Persist the first differing ROWS-fetch run pair's linesets for
-    `key` (hashes is the rows-runs hash list, parallel to idxs)."""
+    `key`. ``hashes_by_run`` is a list of (config index, spark hash)
+    pairs for the rows-fetch runs whose artifacts loaded — keyed by
+    index so a crashed run can't shift which hash is attributed to
+    which config (ADVICE r9)."""
     base = None
-    for i in idxs:
+    for i, _h in hashes_by_run:
         try:
             lines = json.load(
                 gzip.open(f"{outdir}/run{i}.lines.json.gz", "rt")
@@ -283,7 +292,7 @@ def _diff_runs(outdir: str, key: str, hashes: list, idxs: list[int]) -> None:
             path = f"{REPO}/DIVERGENCE_XRUN_{key}.json"
             with open(path, "w") as fh:
                 json.dump({"key": key, "run_a": base[0], "run_b": i,
-                           "hashes": hashes,
+                           "hashes_by_run": hashes_by_run,
                            "only_run_a": sorted(a - b)[:200],
                            "only_run_b": sorted(b - a)[:200]}, fh, indent=1)
             print(f"  {key}: cross-run divergence persisted to {path}")
