@@ -255,8 +255,19 @@ def _ppr_loop(
         if quantize:
             # dyadic contributions -> the gather sum is exact (PR_Q note)
             mass = _dyq(mass)
+        # PINNED to sort-merge (round 10, VERDICT r9 §Next 2): the rank
+        # state is the UNBOUNDED side at 100 TB (|V|×|sources| rows), so
+        # a broadcast of it never survives scale — yet near the sf0.1
+        # size threshold AQE's runtime stats flipped one per-iteration
+        # join between broadcast (181 stages) and shuffle (182 stages)
+        # depending on host era, oscillating the bench fingerprint two
+        # rounds running. An explicit MERGE hint opts the state joins
+        # out of AQE's dynamic broadcast conversion: deterministic plans
+        # across hosts AND the scale-correct shape. Values are
+        # unaffected — the hash-checked suite runs quantized (dyadic
+        # sums are order-exact).
         contribs = (
-            edges_adj.join(ranks, edges_adj.src == ranks.id)
+            edges_adj.join(ranks.hint("merge"), edges_adj.src == ranks.id)
             .select(
                 F.col("dst").alias("id"),
                 "source",
@@ -282,7 +293,9 @@ def _ppr_loop(
             rank_expr = _dyq(rank_expr)
         ranks = (
             vdeg.crossJoin(F.broadcast(src_df))
-            .join(gathered, ["id", "source"], "left")
+            # merge-pinned like the scatter join above: gathered is
+            # state-sized, never broadcastable at scale
+            .join(gathered.hint("merge"), ["id", "source"], "left")
             .join(F.broadcast(totals), "source", "left")
             .select("id", "source", rank_expr.alias("rank"), "deg")
         )
@@ -337,8 +350,11 @@ def pagerank(
             mass = F.col("rank") / ranks.deg
             if quantize:
                 mass = _dyq(mass)
+            # merge-pinned like _ppr_loop: rank state is the unbounded
+            # side at scale; the hint opts it out of AQE's host-era
+            # broadcast flip (round 10, VERDICT r9 §Next 2)
             contribs = (
-                edges_adj.join(ranks, edges_adj.src == ranks.id)
+                edges_adj.join(ranks.hint("merge"), edges_adj.src == ranks.id)
                 .select(F.col("dst").alias("id"), mass.alias("mass"))
             )
             gathered = contribs.groupBy("id").agg(F.sum("mass").alias("mass"))
@@ -354,7 +370,7 @@ def pagerank(
                 # determinism contract for the SQL replay oracle (PR_Q)
                 rank_expr = _dyq(rank_expr)
             ranks = (
-                vdeg.join(gathered, "id", "left")
+                vdeg.join(gathered.hint("merge"), "id", "left")
                 .crossJoin(F.broadcast(totals))
                 .select("id", rank_expr.alias("rank"), "deg")
             )
