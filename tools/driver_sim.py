@@ -24,7 +24,7 @@ sum()) reaches fetchall() as a plain int but fetchdf() as float64
 driver-red keys (tests/test_oracle_types.py). This mode keeps the whole
 class exercised.
 """
-import gzip, json, os, sys
+import gzip, json, os, sys, time
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
@@ -45,8 +45,10 @@ spark = (SparkSession.builder.appName("driver-sim").master(f"local[{CORES}]")
          .config("spark.sql.shuffle.partitions", PARTS)
          # one JVM runs every registered key back-to-back; the 1g default heap is
          # borderline at sf0.1 (observed: a transient localCheckpoint
-         # failure on the alphabetically-late pagerank_suite)
-         .config("spark.driver.memory", "8g")
+         # failure on the alphabetically-late pagerank_suite). Env-tunable
+         # for the sf1 full-contract stress (round 10).
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM", "8g"))
          .config("spark.sql.session.timeZone", TZ).getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -60,7 +62,11 @@ assert len(rows) >= 0
 import duckdb
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    # the driver fixtures are single files; Spark-written replicas
+    # (tools/stress_contract.py) are directories — glob those
+    path = f"{SF}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 def fetch_spark(sdf):
     """(cols, rows) via the configured fetch path."""
@@ -121,6 +127,7 @@ all_lines = {}
 for name, fn in sorted(qmap.items()):
     # one failing key must cost only its own row, never the run
     # (the bench.py round-2 lesson, applied to the sim)
+    t0 = time.perf_counter()
     try:
         sdf = fn(spark, SF)
         scols, srows = fetch_spark(sdf)
@@ -128,15 +135,19 @@ for name, fn in sorted(qmap.items()):
         results[name] = {"count_match": False, "err": f"{type(exc).__name__}: {exc}"[:200]}
         print(f"{name}: ERR {results[name]['err']}")
         continue
+    spark_sec = round(time.perf_counter() - t0, 1)
     slines = lines_of(scols, srows)
     if LINES_OUT:
         all_lines[name] = slines
     if name not in omap:
         results[name] = {"mode": "rows-only", "rows": len(srows),
-                         "spark_hash": vhash(slines)}
+                         "spark_hash": vhash(slines),
+                         "spark_sec": spark_sec}
         print(f"{name}: rows-only rows={len(srows)}")
         continue
+    t0 = time.perf_counter()
     dcols, drows = fetch_duck(con.execute(omap[name]))
+    oracle_sec = round(time.perf_counter() - t0, 1)
     dlines = lines_of(dcols, drows)
     ok_count = len(srows) == len(drows)
     ok_schema = sorted(scols) == sorted(dcols)
@@ -144,7 +155,8 @@ for name, fn in sorted(qmap.items()):
     ok_hash = sh == dh
     results[name] = {"rows": len(srows), "count_match": ok_count,
                      "schema_match": ok_schema, "hash_match": ok_hash,
-                     "spark_hash": sh, "oracle_hash": dh}
+                     "spark_hash": sh, "oracle_hash": dh,
+                     "spark_sec": spark_sec, "oracle_sec": oracle_sec}
     flag = "OK " if (ok_count and ok_schema and ok_hash) else "FAIL"
     print(f"{name}: {flag} rows={len(srows)}/{len(drows)} schema={ok_schema} hash={sh}=={dh}:{ok_hash}")
     if ok_schema and not ok_hash:

@@ -40,7 +40,12 @@ def rss_mb() -> int:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
 
-def build_replica_dir(spark) -> str:
+def build_replica_dir(spark, scale_events: bool = False) -> str:
+    """10× replica of the sf0.1 tables. ``scale_events=True`` (the
+    round-10 full-contract stress) also replicates ``events`` 10×
+    (event_id/user_id shifted, ts kept — 10× denser days); the legacy
+    loop-stress path keeps events at sf0.1 because its kmv/lake legs
+    re-replicate events themselves (they would silently become 100×)."""
     out = tempfile.mkdtemp(prefix="stress_sf1_")
     rep = spark.range(REPLICAS).withColumnRenamed("id", "rep")
 
@@ -80,8 +85,21 @@ def build_replica_dir(spark) -> str:
     write("embeddings", emb.crossJoin(rep).withColumn(
         id_col, F.col(id_col) + F.col("rep") * n_emb).drop("rep"))
 
+    if scale_events:
+        ev = spark.read.parquet(f"{SRC}/events.parquet")
+        n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+        n_u = ev.agg(F.max("user_id")).first()[0] + 1
+        write(
+            "events",
+            ev.crossJoin(rep)
+            .withColumn("event_id", F.col("event_id") + F.col("rep") * n_ev)
+            .withColumn("user_id", F.col("user_id") + F.col("rep") * n_u)
+            .drop("rep"),
+        )
+
     # untouched small tables some Catalog paths expect
-    for t in ("region", "nation", "part", "events"):
+    small = ("region", "nation", "part") + (() if scale_events else ("events",))
+    for t in small:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
     return out
 
