@@ -40,6 +40,15 @@ FETCH = os.environ.get("SPARK_GRAFT_SIM_FETCH", "rows")  # rows | pandas
 OUT = os.environ.get("SPARK_GRAFT_SIM_OUT")
 LINES_OUT = os.environ.get("SPARK_GRAFT_SIM_LINES")
 DIVDIR = os.environ.get("SPARK_GRAFT_SIM_DIVDIR", "/root/repo")
+#: keys to run WITHOUT their oracle (rows+hash recorded, no comparison) —
+#: for oracles that exceed the sandbox at stress scale (round 10: the
+#: neardup shingle×perm expansion spills >79 GB of DuckDB temp at sf1)
+ROWS_ONLY = {k for k in os.environ.get(
+    "SPARK_GRAFT_SIM_ROWS_ONLY", "").split(",") if k}
+#: optional DuckDB resource caps, e.g. "memory_limit=48GB,temp=30GB" —
+#: an over-budget oracle then fails FAST (caught per-key below) instead
+#: of grinding for half an hour and filling the device (round-10 lesson)
+DUCK_LIMITS = os.environ.get("SPARK_GRAFT_SIM_DUCK_LIMITS", "")
 
 spark = (SparkSession.builder.appName("driver-sim").master(f"local[{CORES}]")
          .config("spark.sql.shuffle.partitions", PARTS)
@@ -61,6 +70,14 @@ assert len(rows) >= 0
 # --- t2 correctness ---
 import duckdb
 con = duckdb.connect()
+if DUCK_LIMITS:
+    for part in DUCK_LIMITS.split(","):
+        k, v = part.split("=", 1)
+        if k == "memory_limit":
+            con.execute(f"SET memory_limit='{v}'")
+        elif k == "temp":
+            con.execute("SET temp_directory='/tmp/driver_sim_duck'")
+            con.execute(f"SET max_temp_directory_size='{v}'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     # the driver fixtures are single files; Spark-written replicas
     # (tools/stress_contract.py) are directories — glob those
@@ -124,6 +141,21 @@ if only:
     qmap = {k: v for k, v in qmap.items() if k in keys}
 results = {}
 all_lines = {}
+versions = engine_versions(spark)
+
+
+def _flush_out(res):
+    """Crash-durable artifact: rewritten after EVERY key, so a mid-run
+    crash (an oracle OOM, a killed box) keeps the completed keys' rows
+    instead of losing a 45-minute run to an end-only write (round-10
+    sf1 stress lesson)."""
+    if OUT:
+        with open(OUT, "w") as fh:
+            json.dump({"sf": SF,
+                       "config": {"cores": CORES, "parts": PARTS, "tz": TZ,
+                                  "fetch": FETCH},
+                       "versions": versions,
+                       "results": res}, fh, indent=1)
 for name, fn in sorted(qmap.items()):
     # one failing key must cost only its own row, never the run
     # (the bench.py round-2 lesson, applied to the sim)
@@ -134,19 +166,35 @@ for name, fn in sorted(qmap.items()):
     except Exception as exc:  # noqa: BLE001 — record and move on
         results[name] = {"count_match": False, "err": f"{type(exc).__name__}: {exc}"[:200]}
         print(f"{name}: ERR {results[name]['err']}")
+        _flush_out(results)
         continue
     spark_sec = round(time.perf_counter() - t0, 1)
     slines = lines_of(scols, srows)
     if LINES_OUT:
         all_lines[name] = slines
-    if name not in omap:
+    if name not in omap or name in ROWS_ONLY:
         results[name] = {"mode": "rows-only", "rows": len(srows),
                          "spark_hash": vhash(slines),
                          "spark_sec": spark_sec}
+        if name in ROWS_ONLY and name in omap:
+            results[name]["mode"] = "rows-only (oracle force-skipped)"
         print(f"{name}: rows-only rows={len(srows)}")
+        _flush_out(results)
         continue
+    # oracle-side failures are isolated per key too: an oracle that
+    # exceeds the sandbox (OOM/temp-disk) must cost only its own row,
+    # never the 24 green keys before it (round-10 sf1 stress lesson)
     t0 = time.perf_counter()
-    dcols, drows = fetch_duck(con.execute(omap[name]))
+    try:
+        dcols, drows = fetch_duck(con.execute(omap[name]))
+    except Exception as exc:  # noqa: BLE001 — record and move on
+        results[name] = {"count_match": False, "rows": len(srows),
+                         "spark_hash": vhash(slines),
+                         "spark_sec": spark_sec,
+                         "err": f"oracle: {type(exc).__name__}: {exc}"[:200]}
+        print(f"{name}: ERR {results[name]['err']}")
+        _flush_out(results)
+        continue
     oracle_sec = round(time.perf_counter() - t0, 1)
     dlines = lines_of(dcols, drows)
     ok_count = len(srows) == len(drows)
@@ -159,18 +207,13 @@ for name, fn in sorted(qmap.items()):
                      "spark_sec": spark_sec, "oracle_sec": oracle_sec}
     flag = "OK " if (ok_count and ok_schema and ok_hash) else "FAIL"
     print(f"{name}: {flag} rows={len(srows)}/{len(drows)} schema={ok_schema} hash={sh}=={dh}:{ok_hash}")
+    _flush_out(results)
     if ok_schema and not ok_hash:
         divergence_report(name, scols, slines, dlines)
 
 bad = [k for k, v in results.items() if not all(v.get(f, True) for f in ("count_match", "schema_match", "hash_match"))]
-versions = engine_versions(spark)
 print(json.dumps({"failed": bad, "versions": versions}))
-if OUT:
-    with open(OUT, "w") as fh:
-        json.dump({"sf": SF,
-                   "config": {"cores": CORES, "parts": PARTS, "tz": TZ, "fetch": FETCH},
-                   "versions": versions,
-                   "results": results}, fh, indent=1)
+_flush_out(results)
 if LINES_OUT:
     with gzip.open(LINES_OUT, "wt") as fh:
         json.dump(all_lines, fh)

@@ -55,6 +55,12 @@ def main() -> int:
     print(f"sf1 replica (events scaled) built in "
           f"{time.perf_counter() - t0:.1f}s at {d}", flush=True)
 
+    # stale-artifact guard: a sim that dies pre-write must not let this
+    # tool report a previous run's results (round-10 first-run lesson)
+    try:
+        os.remove(f"{OUTDIR}/contract.json")
+    except FileNotFoundError:
+        pass
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_SIM_SF=d,
@@ -65,6 +71,17 @@ def main() -> int:
         SPARK_GRAFT_SIM_DRIVER_MEM="24g",
         SPARK_GRAFT_SIM_OUT=f"{OUTDIR}/contract.json",
         SPARK_GRAFT_SIM_DIVDIR=OUTDIR,
+        # the oracle side must fail FAST if it can't fit the sandbox —
+        # the first full run ground 35+ min and filled the device with
+        # DuckDB spill before dying
+        SPARK_GRAFT_SIM_DUCK_LIMITS="memory_limit=48GB,temp=30GB",
+        # known sandbox-exceeding oracle at sf1: the neardup suite's
+        # shingle×permutation expansion spills >79 GB of DuckDB temp
+        # (measured round 10). The ENGINE side still runs and is
+        # hash-recorded; at driver scale (sf0.01) the full oracle
+        # comparison runs every round.
+        SPARK_GRAFT_SIM_ROWS_ONLY=os.environ.get(
+            "SPARK_GRAFT_STRESS_ROWS_ONLY", "neardup_pairs"),
     )
     keys = os.environ.get("SPARK_GRAFT_STRESS_KEYS")
     if keys:
@@ -86,8 +103,8 @@ def main() -> int:
         r = res[k]
         if "err" in r and r["err"]:
             verdict = f"ERR {r['err']}"
-        elif r.get("mode") == "rows-only":
-            verdict = f"rows-only rows={r['rows']}"
+        elif str(r.get("mode", "")).startswith("rows-only"):
+            verdict = f"{r['mode']} rows={r['rows']} hash={r['spark_hash']}"
         else:
             verdict = "green" if r.get("hash_match") else "RED"
         print(f"{k:32s} spark={r.get('spark_sec', '?'):>7}s "
