@@ -49,12 +49,18 @@ def measure(spark, keys=TOP_KEYS, sf_dir=SF_DIR) -> dict[str, dict[str, int]]:
     qmap = entry.queries()
     out: dict[str, dict[str, int]] = {}
     for name in keys:
+        # fresh-session cache state BEFORE the key, not only after: a
+        # prior pytest that cached the same lineage (e.g. test_dedup's
+        # shingle sets) would serve this key's scans from cache and
+        # shrink its stage count below the fresh-session envelope
+        # (observed: neardup_pairs 103 vs 121 stages)
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         tracker.delta()  # re-baseline: prior work must not leak in
         qmap[name](spark, sf_dir).collect()
         out[name] = tracker.delta()
         spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
     return out
 
 
