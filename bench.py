@@ -307,9 +307,15 @@ def main() -> None:
     # lines, from the front — detail first, env fingerprint last) so
     # the compact line always survives intact (ADVICE r9)
     if dg:
-        from tools.benchdiag import trim_to_budget
+        try:
+            from tools.benchdiag import trim_to_budget
 
-        dg = trim_to_budget(dg, 2000 - len(compact_line) - 1)
+            dg = trim_to_budget(dg, 2000 - len(compact_line) - 1)
+        except Exception:  # noqa: BLE001 — e.g. the benchdiag import
+            # already failed above; keep the short ERR tail rather than
+            # letting a diag import abort the bench after its timings
+            # were collected (code-review r10)
+            dg = dg[-2:]
     for ln in dg:
         print(ln)
     # COMPACT line LAST on stdout — the driver tail-captures stdout and

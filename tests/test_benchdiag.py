@@ -57,6 +57,11 @@ def test_trim_to_budget_keeps_suffix():
     tight = benchdiag.trim_to_budget(lines, len(lines[1]) + len(lines[2]) + 2)
     assert tight == lines[1:]
     assert benchdiag.trim_to_budget(lines, 5) == []
+    # an oversized LAST line is skipped, not allowed to evict shorter
+    # lines that still fit (code-review r10: a red-round compact line
+    # shrinks the budget below the DG E fingerprint's length)
+    big_last = ["DG K a ok", "DG K b ok", "DG E " + "y" * 500]
+    assert benchdiag.trim_to_budget(big_last, 25) == ["DG K a ok", "DG K b ok"]
 
 
 def test_diag_green_default_rotation_and_budget(spark, monkeypatch):

@@ -56,19 +56,21 @@ MAX_DETAIL = 4
 
 
 def trim_to_budget(lines: list[str], budget: int) -> list[str]:
-    """Keep the LONGEST SUFFIX of ``lines`` whose printed size (each
-    line + its newline) fits ``budget`` bytes. The driver's tail capture
-    keeps the END of stdout, so dropping whole lines from the front is
-    exactly what uncontrolled truncation would do — except line-aligned
-    and guaranteed to leave the compact bench line intact (ADVICE r9:
-    the green-path DG output plus the ~1500-char compact line could
-    exceed the 2000-char capture and cut mid-line from the front)."""
+    """Greedily keep lines from the END of ``lines`` (most-critical
+    last, module docstring) whose printed size (line + newline) fits
+    ``budget`` bytes, SKIPPING any line too big for the remaining budget
+    rather than stopping — a single oversized trailing line (e.g. the
+    DG E fingerprint on a red round whose compact line grew a 'failed'
+    field) must not evict every shorter line that would still fit
+    (code-review r10). The driver's tail capture keeps the END of
+    stdout, so this is uncontrolled front-truncation made line-aligned,
+    guaranteed to leave the compact bench line intact (ADVICE r9)."""
     keep: list[str] = []
     total = 0
     for ln in reversed(lines):
+        if total + len(ln) + 1 > budget:
+            continue
         total += len(ln) + 1
-        if total > budget:
-            break
         keep.append(ln)
     return keep[::-1]
 

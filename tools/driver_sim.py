@@ -43,8 +43,8 @@ DIVDIR = os.environ.get("SPARK_GRAFT_SIM_DIVDIR", "/root/repo")
 #: keys to run WITHOUT their oracle (rows+hash recorded, no comparison) —
 #: for oracles that exceed the sandbox at stress scale (round 10: the
 #: neardup shingle×perm expansion spills >79 GB of DuckDB temp at sf1)
-ROWS_ONLY = {k for k in os.environ.get(
-    "SPARK_GRAFT_SIM_ROWS_ONLY", "").split(",") if k}
+ROWS_ONLY = {k.strip() for k in os.environ.get(
+    "SPARK_GRAFT_SIM_ROWS_ONLY", "").split(",") if k.strip()}
 #: optional DuckDB resource caps, e.g. "memory_limit=48GB,temp=30GB" —
 #: an over-budget oracle then fails FAST (caught per-key below) instead
 #: of grinding for half an hour and filling the device (round-10 lesson)
@@ -71,13 +71,23 @@ assert len(rows) >= 0
 import duckdb
 con = duckdb.connect()
 if DUCK_LIMITS:
+    # fail-soft parsing: a malformed segment must not abort the whole
+    # run at t=0 (code-review r10) — warn and continue
     for part in DUCK_LIMITS.split(","):
-        k, v = part.split("=", 1)
-        if k == "memory_limit":
+        part = part.strip()
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        k, v = k.strip(), v.strip()
+        if k == "memory_limit" and v:
             con.execute(f"SET memory_limit='{v}'")
-        elif k == "temp":
+        elif k == "temp" and v:
             con.execute("SET temp_directory='/tmp/driver_sim_duck'")
             con.execute(f"SET max_temp_directory_size='{v}'")
+        else:
+            print(f"driver_sim: ignoring malformed DUCK_LIMITS segment "
+                  f"{part!r} (want memory_limit=<size> and/or temp=<size>)",
+                  file=sys.stderr)
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     # the driver fixtures are single files; Spark-written replicas
     # (tools/stress_contract.py) are directories — glob those
@@ -144,17 +154,22 @@ all_lines = {}
 versions = engine_versions(spark)
 
 
-def _flush_out(res):
+def _flush_out(res, complete=False):
     """Crash-durable artifact: rewritten after EVERY key, so a mid-run
     crash (an oracle OOM, a killed box) keeps the completed keys' rows
     instead of losing a 45-minute run to an end-only write (round-10
-    sf1 stress lesson)."""
+    sf1 stress lesson). ``complete`` flips to True only on the final
+    end-of-run write — consumers that must distinguish a finished run
+    from a crash-survivor partial (tools/flake_harness.py's crashed-run
+    exclusion, tools/stress_contract.py's verdict) key off it
+    (code-review r10)."""
     if OUT:
         with open(OUT, "w") as fh:
             json.dump({"sf": SF,
                        "config": {"cores": CORES, "parts": PARTS, "tz": TZ,
                                   "fetch": FETCH},
                        "versions": versions,
+                       "complete": complete,
                        "results": res}, fh, indent=1)
 for name, fn in sorted(qmap.items()):
     # one failing key must cost only its own row, never the run
@@ -213,7 +228,7 @@ for name, fn in sorted(qmap.items()):
 
 bad = [k for k, v in results.items() if not all(v.get(f, True) for f in ("count_match", "schema_match", "hash_match"))]
 print(json.dumps({"failed": bad, "versions": versions}))
-_flush_out(results)
+_flush_out(results, complete=True)
 if LINES_OUT:
     with gzip.open(LINES_OUT, "wt") as fh:
         json.dump(all_lines, fh)

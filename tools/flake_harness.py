@@ -205,13 +205,23 @@ def main() -> int:
     per_run, run_fetch, run_idx = [], [], []
     for i in range(len(configs)):
         try:
-            per_run.append(
-                json.load(open(f"{outdir}/run{i}.json"))["results"]
-            )
-            run_fetch.append(configs[i][5])
-            run_idx.append(i)
+            art = json.load(open(f"{outdir}/run{i}.json"))
         except FileNotFoundError:
-            pass
+            continue
+        # driver_sim now flushes the artifact after EVERY key (crash
+        # durability), so a crashed run leaves a loadable PARTIAL file:
+        # only artifacts whose final write stamped complete=true join
+        # the cross-run hash comparison — otherwise every key the run
+        # never reached would read as hash None and flood `unstable`
+        # with phantoms (code-review r10). The crash itself is already
+        # red via runs[i]["green"].
+        if not art.get("complete"):
+            print(f"run {i}: partial artifact (crashed run) — "
+                  f"excluded from cross-run comparison")
+            continue
+        per_run.append(art["results"])
+        run_fetch.append(configs[i][5])
+        run_idx.append(i)
     if not per_run:
         per_run = [{}]
         run_fetch = ["rows"]

@@ -94,10 +94,15 @@ def main() -> int:
     shutil.rmtree(d, ignore_errors=True)
 
     try:
-        res = json.load(open(f"{OUTDIR}/contract.json"))["results"]
+        art = json.load(open(f"{OUTDIR}/contract.json"))
+        res = art["results"]
     except Exception:
         print(f"no artifact written (sim rc={proc.returncode})")
         return 1
+    # a crashed sim leaves a loadable PARTIAL artifact (per-key flush):
+    # an incomplete run or nonzero sim exit must never read as a green
+    # full-contract pass (code-review r10)
+    incomplete = not art.get("complete") or proc.returncode != 0
     print(f"\n=== sf1 full-contract summary (sim wall {wall}s) ===")
     for k in sorted(res):
         r = res[k]
@@ -111,8 +116,9 @@ def main() -> int:
               f"oracle={r.get('oracle_sec', '?'):>7}s {verdict}")
     bad = [k for k, r in res.items()
            if r.get("err") or r.get("hash_match") is False]
-    print(f"keys={len(res)} red={bad}")
-    return 1 if bad else 0
+    print(f"keys={len(res)} red={bad}"
+          + (f" INCOMPLETE (sim rc={proc.returncode})" if incomplete else ""))
+    return 1 if bad or incomplete else 0
 
 
 if __name__ == "__main__":
