@@ -11,6 +11,12 @@ Tolerances: stage count ±max(3, 10%) — AQE may merge/split a stage or
 two on runtime stats; bytes ±25% — shuffle volumes wobble with
 compression ratios and retry re-fetches but a strategy flip (broadcast
 ↔ shuffle, a lost pushdown, an extra exchange) moves them far more.
+Streaming keys get per-key overrides recorded in the envelope file:
+their stage/byte counts are partly SCHEDULING-determined (the
+micro-batch count varies with trigger timing and box load — observed
+248 vs 294 stages for identical code), so their band is wider; it still
+catches a strategy flip, which moves volumes by far more than batching
+jitter.
 """
 
 from __future__ import annotations
@@ -42,16 +48,20 @@ def measured(spark):
 
 @pytest.mark.parametrize("key", TOP_KEYS)
 def test_plan_envelope(measured, key):
-    want = json.loads(ENVELOPES.read_text())["metrics"][key]
+    env = json.loads(ENVELOPES.read_text())
+    want = env["metrics"][key]
+    tol = env.get("tolerance", {}).get(key, {})
     got = measured[key]
-    stage_tol = max(3, round(want["n_stages"] * 0.10))
+    stage_tol = max(3, round(want["n_stages"] * tol.get("stages", 0.10)))
     assert abs(got["n_stages"] - want["n_stages"]) <= stage_tol, (
         f"{key}: stage count {got['n_stages']} left the envelope "
         f"{want['n_stages']}±{stage_tol} — the plan changed; if "
         f"intentional, re-record with tools/plan_envelopes.py"
     )
+    byte_tol = tol.get("bytes", 0.25)
     for f in ("shuffle_read", "shuffle_write", "input_bytes"):
-        lo, hi = want[f] * 0.75 - 1, want[f] * 1.25 + 1
+        lo = want[f] * (1 - byte_tol) - 1
+        hi = want[f] * (1 + byte_tol) + 1
         assert lo <= got[f] <= hi, (
             f"{key}: {f}={got[f]} left the envelope [{lo:.0f}, {hi:.0f}] "
             f"(recorded {want[f]}) — the plan changed; if intentional, "

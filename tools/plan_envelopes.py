@@ -77,6 +77,14 @@ def main() -> None:
             {
                 "config": {"master": "local[4]", "parts": 8, "sf": SF_DIR},
                 "metrics": m,
+                # streaming keys: stage/byte counts are partly
+                # SCHEDULING-determined (micro-batch count varies with
+                # trigger timing and load — observed 248 vs 294 stages,
+                # identical code), so their band is wider; a strategy
+                # flip still lands far outside it
+                "tolerance": {
+                    "stream_batch_equiv": {"stages": 0.40, "bytes": 0.40}
+                },
             },
             fh,
             indent=1,
