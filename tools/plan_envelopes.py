@@ -83,7 +83,17 @@ def main() -> None:
                 # identical code), so their band is wider; a strategy
                 # flip still lands far outside it
                 "tolerance": {
-                    "stream_batch_equiv": {"stages": 0.40, "bytes": 0.40}
+                    "stream_batch_equiv": {
+                        "stages": 0.40,
+                        "bytes": 0.40,
+                        # input_bytes is session-history-dependent for
+                        # this key: the replay-dir preparation (write +
+                        # re-read) is skipped when a prior test already
+                        # built it, dropping file-source reads ~3× with
+                        # an identical plan. Shuffle volumes — what a
+                        # strategy flip actually moves — stay asserted.
+                        "skip_fields": ["input_bytes"],
+                    }
                 },
             },
             fh,
