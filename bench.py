@@ -303,14 +303,17 @@ def main() -> None:
         f.write("\n")
     print(json.dumps(full), file=sys.stderr)
     compact_line = json.dumps(compact, separators=(",", ":"))
-    # the driver's tail capture is 2000 chars: trim DG lines (whole
+    # the driver's tail capture is 2000 bytes: trim DG lines (whole
     # lines, from the front — detail first, env fingerprint last) so
-    # the compact line always survives intact (ADVICE r9)
+    # the compact line always survives intact (ADVICE r9; byte-counted
+    # since ADVICE r10 — json.dumps default ensure_ascii keeps the
+    # compact line ASCII, but count bytes anyway for symmetry with
+    # trim_to_budget)
     if dg:
         try:
             from tools.benchdiag import trim_to_budget
 
-            dg = trim_to_budget(dg, 2000 - len(compact_line) - 1)
+            dg = trim_to_budget(dg, 2000 - len(compact_line.encode()) - 1)
         except Exception:  # noqa: BLE001 — e.g. the benchdiag import
             # already failed above; keep the short ERR tail rather than
             # letting a diag import abort the bench after its timings

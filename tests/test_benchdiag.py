@@ -29,22 +29,34 @@ def _worst_case_compact_len() -> int:
         "sf": 0.1,
         "n": 3,
     }
-    return len(json.dumps(compact, separators=(",", ":")))
+    return len(json.dumps(compact, separators=(",", ":")).encode())
 
 
 def test_diag_key_rotation_and_override(monkeypatch):
     keys = sorted(entry.queries())
     monkeypatch.delenv("SPARK_GRAFT_DIAG_KEYS", raising=False)
+    # the rotation FORMULA, pinned per round number (ADVICE r10: the
+    # live _round_number counts committed BENCH_r{N} artifacts, so an
+    # artifact commit must not silently change what this test checks)
+    for rnd in (0, 7, 123):
+        monkeypatch.setattr(benchdiag, "_round_number", lambda r=rnd: r)
+        picked = benchdiag.diag_keys(keys)
+        start = (rnd * benchdiag.DIAG_KEYS_N) % len(keys)
+        window = [
+            keys[(start + i) % len(keys)]
+            for i in range(benchdiag.DIAG_KEYS_N)
+        ]
+        watch = [
+            k for k in benchdiag.DIAG_WATCH.get(rnd, ())
+            if k in keys and k not in window
+        ]
+        assert picked == window + watch
+    # round-scoped WATCH keys append LAST and dedupe (VERDICT r10 §6)
+    monkeypatch.setattr(benchdiag, "_round_number", lambda: 11)
     picked = benchdiag.diag_keys(keys)
-    # default: DIAG_KEYS_N consecutive registry keys at the round offset
-    assert len(picked) == benchdiag.DIAG_KEYS_N
-    start = (benchdiag._round_number() * benchdiag.DIAG_KEYS_N) % len(keys)
-    assert picked == [
-        keys[(start + i) % len(keys)] for i in range(benchdiag.DIAG_KEYS_N)
-    ]
-    # consecutive rounds observe disjoint consecutive windows (rotation)
-    assert set(picked) <= set(keys)
-    # env override wins verbatim
+    assert picked[-1] == "stream_batch_equiv"
+    assert len(picked) == len(set(picked))
+    # env override wins verbatim (watch keys do not sneak in)
     monkeypatch.setenv("SPARK_GRAFT_DIAG_KEYS", "doc_profile, q1")
     assert benchdiag.diag_keys(keys) == ["doc_profile", "q1"]
 
@@ -57,6 +69,12 @@ def test_trim_to_budget_keeps_suffix():
     tight = benchdiag.trim_to_budget(lines, len(lines[1]) + len(lines[2]) + 2)
     assert tight == lines[1:]
     assert benchdiag.trim_to_budget(lines, 5) == []
+    # the budget is BYTES, not characters (ADVICE r10): a detail line
+    # carrying sampled non-ASCII data values bills at its encoded size
+    wide = "DG C t c=k sx=éééé"  # 4 two-byte chars
+    nbytes = len(wide.encode()) + 1
+    assert benchdiag.trim_to_budget([wide], nbytes) == [wide]
+    assert benchdiag.trim_to_budget([wide], nbytes - 1) == []
     # an oversized LAST line is skipped, not allowed to evict shorter
     # lines that still fit (code-review r10: a red-round compact line
     # shrinks the budget below the DG E fingerprint's length)
@@ -65,9 +83,14 @@ def test_trim_to_budget_keeps_suffix():
 
 
 def test_diag_green_default_rotation_and_budget(spark, monkeypatch):
-    """The SHIPPED default — this round's rotated keys — runs green at
-    sf0.001 and fits the measured tail budget without trimming."""
+    """A PINNED rotation window runs green at sf0.001 and fits the
+    measured tail budget without trimming. The round is monkeypatched
+    (ADVICE r10): the live _round_number counts committed BENCH_r{N}
+    artifacts, so without the pin an unrelated artifact commit would
+    silently change which keys this test executes. Rotation-formula
+    correctness is covered separately (and cheaply) above."""
     monkeypatch.delenv("SPARK_GRAFT_DIAG_KEYS", raising=False)
+    monkeypatch.setattr(benchdiag, "_round_number", lambda: 0)
     lines = benchdiag.diag_lines(spark, "/root/testdata/sf0.001")
     ks = [ln for ln in lines if ln.startswith("DG K ")]
     assert [ln.split()[2] for ln in ks] == benchdiag.diag_keys(entry.queries())
@@ -75,6 +98,7 @@ def test_diag_green_default_rotation_and_budget(spark, monkeypatch):
     for ln in ks:
         assert " m17=1 " in ln, ln
         assert " mp=1 " in ln, ln
+        assert " t=" in ln, ln  # in-container timing evidence (r11)
         cb = ln.rsplit("cb=", 1)[1]
         assert set(cb) == {"1"}, ln
         s, o = ln.split(" s=")[1][:16], ln.split(" o=")[1][:16]
@@ -84,10 +108,14 @@ def test_diag_green_default_rotation_and_budget(spark, monkeypatch):
     fp = json.loads(lines[-1][5:])
     assert "pq" in fp and "ddb" in fp and "jtz" in fp
     # tail budget: green-path diag + the MEASURED worst-case compact
-    # line must fit the driver's 2000-char capture (ADVICE r9)
+    # line must fit the driver's 2000-byte capture (ADVICE r9; byte
+    # accounting per ADVICE r10). One key more than the window (the
+    # r11 DIAG_WATCH appendix) still fits: ~110 extra bytes vs the
+    # ~180-byte slack this asserts.
     assert (
-        sum(len(ln) + 1 for ln in lines) + _worst_case_compact_len() + 1
-        <= 2000
+        sum(len(ln.encode()) + 1 for ln in lines)
+        + _worst_case_compact_len() + 1
+        <= 2000 - 120
     ), lines
 
 

@@ -54,12 +54,26 @@ DIAG_KEYS_N = 3
 #: cap on per-column mismatch detail lines per key
 MAX_DETAIL = 4
 
+#: Round-scoped WATCH keys appended after the rotation window (VERDICT
+#: r10 §Next 6): a key whose driver-bench timing wobbled gets one round
+#: of targeted in-container observation (its DG K line carries t=<sec>)
+#: without disturbing the rotation's coverage walk. Prune entries once
+#: their round has passed.
+DIAG_WATCH: dict[int, tuple[str, ...]] = {
+    # r10 driver single-run showed 18.3→23.6 s with a flat local minimum
+    # (judged host noise) — carry its in-container timing/hash evidence
+    11: ("stream_batch_equiv",),
+}
+
 
 def trim_to_budget(lines: list[str], budget: int) -> list[str]:
     """Greedily keep lines from the END of ``lines`` (most-critical
     last, module docstring) whose printed size (line + newline) fits
-    ``budget`` bytes, SKIPPING any line too big for the remaining budget
-    rather than stopping — a single oversized trailing line (e.g. the
+    ``budget`` BYTES — measured with len(encode()), since DG detail
+    lines can carry sampled non-ASCII data values and a char count
+    would under-bill them past the driver's byte-based capture
+    (ADVICE r10) — SKIPPING any line too big for the remaining budget
+    rather than stopping: a single oversized trailing line (e.g. the
     DG E fingerprint on a red round whose compact line grew a 'failed'
     field) must not evict every shorter line that would still fit
     (code-review r10). The driver's tail capture keeps the END of
@@ -68,9 +82,10 @@ def trim_to_budget(lines: list[str], budget: int) -> list[str]:
     keep: list[str] = []
     total = 0
     for ln in reversed(lines):
-        if total + len(ln) + 1 > budget:
+        nbytes = len(ln.encode()) + 1
+        if total + nbytes > budget:
             continue
-        total += len(ln) + 1
+        total += nbytes
         keep.append(ln)
     return keep[::-1]
 
@@ -92,18 +107,25 @@ def _round_number() -> int:
 def diag_keys(all_keys) -> list[str]:
     """The keys this round's bench tail observes: the env override if
     set, else DIAG_KEYS_N consecutive keys of the sorted registry
-    starting at a round-rotated offset (wrapping)."""
+    starting at a round-rotated offset (wrapping), plus this round's
+    DIAG_WATCH keys appended LAST (deduped) — last so their summary
+    lines sit nearest the tail end and survive trimming longest."""
     env = os.environ.get("SPARK_GRAFT_DIAG_KEYS")
     if env:
         return [k for k in (s.strip() for s in env.split(",")) if k]
     keys = sorted(all_keys)
     if not keys:
         return []
-    start = (_round_number() * DIAG_KEYS_N) % len(keys)
-    return [
+    rnd = _round_number()
+    start = (rnd * DIAG_KEYS_N) % len(keys)
+    picked = [
         keys[(start + i) % len(keys)]
         for i in range(min(DIAG_KEYS_N, len(keys)))
     ]
+    picked += [
+        k for k in DIAG_WATCH.get(rnd, ()) if k in keys and k not in picked
+    ]
+    return picked
 
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -205,7 +227,9 @@ def _pd_lines(pdf) -> list[str]:
     )
 
 
-def _key_lines(name, sdf, cur, pm: int | None = None) -> list[str]:
+def _key_lines(
+    name, sdf, cur, pm: int | None = None, sec: float | None = None
+) -> list[str]:
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     dcols = [d[0] for d in cur.description]
@@ -271,6 +295,7 @@ def _key_lines(name, sdf, cur, pm: int | None = None) -> list[str]:
     out.append(
         f"DG K {name} n={len(srows)}/{len(drows)} s={sh} o={oh} m17={m17}"
         + (f" mp={pm}" if pm is not None else "")
+        + (f" t={sec}" if sec is not None else "")
         + (f" vb={vb}" if vb else "")
         + f" cb={cb}"
     )
@@ -322,10 +347,16 @@ def diag_lines(spark, sf_dir: str) -> list[str]:
             # materialized partitions instead of re-running the job
             # (code-review r9). The duckdb oracle still executes per
             # fetch path — a cursor can only be consumed once, and the
-            # sf0.01 oracles are 1-2 s.
+            # sf0.01 oracles are 1-2 s. The eager-compute seconds ride
+            # the DG K line (t=) as in-container timing evidence for
+            # DIAG_WATCH keys whose driver-bench wall-clock wobbled.
+            import time
+
+            t0 = time.perf_counter()
             sdf = qmap[name](spark, diag_sf).localCheckpoint(eager=True)
+            sec = round(time.perf_counter() - t0, 1)
             pm = _pandas_match(sdf, con, omap[name])
-            kl = _key_lines(name, sdf, con.execute(omap[name]), pm)
+            kl = _key_lines(name, sdf, con.execute(omap[name]), pm, sec)
             detail.extend(kl[:-1])
             summary.append(kl[-1])
         except Exception as exc:  # noqa: BLE001

@@ -47,6 +47,16 @@ def norm(v, fmt: str = "%.9g") -> str:
             return "NaN"
         return fmt % v
     if isinstance(v, (dt.datetime, dt.date)):
+        # ONE timestamp precision (microseconds) no matter which scalar
+        # type carries the instant: the numpy branch above truncates
+        # datetime64[ns] to us, but a pandas Timestamp (itertuples /
+        # fetchdf path) renders nanoseconds via isoformat — the same
+        # sub-us instant would hash differently per fetch path
+        # (ADVICE r10). nanosecond is an int 0-999 on a real Timestamp
+        # and float('nan') on NaT (which must keep rendering 'NaT').
+        ns = getattr(v, "nanosecond", 0)
+        if isinstance(ns, int) and ns:
+            v = v.replace(nanosecond=0)
         return v.isoformat().replace("T", " ")
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x, fmt) for x in v) + "]"

@@ -72,22 +72,30 @@ import duckdb
 con = duckdb.connect()
 if DUCK_LIMITS:
     # fail-soft parsing: a malformed segment must not abort the whole
-    # run at t=0 (code-review r10) — warn and continue
+    # run at t=0 (code-review r10) — warn and continue. The SET itself
+    # is wrapped too: a recognized key with a malformed VALUE (e.g.
+    # memory_limit=4x8) raises inside con.execute, which would
+    # otherwise abort before the first key ran (ADVICE r10)
     for part in DUCK_LIMITS.split(","):
         part = part.strip()
         if not part:
             continue
         k, _, v = part.partition("=")
         k, v = k.strip(), v.strip()
-        if k == "memory_limit" and v:
-            con.execute(f"SET memory_limit='{v}'")
-        elif k == "temp" and v:
-            con.execute("SET temp_directory='/tmp/driver_sim_duck'")
-            con.execute(f"SET max_temp_directory_size='{v}'")
-        else:
-            print(f"driver_sim: ignoring malformed DUCK_LIMITS segment "
-                  f"{part!r} (want memory_limit=<size> and/or temp=<size>)",
-                  file=sys.stderr)
+        try:
+            if k == "memory_limit" and v:
+                con.execute(f"SET memory_limit='{v}'")
+            elif k == "temp" and v:
+                con.execute("SET temp_directory='/tmp/driver_sim_duck'")
+                con.execute(f"SET max_temp_directory_size='{v}'")
+            else:
+                print(f"driver_sim: ignoring malformed DUCK_LIMITS segment "
+                      f"{part!r} (want memory_limit=<size> and/or temp=<size>)",
+                      file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — warn and run unlimited
+            print(f"driver_sim: DUCK_LIMITS segment {part!r} rejected by "
+                  f"duckdb ({type(exc).__name__}: {exc}) — continuing "
+                  f"without it", file=sys.stderr)
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     # the driver fixtures are single files; Spark-written replicas
     # (tools/stress_contract.py) are directories — glob those

@@ -215,7 +215,15 @@ def main() -> int:
         # never reached would read as hash None and flood `unstable`
         # with phantoms (code-review r10). The crash itself is already
         # red via runs[i]["green"].
-        if not art.get("complete"):
+        if "complete" not in art:
+            # pre-r10 artifact (or a foreign producer) from before the
+            # per-key-flush change: it was only ever written whole, so
+            # treat it as complete rather than silently excluding it —
+            # an old outdir re-analyzed must not yield an empty
+            # comparison that still prints all_stable (ADVICE r10)
+            print(f"run {i}: pre-complete-flag artifact — including "
+                  f"(legacy end-only write implies complete)")
+        elif not art["complete"]:
             print(f"run {i}: partial artifact (crashed run) — "
                   f"excluded from cross-run comparison")
             continue
@@ -223,9 +231,13 @@ def main() -> int:
         run_fetch.append(configs[i][5])
         run_idx.append(i)
     if not per_run:
-        per_run = [{}]
-        run_fetch = ["rows"]
-        run_idx = [-1]
+        # every artifact missing or partial: the cross-run comparison
+        # has NO evidence — fail loudly instead of emitting an
+        # all_stable verdict over an empty key set (ADVICE r10)
+        raise SystemExit(
+            "flake_harness: no complete run artifacts to compare — "
+            "all runs crashed pre-completion or the outdir is empty"
+        )
     keys = sorted(set().union(*per_run))
     summary, unstable = {}, []
     for k in keys:

@@ -34,6 +34,17 @@ TOP_KEYS = (
 SF_DIR = "/root/testdata/sf0.001"
 OUT = os.path.join(REPO, "tests", "plan_envelopes.json")
 
+#: Keys whose FIRST run in a process does one-time input preparation
+#: (suites._cached_replay_dir builds the replay dirs: write + count +
+#: re-read, ~46 extra stages and ~3× input_bytes) — the round-10
+#: "scheduling nondeterminism" (248 vs 294 stages) was exactly this
+#: session-history split, not trigger timing: AvailableNow +
+#: maxFilesPerTrigger=1 batch counts are deterministic. Warm these keys
+#: once un-measured so the envelope captures the steady-state plan and
+#: holds at the default ±10%/±25% tolerance regardless of what ran
+#: earlier in the session.
+WARMUP_KEYS = frozenset({"stream_batch_equiv"})
+
 
 def measure(spark, keys=TOP_KEYS, sf_dir=SF_DIR) -> dict[str, dict[str, int]]:
     """Run each key once and return its stage-delta metrics (the same
@@ -49,6 +60,11 @@ def measure(spark, keys=TOP_KEYS, sf_dir=SF_DIR) -> dict[str, dict[str, int]]:
     qmap = entry.queries()
     out: dict[str, dict[str, int]] = {}
     for name in keys:
+        if name in WARMUP_KEYS:
+            # un-measured warm-up: builds the process-cached replay dirs
+            # so the measured run below is the steady-state plan
+            qmap[name](spark, sf_dir).collect()
+            spark.catalog.clearCache()
         # fresh-session cache state BEFORE the key, not only after: a
         # prior pytest that cached the same lineage (e.g. test_dedup's
         # shingle sets) would serve this key's scans from cache and
@@ -77,24 +93,13 @@ def main() -> None:
             {
                 "config": {"master": "local[4]", "parts": 8, "sf": SF_DIR},
                 "metrics": m,
-                # streaming keys: stage/byte counts are partly
-                # SCHEDULING-determined (micro-batch count varies with
-                # trigger timing and load — observed 248 vs 294 stages,
-                # identical code), so their band is wider; a strategy
-                # flip still lands far outside it
-                "tolerance": {
-                    "stream_batch_equiv": {
-                        "stages": 0.40,
-                        "bytes": 0.40,
-                        # input_bytes is session-history-dependent for
-                        # this key: the replay-dir preparation (write +
-                        # re-read) is skipped when a prior test already
-                        # built it, dropping file-source reads ~3× with
-                        # an identical plan. Shuffle volumes — what a
-                        # strategy flip actually moves — stay asserted.
-                        "skip_fields": ["input_bytes"],
-                    }
-                },
+                # No per-key overrides since round 11: the 248-vs-294
+                # stage split that forced a 40% streaming band in r10
+                # was the replay-dir preparation landing inside the
+                # FIRST measured run of a session (WARMUP_KEYS note) —
+                # warmed, the steady-state count is deterministic and
+                # the default ±max(3,10%)/±25% bands hold.
+                "tolerance": {},
             },
             fh,
             indent=1,
