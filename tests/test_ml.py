@@ -220,3 +220,40 @@ def test_sgd_envelope_guard_trips_on_partial_sum_magnitude(monkeypatch):
     monkeypatch.setattr(ml, "SGD_ENVELOPE", 8192.0)
     out = fold(warm + [([1, 2], 1)])
     assert abs(out[1] + out[2]) < 1.0
+
+
+def test_segmented_replay_invariant_under_segmentation(monkeypatch):
+    """Round 11 (VERDICT r10 §Next 2): the spam oracle's recursive
+    replay is SEGMENTED — earlier segments reach a step as a
+    materialized per-feature weight table instead of a gradient history
+    (ml.FOLD_SEGMENTS note). Exactness claim: gradients are exact 2^-40
+    multiples, so the regrouped score is bit-identical for ANY segment
+    count. Pin it: force many live segments on the sf0.001 corpus
+    (width floor 5 → ~16 live segments per tag, every boundary shape)
+    and compare the full oracle frame against the shipped
+    configuration's. A single-segment run (width floor 10^9) — the
+    pre-round-11 single-fold semantics — must also agree."""
+    from tools.canon import lines_of, vhash
+
+    def run(sql):
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_TEST}/{t}.parquet')"
+            )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        con.close()
+        return vhash(lines_of(cols, rows)), len(rows)
+
+    shipped = run(ml.ML_ORACLES["spam"])
+    monkeypatch.setattr(ml, "FOLD_MIN_WIDTH", 5)
+    many = run(ml._spam_oracle())
+    monkeypatch.setattr(ml, "FOLD_MIN_WIDTH", 10**9)
+    single = run(ml._spam_oracle())
+    assert shipped == many == single, (
+        f"segmentation changed the replay: shipped={shipped} "
+        f"many-segments={many} single-segment={single}"
+    )

@@ -75,13 +75,13 @@ def main() -> int:
         # the first full run ground 35+ min and filled the device with
         # DuckDB spill before dying
         SPARK_GRAFT_SIM_DUCK_LIMITS="memory_limit=48GB,temp=30GB",
-        # known sandbox-exceeding oracle at sf1: the neardup suite's
-        # shingle×permutation expansion spills >79 GB of DuckDB temp
-        # (measured round 10). The ENGINE side still runs and is
-        # hash-recorded; at driver scale (sf0.01) the full oracle
-        # comparison runs every round.
+        # round 11: neardup_pairs no longer force-skipped — the
+        # content-class-reduced oracles (oracles._DCLS_CTE) run the
+        # full suite at sf1 in ~20 s (measured; was >79 GB of DuckDB
+        # temp spill in r10), value-hash-matching the engine's r10
+        # sf1 output (ede05374f9642ace) byte-for-byte.
         SPARK_GRAFT_SIM_ROWS_ONLY=os.environ.get(
-            "SPARK_GRAFT_STRESS_ROWS_ONLY", "neardup_pairs"),
+            "SPARK_GRAFT_STRESS_ROWS_ONLY", ""),
     )
     keys = os.environ.get("SPARK_GRAFT_STRESS_KEYS")
     if keys:

@@ -565,13 +565,87 @@ from uw_hadoop_aglorithms_spark.operators.dedup import (
 from uw_hadoop_aglorithms_spark.functions.hashing import bucket_sql
 from uw_hadoop_aglorithms_spark.functions.hashing import P as _P
 
-#: Distinct word-bigram shingles per document (mirrors dedup._grams).
+#: CONTENT-CLASS reduction prefix (round 11, VERDICT r10 §Next 1).
+#: Every pair-producing dedup oracle below derives its per-doc features
+#: purely from `text` (or `embedding`), so docs with byte-identical
+#: content are interchangeable: the oracles group them into classes,
+#: run the quadratic machinery on one representative per class, and
+#: expand class pairs back to doc pairs at the end. Semantics are
+#: preserved EXACTLY on any input (scores are computed by the original
+#: expressions on representative rows; multiplicity-sensitive gates —
+#: the LSH bucket cap, the winnow df cap — weight classes by size), and
+#: the driver re-proves value parity vs the Spark engine at sf0.01
+#: every round. The payoff is at the sf1 stress replica, where every
+#: doc has 9 exact twins: class space is 10× smaller and the quadratic
+#: legs 100× cheaper, which is what lets the full neardup oracle run
+#: inside the sandbox instead of spilling >79 GB (the round-10
+#: rows-only gap). tests/test_oracle_classreduce.py pins equivalence
+#: against the naive quadratic forms on adversarial fixtures.
+_DCLS_CTE = """
+    dcls AS (
+        SELECT min(doc_id) AS rep, count(*) AS csize,
+               list_sort(list(doc_id)) AS ids
+        FROM documents GROUP BY text
+    ),
+    cdocs AS (
+        SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    )
+"""
+
+#: embeddings analogue: classes of byte-identical vectors
+_ECLS_CTE = """
+    ecls AS (
+        SELECT min(vec_id) AS rep, count(*) AS csize,
+               list_sort(list(vec_id)) AS ids
+        FROM embeddings GROUP BY embedding
+    ),
+    cemb AS (
+        SELECT min(vec_id) AS vec_id, embedding
+        FROM embeddings GROUP BY embedding
+    )
+"""
+
+
+def _class_expand(pairs_cte: str, score_cols: str, a: str, b: str,
+                  cls: str = "dcls") -> str:
+    """Expansion suffix: class-pair rows (rep_a, rep_b, scores…) →
+    doc-pair rows. rep_a <> rep_b expands to the full cross product of
+    the two member lists (each unordered pair once, ordered via
+    least/greatest — members of distinct classes interleave by id);
+    rep_a = rep_b expands to the within-class x < y pairs, which is
+    naturally empty for singleton classes, so self-rows need no csize
+    gate. DuckDB zips multiple unnests in one SELECT, hence the two-step
+    lateral expansion."""
+    return f"""
+    ex1 AS (
+        SELECT p.rep_a, p.rep_b, {score_cols}, ca.ids AS ids_a, cb.ids AS ids_b
+        FROM {pairs_cte} p
+        JOIN {cls} ca ON ca.rep = p.rep_a
+        JOIN {cls} cb ON cb.rep = p.rep_b
+    ),
+    ex2 AS (
+        SELECT rep_a, rep_b, {score_cols}, unnest(ids_a) AS x, ids_b
+        FROM ex1
+    ),
+    ex3 AS (
+        SELECT rep_a, rep_b, {score_cols}, x, unnest(ids_b) AS y
+        FROM ex2
+    )
+    SELECT least(x, y) AS {a}, greatest(x, y) AS {b}, {score_cols}
+    FROM ex3
+    WHERE rep_a <> rep_b OR x < y
+    ORDER BY {a}, {b}
+    """
+
+
+#: Distinct word-bigram shingles per CLASS representative (mirrors
+#: dedup._grams; class-reduced since round 11 — _DCLS_CTE note).
 _GRAMS_CTE = """
     toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
                            t -> t <> '') AS ts
-        FROM documents
+        FROM cdocs
     ),
     grams AS (
         SELECT doc_id,
@@ -599,6 +673,13 @@ _HASHED_CTE = f"""
 
 
 def _minhash_lsh_sql() -> str:
+    """Class-reduced (round 11, _DCLS_CTE note): signatures/bands per
+    content class; the hot-bucket cap counts DOC occupancy (sum of
+    class sizes — identical to the per-doc form, since twins share
+    every band row); candidates and the exact-verify jaccard compute on
+    representatives (a self-pair verifies rep-vs-rep: intersect(g,g)/
+    (n+n−n) = the exact 1.0 the per-doc form emits for twins); doc
+    pairs come from the expansion suffix."""
     sig_cols = ",\n               ".join(
         f"min({uhash_sql('ph', i)}) AS s{i}" for i in range(NUM_PERMS)
     )
@@ -608,37 +689,42 @@ def _minhash_lsh_sql() -> str:
         for b in range(BANDS)
     )
     return f"""
-    WITH {_GRAMS_CTE}, {_HASHED_CTE},
+    WITH {_DCLS_CTE}, {_GRAMS_CTE}, {_HASHED_CTE},
     sigs AS (
         SELECT doc_id, {sig_cols}
         FROM hashed GROUP BY doc_id
     ),
     bands AS ({band_selects}),
     -- hot-bucket guard, mirrored from dedup.capped_bands: buckets with
-    -- occupancy > BAND_BUCKET_CAP are excluded from candidate
-    -- generation in BOTH engines (inert at verified SFs — max observed
-    -- occupancy is 87 at sf0.1)
+    -- DOC occupancy > BAND_BUCKET_CAP are excluded from candidate
+    -- generation in BOTH engines (inert below sf1 — max observed doc
+    -- occupancy is 87 at sf0.1; at the sf1 twin replica it FIRES, in
+    -- both engines symmetrically)
     bands_capped AS (
         SELECT doc_id, band_no, h1, h2
-        FROM (SELECT *, count(*) OVER (PARTITION BY band_no, h1, h2) AS bsz
-              FROM bands)
+        FROM (SELECT b.*, sum(c.csize) OVER (PARTITION BY band_no, h1, h2)
+                     AS bsz
+              FROM bands b JOIN dcls c ON c.rep = b.doc_id)
         WHERE bsz <= {BAND_BUCKET_CAP}
     ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
         FROM bands_capped a JOIN bands_capped b
           ON a.band_no = b.band_no AND a.h1 = b.h1 AND a.h2 = b.h2
-         AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           len(list_intersect(ga.gset, gb.gset))
-             / (len(ga.gset) + len(gb.gset) - len(list_intersect(ga.gset, gb.gset)))
-             AS jaccard
-    FROM cand
-    JOIN hsets ga ON ga.doc_id = doc_a
-    JOIN hsets gb ON gb.doc_id = doc_b
-    WHERE jaccard >= {JACCARD_THRESHOLD}
-    ORDER BY doc_a, doc_b
+         AND a.doc_id <= b.doc_id
+    ),
+    cp AS (
+        SELECT rep_a, rep_b,
+               len(list_intersect(ga.gset, gb.gset))
+                 / (len(ga.gset) + len(gb.gset)
+                    - len(list_intersect(ga.gset, gb.gset)))
+                 AS jaccard
+        FROM cand
+        JOIN hsets ga ON ga.doc_id = rep_a
+        JOIN hsets gb ON gb.doc_id = rep_b
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    {_class_expand("cp", "jaccard", "doc_a", "doc_b")}
     """
 
 
@@ -655,16 +741,21 @@ def _simhash_sql() -> str:
         f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
     )
     return f"""
-    WITH {_GRAMS_CTE}, {_HASHED_CTE},
+    WITH {_DCLS_CTE}, {_GRAMS_CTE}, {_HASHED_CTE},
     uh AS (SELECT doc_id, {uhash_sql('ph', SIMHASH_MEMBER)} AS g,
                   {uhash_sql('ph', SIMHASH_MEMBER_HI)} AS g2 FROM hashed),
     votes AS (SELECT doc_id, {bit_sums} FROM uh GROUP BY doc_id),
-    sigs AS (SELECT doc_id, ({sig})::BIGINT AS sig FROM votes)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.sig, b.sig)) AS hamming
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
-    ORDER BY doc_a, doc_b
+    sigs AS (SELECT doc_id, ({sig})::BIGINT AS sig FROM votes),
+    -- class-reduced (round 11, _DCLS_CTE note): the all-pairs scan runs
+    -- over class signatures (<= allows self-pairs: twins' hamming is
+    -- the same bit_count(xor(s,s)) = 0 the per-doc form computes)
+    cp AS (
+        SELECT a.doc_id AS rep_a, b.doc_id AS rep_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id <= b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
+    ),
+    {_class_expand("cp", "hamming", "doc_a", "doc_b")}
     """
 
 
@@ -707,21 +798,28 @@ DEDUP_ORACLES: dict[str, str] = {
         GROUP BY norm
         ORDER BY doc_id
     """,
+    # class-reduced (round 11, _DCLS_CTE note): the shingle self-join
+    # runs over class representatives (<= keeps self-pairs, whose i = n
+    # gives the same exact n/n jaccard the per-doc form emits for
+    # twins; gram-less classes never reach `sh`, exactly like gram-less
+    # docs before); the expansion suffix restores doc pairs
     "ngram_jaccard": f"""
-        WITH {_GRAMS_CTE},
+        WITH {_DCLS_CTE}, {_GRAMS_CTE},
         sh AS (SELECT doc_id, unnest(gs) AS g FROM grams),
         sizes AS (SELECT doc_id, len(gs) AS n FROM grams),
         inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-            GROUP BY doc_a, doc_b
-        )
-        SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
-        ORDER BY doc_a, doc_b
+            SELECT a.doc_id AS rep_a, b.doc_id AS rep_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <= b.doc_id
+            GROUP BY rep_a, rep_b
+        ),
+        cp AS (
+            SELECT rep_a, rep_b, i / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = rep_a
+            JOIN sizes sb ON sb.doc_id = rep_b
+            WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+        ),
+        {_class_expand("cp", "jaccard", "doc_a", "doc_b")}
     """,
     "decontaminate": f"""
         WITH {_DECON_SH_CTE},
@@ -781,20 +879,28 @@ DEDUP_ORACLES: dict[str, str] = {
         FROM reach GROUP BY id ORDER BY doc_id
     """,
     "simhash_dedup": _simhash_sql(),
+    # class-reduced (round 11, _ECLS_CTE note): the all-pairs cosine
+    # scan runs over distinct-vector representatives (<= keeps
+    # self-pairs, computing the identical dot(v,v)/(nrm·nrm) expression
+    # the per-vec form emits for twins — NOT a literal 1.0, so the
+    # sqrt(S)² ulp matches bit-for-bit); expansion restores vec pairs
     "embedding_cosine_dups": f"""
-        WITH e AS (
+        WITH {_ECLS_CTE},
+        e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
                    sqrt({_fold_sum('list_transform(embedding::DOUBLE[], x -> x * x)')})
                      AS nrm
-            FROM embeddings
-        )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_fold_sum('list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])')}
-                 / (a.nrm * b.nrm) AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE {_fold_sum('list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])')}
-                 / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
-        ORDER BY vec_a, vec_b
+            FROM cemb
+        ),
+        cp AS (
+            SELECT a.vec_id AS rep_a, b.vec_id AS rep_b,
+                   {_fold_sum('list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])')}
+                     / (a.nrm * b.nrm) AS cosine
+            FROM e a JOIN e b ON a.vec_id <= b.vec_id
+            WHERE {_fold_sum('list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])')}
+                     / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+        ),
+        {_class_expand("cp", "cosine", "vec_a", "vec_b", cls="ecls")}
     """,
 }
 
@@ -904,7 +1010,15 @@ def _span_dedup_sql() -> str:
 
 def _winnow_pairs_sql() -> str:
     """Cross-doc winnowing match: the doc_fingerprint oracle feeds a
-    DF-capped fp self-join (mirrors dedup.winnow_dup_pairs)."""
+    DF-capped fp self-join (mirrors dedup.winnow_dup_pairs).
+    Class-reduced (round 11, _DCLS_CTE note): fingerprints are a pure
+    function of text, so they compute once per class (the
+    doc_fingerprint CTE re-targeted at `cdocs`); the document-frequency
+    cap weights each class by size (df still counts DOCS, identical to
+    the per-doc form since twins carry identical fp sets); the fp
+    self-join runs in class space (<= keeps self-pairs: twins share
+    exactly the class's rare fps, the same count(*) the per-doc form
+    yields); expansion restores doc pairs."""
     from uw_hadoop_aglorithms_spark.operators.dedup import (
         WINNOW_DF_FRAC,
         WINNOW_MAX_DF,
@@ -915,21 +1029,29 @@ def _winnow_pairs_sql() -> str:
         f"greatest({WINNOW_MAX_DF}, floor({WINNOW_DF_FRAC!r}::DOUBLE"
         f" * (SELECT count(*) FROM documents))::BIGINT)"
     )
+    fp_over_classes = TEXTSTATS_ORACLES["doc_fingerprint"].replace(
+        "FROM documents", "FROM cdocs"
+    )
+    assert "FROM cdocs" in fp_over_classes  # doc_fingerprint shape canary
     return f"""
-        WITH fps AS ({TEXTSTATS_ORACLES["doc_fingerprint"]}),
+        WITH {_DCLS_CTE},
+        fps AS ({fp_over_classes}),
         rare AS (
             SELECT doc_id, fp FROM (
-                SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
-                FROM fps
+                SELECT f.doc_id, f.fp,
+                       sum(c.csize) OVER (PARTITION BY f.fp) AS df
+                FROM fps f JOIN dcls c ON c.rep = f.doc_id
             ) WHERE df <= {cap}
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               count(*) AS n_shared
-        FROM rare a JOIN rare b
-          ON a.fp = b.fp AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-        HAVING count(*) >= {WINNOW_MIN_SHARED}
-        ORDER BY doc_a, doc_b
+        ),
+        cp AS (
+            SELECT a.doc_id AS rep_a, b.doc_id AS rep_b,
+                   count(*) AS n_shared
+            FROM rare a JOIN rare b
+              ON a.fp = b.fp AND a.doc_id <= b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= {WINNOW_MIN_SHARED}
+        ),
+        {_class_expand("cp", "n_shared", "doc_a", "doc_b")}
     """
 
 
@@ -948,8 +1070,16 @@ def _semantic_dedup_sql() -> str:
     dot = _fold_sum(
         "list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])"
     )
+    # class-reduced (round 11, _ECLS_CTE note): k-means TRAINING stays
+    # over all vectors (linear; multiplicity legitimately weights the
+    # centroids), but assignment + the quadratic within-cell cosine run
+    # once per distinct vector — identical vectors get identical probed
+    # cells (distance and the cid tie-break are functions of v), so the
+    # class pair set and every cosine match the per-vec form exactly
     return f"""
         {kmeans_prefix_sql()},
+        {_ECLS_CTE},
+        ce AS (SELECT e.* FROM e JOIN ecls ON ecls.rep = e.vec_id),
         probed AS (
             SELECT vec_id, v, cid FROM (
                 SELECT e.vec_id, e.v, cf.cid,
@@ -957,19 +1087,21 @@ def _semantic_dedup_sql() -> str:
                            PARTITION BY e.vec_id
                            ORDER BY {d}, cf.cid
                        ) AS rn
-                FROM e, c{KM_ITERS} cf
+                FROM ce e, c{KM_ITERS} cf
             ) WHERE rn <= {SEM_PROBES}
         ),
         n AS (
             SELECT vec_id, cid, v,
                    sqrt({_fold_sum('list_transform(v, x -> x * x)')}) AS nrm
             FROM probed
-        )
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {dot} / (a.nrm * b.nrm) AS cosine
-        FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
-        WHERE {dot} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
-        ORDER BY vec_a, vec_b
+        ),
+        cp AS (
+            SELECT DISTINCT a.vec_id AS rep_a, b.vec_id AS rep_b,
+                   {dot} / (a.nrm * b.nrm) AS cosine
+            FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id <= b.vec_id
+            WHERE {dot} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+        ),
+        {_class_expand("cp", "cosine", "vec_a", "vec_b", cls="ecls")}
     """
 
 
@@ -989,8 +1121,13 @@ def _semantic_dedup_scaled_sql(n_cells: int = 64) -> str:
     dot = _fold_sum(
         "list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])"
     )
+    # class-reduced like _semantic_dedup_sql (round 11): the codebook is
+    # a vec_id-selected FIXTURE subset (not content-derived), so it
+    # stays per-vec; assignment + within-cell pairs run per distinct
+    # vector and expand back
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH {_ECLS_CTE},
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM cemb),
         cb AS (
             SELECT vec_id AS cb_id, embedding::DOUBLE[] AS cv FROM embeddings
             WHERE vec_id % {SEM_CB_MOD} = 0
@@ -1010,12 +1147,14 @@ def _semantic_dedup_scaled_sql(n_cells: int = 64) -> str:
             SELECT vec_id, cid, v,
                    sqrt({_fold_sum('list_transform(v, x -> x * x)')}) AS nrm
             FROM probed
-        )
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {dot} / (a.nrm * b.nrm) AS cosine
-        FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
-        WHERE {dot} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
-        ORDER BY vec_a, vec_b
+        ),
+        cp AS (
+            SELECT DISTINCT a.vec_id AS rep_a, b.vec_id AS rep_b,
+                   {dot} / (a.nrm * b.nrm) AS cosine
+            FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id <= b.vec_id
+            WHERE {dot} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+        ),
+        {_class_expand("cp", "cosine", "vec_a", "vec_b", cls="ecls")}
     """
 
 
