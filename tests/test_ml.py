@@ -228,9 +228,12 @@ def test_segmented_replay_invariant_under_segmentation(monkeypatch):
     materialized per-feature weight table instead of a gradient history
     (ml.FOLD_SEGMENTS note). Exactness claim: gradients are exact 2^-40
     multiples, so the regrouped score is bit-identical for ANY segment
-    count. Pin it: force many live segments on the sf0.001 corpus
-    (width floor 5 → ~16 live segments per tag, every boundary shape)
-    and compare the full oracle frame against the shipped
+    count. Pin it: force many live segments on the sf0.001 corpus —
+    BOTH knobs patched, since the generated width w = greatest(ceil(
+    N/FOLD_SEGMENTS), FOLD_MIN_WIDTH) caps live segments at
+    FOLD_SEGMENTS no matter the floor (code-review r11) — 16 segments ×
+    floor 5 exercises 16 chained carried-weight tables and every
+    boundary shape; compare the full oracle frame against the shipped
     configuration's. A single-segment run (width floor 10^9) — the
     pre-round-11 single-fold semantics — must also agree."""
     from tools.canon import lines_of, vhash
@@ -249,6 +252,7 @@ def test_segmented_replay_invariant_under_segmentation(monkeypatch):
         return vhash(lines_of(cols, rows)), len(rows)
 
     shipped = run(ml.ML_ORACLES["spam"])
+    monkeypatch.setattr(ml, "FOLD_SEGMENTS", 16)
     monkeypatch.setattr(ml, "FOLD_MIN_WIDTH", 5)
     many = run(ml._spam_oracle())
     monkeypatch.setattr(ml, "FOLD_MIN_WIDTH", 10**9)

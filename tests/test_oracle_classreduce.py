@@ -308,8 +308,11 @@ def test_cap_and_expansion_structure(con):
         assert sum(
             a in ten_class and b in ten_class for a, b in pairs
         ) == 45
-    # gram-less classes (empty text, single token) appear nowhere
-    gramless = {235, 236, 237, 238}
+    # gram-less classes (empty text ×2 = ids 236-237, single token ×2 =
+    # ids 238-239) appear nowhere — NOT 235, which is the unrelated
+    # full-sentence singleton and has grams (code-review r11: the
+    # previous set was off by one and never checked doc 239)
+    gramless = {236, 237, 238, 239}
     assert not any(a in gramless or b in gramless for a, b in ng_pairs)
 
 

@@ -238,6 +238,16 @@ def main() -> int:
             "flake_harness: no complete run artifacts to compare — "
             "all runs crashed pre-completion or the outdir is empty"
         )
+    if "rows" not in run_fetch:
+        # the per-key stability assertion compares ROWS-fetch hashes
+        # only (the pandas leg is a different canonical form); with
+        # zero surviving rows-fetch runs every key would read as
+        # unstable-with-no-hashes — a phantom flood, not evidence
+        # (code-review r11)
+        raise SystemExit(
+            "flake_harness: no complete ROWS-fetch run artifacts — "
+            "cross-run hash comparison has no evidence base"
+        )
     keys = sorted(set().union(*per_run))
     summary, unstable = {}, []
     for k in keys:

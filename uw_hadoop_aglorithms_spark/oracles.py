@@ -582,27 +582,25 @@ from uw_hadoop_aglorithms_spark.functions.hashing import P as _P
 #: rows-only gap). tests/test_oracle_classreduce.py pins equivalence
 #: against the naive quadratic forms on adversarial fixtures.
 _DCLS_CTE = """
-    dcls AS (
+    dcls AS MATERIALIZED (
         SELECT min(doc_id) AS rep, count(*) AS csize,
-               list_sort(list(doc_id)) AS ids
+               list_sort(list(doc_id)) AS ids, text
         FROM documents GROUP BY text
     ),
-    cdocs AS (
-        SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
-    )
+    cdocs AS (SELECT rep AS doc_id, text FROM dcls)
 """
 
-#: embeddings analogue: classes of byte-identical vectors
+#: embeddings analogue: classes of byte-identical vectors. Both
+#: prefixes aggregate the corpus ONCE (cdocs/cemb project off the
+#: MATERIALIZED class table rather than re-grouping the scan —
+#: code-review r11).
 _ECLS_CTE = """
-    ecls AS (
+    ecls AS MATERIALIZED (
         SELECT min(vec_id) AS rep, count(*) AS csize,
-               list_sort(list(vec_id)) AS ids
+               list_sort(list(vec_id)) AS ids, embedding
         FROM embeddings GROUP BY embedding
     ),
-    cemb AS (
-        SELECT min(vec_id) AS vec_id, embedding
-        FROM embeddings GROUP BY embedding
-    )
+    cemb AS (SELECT rep AS vec_id, embedding FROM ecls)
 """
 
 
