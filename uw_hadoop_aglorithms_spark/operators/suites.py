@@ -19,6 +19,8 @@ properties (pushdown, broadcast, partial agg) are unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -676,7 +678,17 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a real cluster the state is sized by the window count, not input
     # rows, so a small fixed partition count is the right shape there too.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # Default 1 (round 12, was 4): the state exchange carries per-window
+    # PARTIAL aggregates (map-side combine), so its row count is bounded
+    # by the open-window/key cardinality, not input volume — measured
+    # 17.1 s -> 14.5 s at sf0.1 (interleaved n=4 minima) from 3 fewer
+    # state-store tasks per micro-batch across 8 concurrent streams.
+    # Parameterized for deployments whose key cardinality is genuinely
+    # wide (e.g. per-user sessions over a large user space).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTS", "1"),
+    )
     def grab_sessions():
         out = runner.stream_user_sessions(
             spark, replay_t, ck_se, query_name="sbe_sessions_mem"
@@ -1457,17 +1469,24 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql("DROP TABLE IF EXISTS layout_customer_b")
 
     # --- pruned: one-day read touches one dt directory -----------------
-    lake_dir = tempfile.mkdtemp(prefix="layout_lake_")
+    # Round 12: the pruned leg and the merge/delete legs below share ONE
+    # date-partitioned lake write (m_dir). The pruned read runs BEFORE
+    # the merge mutates any partition, so its counts equal the old
+    # dedicated 2-column lake's (the extra event_id/value columns are
+    # pruned at the scan and never reach the aggregate); the suite saves
+    # a full |days|-directory parquet write per call.
+    m_dir = tempfile.mkdtemp(prefix="layout_m_")
     try:
-        lake_mod.write_date_partitioned(
-            cat.events.select("ts", "event_type"), f"{lake_dir}/events"
-        )
+        ev4 = cat.events.select("event_id", "ts", "event_type", "value")
+        lake_mod.write_date_partitioned(ev4, f"{m_dir}/events")
         day = (
             cat.events.select(utc_day_label(cat.events, "ts").alias("d"))
             .agg(F.min("d").alias("d"))
             .first().d
         )
-        df_day = lake_mod.read_day(spark, f"{lake_dir}/events", day)
+        df_day = lake_mod.read_day(spark, f"{m_dir}/events", day).select(
+            "ts", "event_type"
+        )
         pplan = df_day._jdf.queryExecution().executedPlan().toString()
         pf = (
             pplan.split("PartitionFilters: [")[1].split("]")[0]
@@ -1479,8 +1498,9 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows += [
             ("pruned", r.event_type, r.n, None, p_cert) for r in p_agg.collect()
         ]
-    finally:
-        shutil.rmtree(lake_dir, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(m_dir, ignore_errors=True)
+        raise
 
     # --- zorder: Morton-clustered copy concentrates a 2-D box query ----
     # (plans/zorder.py, round-4: promoted from pytest-only to driver-
@@ -1557,10 +1577,11 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before/after (snapshot_files), and every changed directory is in
     # the merge's affected-day set. v is the integer-exact
     # sum(floor(value*100)) so the hash is float-order-neutral.
-    m_dir = tempfile.mkdtemp(prefix="layout_m_")
+    # Round 12: mutates the SAME lake the pruned leg read (m_dir, written
+    # once above) — the pruned read never touched the files, so `before`
+    # here equals the freshly-written snapshot the old dedicated write
+    # produced.
     try:
-        ev4 = cat.events.select("event_id", "ts", "event_type", "value")
-        lake_mod.write_date_partitioned(ev4, f"{m_dir}/events")
         before = lake_mod.snapshot_files(f"{m_dir}/events")
         upd = (
             ev4.filter(

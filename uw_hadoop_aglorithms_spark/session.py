@@ -18,6 +18,16 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+#: AQE coalescing floor (round 12): the default 1m floor coalesces any
+#: sub-32MB shuffle to ONE post-shuffle partition (parallelismFirst's
+#: target is max(total/parallelism, minPartitionSize)), serializing the
+#: CPU-heavy post-shuffle stages of the text/dedup operators whenever
+#: the shuffled bytes are small — measured 4.5 s -> 2.8 s on
+#: minhash_lsh_dedup at sf0.1 (interleaved n=5 minima). Scale-neutral:
+#: at cluster scale the 64MB advisory target governs coalescing long
+#: before a 64k floor matters; the floor only stops a small shuffle
+#: from collapsing below the cluster's parallelism.
+DEFAULT_AQE_MIN_PARTITION = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k")
 #: local-mode JVM heap: in local[*] the "executors" live inside the driver
 #: JVM, so the default 1g heap GC-thrashes under cached state + 32 task
 #: threads. On a real cluster the launcher sizes executors instead.
@@ -48,6 +58,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            DEFAULT_AQE_MIN_PARTITION,
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -48,9 +48,18 @@ class Catalog:
             if name == "events":
                 self._cache[name] = self._load_events()
             else:
-                self._cache[name] = self.spark.read.parquet(
-                    f"{self.sf_dir}/{name}.parquet"
-                )
+                # Explicit declared schema (round 12): a bare
+                # read.parquet() infers the schema by listing the path
+                # and reading a footer on EVERY call — ~90 ms/table
+                # measured at sf0.1, paid once per Catalog instance per
+                # table, i.e. per registered query. The schemas are
+                # already declared (TABLE_SCHEMAS) and drift is still
+                # caught by validate_schemas(), which inference-reads on
+                # purpose. `events` keeps inference: its ts physical
+                # type varies (_load_events branches on it).
+                self._cache[name] = self.spark.read.schema(
+                    TABLE_SCHEMAS[name]
+                ).parquet(f"{self.sf_dir}/{name}.parquet")
         return self._cache[name]
 
     def _load_events(self) -> DataFrame:
@@ -122,7 +131,16 @@ class Catalog:
         """
         problems: list[str] = []
         for name, expected in TABLE_SCHEMAS.items():
-            actual = self.table(name).schema
+            # inference read on purpose: table() now applies the declared
+            # schema, which would make this check vacuous for non-events
+            # tables — drift must be read off the parquet footer itself
+            actual = (
+                self.table(name).schema
+                if name == "events"
+                else self.spark.read.parquet(
+                    f"{self.sf_dir}/{name}.parquet"
+                ).schema
+            )
             got = [(f.name, f.dataType.simpleString()) for f in actual.fields]
             want = [(f.name, f.dataType.simpleString()) for f in expected.fields]
             if got != want:
