@@ -1079,3 +1079,49 @@ def test_incremental_hot_band_buckets_expose_gated_keys(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_hsets")
+
+
+def test_hsets_pandas_kernel_matches_catalyst(spark):
+    """Round-12 optimization pin: the Arrow-batched mapInPandas hset
+    kernel (hsets_from_docs) must be BYTE-identical — ids, hash values,
+    and first-occurrence array order — to the pure-Catalyst reference
+    it replaced (hsets_from_docs_catalyst). Any tokenizer/fold drift
+    between Python and the JVM surfaces here before the driver's
+    value-hash does."""
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    got = {
+        r.doc_id: list(r.hs) for r in dedup.hsets_from_docs(docs).collect()
+    }
+    want = {
+        r.doc_id: list(r.hs)
+        for r in dedup.hsets_from_docs_catalyst(docs).collect()
+    }
+    assert got == want
+    # degenerate inputs: empty text, single token, None
+    odd = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, None), (4, "a b a b")],
+        "doc_id long, text string",
+    )
+    got_odd = {
+        r.doc_id: (None if r.hs is None else list(r.hs))
+        for r in dedup.hsets_from_docs(odd).collect()
+    }
+    want_odd = {
+        r.doc_id: (None if r.hs is None else list(r.hs))
+        for r in dedup.hsets_from_docs_catalyst(odd).collect()
+    }
+    assert got_odd == want_odd
+    assert want_odd[3] is None, "NULL text must stay NULL, not []"
+
+
+def test_grams_pandas_kernel_matches_catalyst(spark):
+    """Round-12 pin for the string-shingle kernel (same contract as the
+    hsets pin above: ids, gram strings, first-occurrence order)."""
+    got = {
+        r.doc_id: list(r.gs) for r in dedup._grams(spark, SF_TEST).collect()
+    }
+    want = {
+        r.doc_id: list(r.gs)
+        for r in dedup._grams_catalyst(spark, SF_TEST).collect()
+    }
+    assert got == want

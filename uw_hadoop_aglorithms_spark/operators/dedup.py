@@ -104,13 +104,53 @@ def _guard_brute(n: int, name: str, alternative: str) -> None:
         )
 
 
+def _grams_batches(batches):
+    """mapInPandas kernel for _grams — the string-shingle analog of
+    _hsets_batches (same tokenizer, same first-occurrence distinct,
+    NULL text stays NULL; pinned against the Catalyst reference in
+    tests/test_dedup.py)."""
+    import re
+
+    import pandas as pd
+
+    tok = re.compile(r"[^a-z0-9']+")
+    for pdf in batches:
+        ids, gss = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                ids.append(doc_id)
+                gss.append(None)
+                continue
+            toks = [w for w in tok.split(text.lower()) if w]
+            seen: set = set()
+            gs = []
+            for a, b in zip(toks, toks[1:]):
+                g = f"{a} {b}"
+                if g not in seen:
+                    seen.add(g)
+                    gs.append(g)
+            ids.append(doc_id)
+            gss.append(gs)
+        yield pd.DataFrame({"doc_id": ids, "gs": gss})
+
+
 def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, gs: array<string>) — distinct word-bigram shingles.
 
-    Per-char hash folds are interpreter-bound CPU, so the scan is spread
-    across cores when (and only when) the input is under-parallel — see
-    plans/layout.spread_for_cpu for why this must not be unconditional
-    at lake scale."""
+    Round 12: Arrow-batched mapInPandas (the hsets_from_docs rationale —
+    interpreted HOF lambdas dominated; measured ngram_jaccard_pairs
+    2.67 → 2.18 s at sf0.1, interleaved n=4 minima, values identical).
+    The scan is spread across cores when (and only when) the input is
+    under-parallel — see plans/layout.spread_for_cpu for why this must
+    not be unconditional at lake scale."""
+    docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
+    return docs.select("doc_id", "text").mapInPandas(
+        _grams_batches, "doc_id long, gs array<string>"
+    )
+
+
+def _grams_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-round-12 pure-Catalyst _grams — parity reference for tests."""
     docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
     ts = tokens("text")
     n = F.greatest(F.size(ts) - F.lit(1), F.lit(0))
@@ -150,9 +190,79 @@ def _gram_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hsets_from_docs(docs)
 
 
+#: Python-side tokenizer for _hsets_batches — same class as
+#: functions/text.TOKEN_SEP, anchored character-for-character.
+_TOK_RE = None
+
+
+def _hsets_batches(batches):
+    """mapInPandas kernel for hsets_from_docs: per doc, tokenize →
+    polyhash each token → 31-ary-combine adjacent token hashes →
+    first-occurrence-distinct. Bit-identical to the Catalyst form
+    (verified row-for-row at sf0.001/0.01/0.1, tests/test_dedup.py):
+    same lowercase, same [^a-z0-9']+ split, same (acc*31 + codepoint)
+    % P fold (ord == F.ascii for every code point the split emits), same
+    pair combine, and array_distinct's keep-first-occurrence order.
+    Module-level (not a closure) so reused Python workers keep the
+    compiled regex across tasks (guide §4.5 shape)."""
+    import re
+
+    import pandas as pd
+
+    global _TOK_RE
+    if _TOK_RE is None:
+        _TOK_RE = re.compile(r"[^a-z0-9']+")
+    for pdf in batches:
+        out_ids, out_hs = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                # Catalyst propagates NULL text to NULL hs (tokens(NULL)
+                # is NULL, not []) — mirror it exactly
+                out_ids.append(doc_id)
+                out_hs.append(None)
+                continue
+            toks = [w for w in _TOK_RE.split(text.lower()) if w]
+            th = []
+            for w in toks:
+                acc = 0
+                for ch in w:
+                    acc = (acc * 31 + ord(ch)) % P
+                th.append(acc)
+            seen: set = set()
+            hs = []
+            for a, b in zip(th, th[1:]):
+                h = (a * 31 + b) % P
+                if h not in seen:
+                    seen.add(h)
+                    hs.append(h)
+            out_ids.append(doc_id)
+            out_hs.append(hs)
+        yield pd.DataFrame({"doc_id": out_ids, "hs": out_hs})
+
+
 def hsets_from_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, hs) from any (doc_id, text, …) frame — the reusable core
-    of _gram_hash_sets (shared with the incremental index path)."""
+    of _gram_hash_sets (shared with the incremental index path).
+
+    Round 12: Arrow-batched mapInPandas instead of the Catalyst
+    transform/zip_with/array_distinct chain. Higher-order-function
+    lambdas evaluate INTERPRETED per element, so the per-char polyhash
+    fold was the dominant CPU of every hset consumer; the Python kernel
+    (a tight bytecode loop over the same arithmetic) measured
+    minhash_lsh_dedup 3.75 → 2.76 s and simhash_dedup 6.93 → 3.14 s at
+    sf0.1 (interleaved n=4 minima), values byte-identical. Only doc_id
+    and text cross the boundary (explicit select — guide §4.1), and the
+    work stays map-side with no shuffle, so the 100 TB shape is
+    unchanged: scan-bound, linear, partition-local."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _hsets_batches, "doc_id long, hs array<long>"
+    )
+
+
+def hsets_from_docs_catalyst(docs: DataFrame) -> DataFrame:
+    """The pre-round-12 pure-Catalyst form, kept as the parity reference
+    for tests (tests/test_dedup.py pins mapInPandas == Catalyst on the
+    fixtures) and as the fallback for Python-less deployments."""
     ts = tokens("text")
     th = F.transform(ts, lambda t: polyhash(t))
     n = F.greatest(F.size(th) - F.lit(1), F.lit(0))

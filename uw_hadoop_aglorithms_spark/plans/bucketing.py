@@ -17,6 +17,7 @@ planner integration.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 8
 
@@ -41,7 +42,15 @@ def write_bucketed(
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(f"{warehouse}/{table_name}", ignore_errors=True)
     (
-        df.write.mode("overwrite")
+        # pre-cluster rows into their bucket before writing (round 12):
+        # bucketBy emits one file per (task, bucket), so an N-partition
+        # frame writes up to N×buckets fragments; repartitioning on the
+        # key to `buckets` partitions aligns tasks with buckets (same
+        # Murmur3 hash both places) and lands ONE file per bucket — the
+        # _write_cells file-count discipline applied to bucketed tables.
+        # Same rows, same bucket spec, fewer files and commit ops.
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
         .bucketBy(buckets, key)
         .sortBy(key)
         .format("parquet")
@@ -69,7 +78,10 @@ def append_bucketed(
     exchange-free without rewriting history. The bucket spec must match
     the table's (Spark refuses a mismatch, which is the guard)."""
     (
-        df.write.mode("append")
+        # same pre-clustering as write_bucketed: one file per bucket per
+        # append instead of |tasks|×|buckets| fragments
+        df.repartition(buckets, F.col(key))
+        .write.mode("append")
         .bucketBy(buckets, key)
         .sortBy(key)
         .format("parquet")

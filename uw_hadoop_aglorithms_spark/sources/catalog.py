@@ -60,6 +60,16 @@ class Catalog:
                 self._cache[name] = self.spark.read.schema(
                     TABLE_SCHEMAS[name]
                 ).parquet(f"{self.sf_dir}/{name}.parquet")
+            # local input size rides along so plans/layout.spread_for_cpu
+            # can decide under-parallelism without planning the query
+            # twice (no-op for non-local paths)
+            from uw_hadoop_aglorithms_spark.plans.layout import (
+                attach_size_hint,
+            )
+
+            attach_size_hint(
+                self._cache[name], f"{self.sf_dir}/{name}.parquet"
+            )
         return self._cache[name]
 
     def _load_events(self) -> DataFrame:
