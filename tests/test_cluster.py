@@ -31,3 +31,25 @@ def test_kmeans_assignment_improves_on_init(spark):
     )
     final = cluster.kmeans_clusters(spark, SF_TEST).agg(F.sum("inertia")).first()[0]
     assert final <= init_inertia + 1e-6
+
+
+def test_assign_frame_matches_catalyst(spark):
+    """Round-12 pin: the numpy assign kernel (_assign_frame) must emit
+    the same (cid, dist) per vector as the Catalyst struct-min fold it
+    replaced — including the equal-distance tie to the LOWER cid and
+    the bit-exact left-to-right (x−c)² accumulation."""
+    from pyspark.sql import functions as F
+
+    vecs = cluster._vectors(spark, SF_TEST)
+    cents = cluster._init_centroids(spark, SF_TEST)
+    got = {
+        r.vec_id: (r.cid, r.dist)
+        for r in cluster._assign_frame(vecs, cents).collect()
+    }
+    ref = {
+        r.vec_id: (r.a.cid, r.a.dist)
+        for r in vecs.select(
+            "vec_id", cluster._assign(F.col("v"), cents).alias("a")
+        ).collect()
+    }
+    assert got == ref
