@@ -328,3 +328,119 @@ def test_filtered_ann_pre_filter_semantics(spark):
         "with 10 balanced labels, post-filtering the unfiltered top-10 "
         "must starve at least one query below the pre-filter's k"
     )
+
+
+# --- round-13 kernel parity pins ------------------------------------------------
+# The scoring/encode kernels must be BYTE-identical (ids, ranks, cosine
+# doubles) to the round-12 Catalyst forms they replaced — the
+# cluster._assign_frame discipline applied to the ANN family.
+
+
+def _rows_key(rows):
+    return [
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in rows
+    ]
+
+
+def test_brute_kernel_matches_catalyst(spark):
+    got = similarity.ann_brute_topk(spark, SF_TEST).collect()
+    want = similarity.ann_brute_topk_catalyst(spark, SF_TEST).collect()
+    assert _rows_key(got) == _rows_key(want)
+
+
+def test_lsh_kernel_matches_catalyst(spark):
+    got = similarity.ann_lsh_topk(spark, SF_TEST).collect()
+    want = similarity.ann_lsh_topk_catalyst(spark, SF_TEST).collect()
+    assert _rows_key(got) == _rows_key(want)
+
+
+def test_ivf_kernel_matches_catalyst(spark):
+    got = similarity.ann_ivf_topk(spark, SF_TEST).collect()
+    want = similarity._ivf_probe_topk_catalyst(spark, SF_TEST).collect()
+    assert _rows_key(got) == _rows_key(want)
+
+
+def test_filtered_kernel_matches_catalyst(spark):
+    got = similarity.ann_ivf_filtered_topk(spark, SF_TEST).collect()
+    want = similarity._ivf_probe_topk_catalyst(
+        spark, SF_TEST, match_cols=("label",)
+    ).collect()
+    assert _rows_key(got) == _rows_key(want)
+
+
+def test_pq_encode_kernel_matches_catalyst(spark):
+    """Codes (ints), recon2 (fold doubles) and nrm must be bit-identical
+    to the Catalyst enc exprs they replaced."""
+    cb = similarity._pq_codebook(spark, SF_TEST)
+    got = {
+        r.vec_id: (
+            [r[f"c{m}"] for m in range(similarity.PQ_M)], r.recon2, r.nrm
+        )
+        for r in similarity._pq_encode_frame(
+            similarity._vec_scan(spark, SF_TEST), cb
+        ).collect()
+    }
+    emb = similarity._normed(spark, SF_TEST)
+    enc = emb.selectExpr("*", *similarity._pq_enc_exprs(cb))
+    enc = enc.selectExpr("*", similarity._pq_recon_expr(cb))
+    want = {
+        r.vec_id: (
+            [r[f"c{m}"] for m in range(similarity.PQ_M)], r.recon2, r.nrm
+        )
+        for r in enc.collect()
+    }
+    assert got == want
+
+
+def test_assign_cells_kernel_matches_catalyst(spark):
+    from pyspark.sql import functions as F
+
+    cents = similarity._ivf_centroids(spark, SF_TEST)
+    emb = similarity._normed(spark, SF_TEST)
+    got = {
+        r.vec_id: r.cell
+        for r in similarity._assign_cells_frame(emb, cents).collect()
+    }
+    want = {
+        r.vec_id: r.cell
+        for r in emb.withColumn(
+            "cell",
+            -F.array_max(
+                similarity._ivf_assign_structs(F.col("v"), F.col("nrm"), cents)
+            )["nj"],
+        ).collect()
+    }
+    assert got == want
+
+
+def test_persisted_index_kernels_match_catalyst(spark):
+    """Build one IVF index and one IVF-ADC index; the kernel query paths
+    must equal the retained Catalyst query paths row for row."""
+    from pyspark.sql import functions as F
+
+    cents = similarity._ivf_centroids(spark, SF_TEST)
+    emb = similarity._normed(spark, SF_TEST)
+    pfx = _uniq("r13_idx")
+    try:
+        similarity.save_ann_index(spark, emb, pfx, cents)
+        got = similarity.ann_index_topk(spark, SF_TEST, pfx).collect()
+        want = similarity.ann_index_topk_catalyst(
+            spark, SF_TEST, pfx
+        ).collect()
+        assert _rows_key(got) == _rows_key(want)
+    finally:
+        for t in (f"{pfx}_cells", f"{pfx}_centroids",
+                  f"{pfx}_cells_tombstones"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    pfx2 = _uniq("r13_pq")
+    try:
+        similarity.save_pq_index(spark, SF_TEST, pfx2)
+        got = similarity.ann_ivfpq_topk(spark, SF_TEST, pfx2).collect()
+        want = similarity.ann_ivfpq_topk_catalyst(
+            spark, SF_TEST, pfx2
+        ).collect()
+        assert _rows_key(got) == _rows_key(want)
+    finally:
+        for t in (f"{pfx2}_pqcodes", f"{pfx2}_centroids", f"{pfx2}_pqcb"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.functions.text import TOKENS_SQL, tokens
 from uw_hadoop_aglorithms_spark.operators.graph import _loop_shuffle_partitions
+from uw_hadoop_aglorithms_spark.plans.layout import shared_frame
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 
 #: Merge rules to learn; bounded model state (one rule per iteration).
@@ -386,15 +387,20 @@ def bpe_suite_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(2) as pool:
+        # shared_frame (round 13): same eager materialization, plus the
+        # env-gated DISK_ONLY_2 mode for cluster fault tolerance
         f_enc = pool.submit(
-            lambda: _enc_rows(
-                encode_words(top_words, merges), "bpe_encode"
-            ).localCheckpoint(eager=True)
+            lambda: shared_frame(
+                _enc_rows(encode_words(top_words, merges), "bpe_encode")
+            )
         )
         f_bc = pool.submit(
-            lambda: _enc_rows(
-                encode_words_broadcast(top_words, merges), "bpe_encode_bcast"
-            ).localCheckpoint(eager=True)
+            lambda: shared_frame(
+                _enc_rows(
+                    encode_words_broadcast(top_words, merges),
+                    "bpe_encode_bcast",
+                )
+            )
         )
         enc, enc_bc = f_enc.result(), f_bc.result()
     return mdf.unionAll(vocab).unionAll(enc).unionAll(enc_bc)

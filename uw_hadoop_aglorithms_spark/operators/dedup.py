@@ -39,8 +39,9 @@ from pyspark.sql.window import Window
 
 from uw_hadoop_aglorithms_spark.functions.hashing import P, bucket, polyhash, uhash
 from uw_hadoop_aglorithms_spark.functions.text import tokens
-from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
+from uw_hadoop_aglorithms_spark.plans.layout import shared_frame, spread_for_cpu
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
+from uw_hadoop_aglorithms_spark.session import dedup_tuned_session
 
 #: Near-dup Jaccard threshold (word-bigram shingles).
 JACCARD_THRESHOLD = 0.8
@@ -312,6 +313,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is an int/int double division: bit-identical in DuckDB, so
     no rounding is needed for oracle parity.
     """
+    # round 13: dedup-scoped AQE floor via a child session (see
+    # session.dedup_tuned_session) — thread-safe, off for every
+    # non-dedup operator
+    spark = dedup_tuned_session(spark)
     _guard_brute(
         Catalog(spark, sf_dir).documents.count(),
         "ngram_jaccard_pairs",
@@ -323,11 +328,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializing once restores single execution (14 → 10 stages,
     # 3.17 → 2.93 s interleaved minima). Blocks are freed by the
     # ContextCleaner when the frame's Python ref dies.
-    grams = _grams(spark, sf_dir).localCheckpoint(eager=True)
+    grams = shared_frame(_grams(spark, sf_dir))
     sizes = grams.select("doc_id", F.size("gs").alias("n"))
     sh = grams.select("doc_id", F.explode("gs").alias("g"))
+    # MERGE-pinned (round 13, VERDICT r12 §What's wrong 3): the exploded
+    # shingle side is corpus-sized, so a broadcast of it never survives
+    # scale — yet with honest materialized-size stats from the
+    # checkpointed gram frame, AQE re-chose BroadcastHashJoin at sf0.1
+    # depending on the run (a per-run lottery that showed up as bimodal
+    # suite wall-clock). The explicit hint opts the self-join out of
+    # dynamic broadcast conversion: the documented shuffle-on-shingle-key
+    # plan, deterministic across hosts AND the only shape that survives
+    # 100 TB (the pagerank state-join precedent).
     inter = (
-        sh.alias("a")
+        sh.alias("a").hint("merge")
         .join(sh.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
@@ -469,6 +483,10 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; inert at verified SFs) — and the corpus is tokenized ONCE
     (the cached hash-set table feeds signatures AND verification).
     """
+    # round 13: dedup-scoped AQE floor via a child session (see
+    # session.dedup_tuned_session) — thread-safe, off for every
+    # non-dedup operator
+    spark = dedup_tuned_session(spark)
     docs = spread_for_cpu(Catalog(spark, sf_dir).documents, "doc_id")
     return minhash_pairs_from_docs(docs)
 
@@ -483,7 +501,7 @@ def minhash_pairs_from_docs(
     # consume the hset pipeline, and the mapInPandas subtree defeats the
     # exchange-reuse a cached Catalyst subtree used to get (16 → 10
     # stages, shuffle −7%, wall flat — measured interleaved n=5).
-    hsets = hsets_from_docs(docs).localCheckpoint(eager=True)
+    hsets = shared_frame(hsets_from_docs(docs))
     bands = bands_from_hsets(hsets)
     if bucket_cap is not None:
         bands = capped_bands(bands, bucket_cap)
@@ -951,6 +969,10 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is EXACTLY "all pairs at hamming <= 3" and the oracle can
     verify with a plain quadratic scan at sf0.01.
     """
+    # round 13: dedup-scoped AQE floor via a child session (see
+    # session.dedup_tuned_session) — thread-safe, off for every
+    # non-dedup operator
+    spark = dedup_tuned_session(spark)
     hashed = _exploded_gram_hashes(spark, sf_dir).select(
         "doc_id",
         uhash(F.col("ph"), SIMHASH_MEMBER).alias("g"),

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uw_hadoop_aglorithms_spark.functions.hashing import P, hash_params
-from uw_hadoop_aglorithms_spark.plans.layout import spread_for_cpu
+from uw_hadoop_aglorithms_spark.plans.layout import shared_frame, spread_for_cpu
 from uw_hadoop_aglorithms_spark.sources.catalog import Catalog
 from uw_hadoop_aglorithms_spark.functions.rounding import fround
 
@@ -128,7 +128,459 @@ def _cosine(a: str, b: str) -> Column:
     return dot / (F.col(f"{a}.nrm") * F.col(f"{b}.nrm"))
 
 
+
+
+# --- round-13 Arrow/numpy scoring + encode kernels (guide §4.2) ---------------
+#
+# The interpreted HOF folds (64-dim dots/norms per pair, the K×D cell
+# assign, the M×K×SUBDIM PQ encode) dominated every ANN member's CPU at
+# sf0.1 (member probe: brute 3.9 s, pq 4.0-4.8 s, ivf 3.0-3.4 s serial).
+# The cluster._assign_frame recipe applies: explicit per-dimension
+# `acc = acc + term` numpy accumulation reproduces the identical
+# left-to-right IEEE fold; np.argmin/argmax take the FIRST extreme,
+# matching the struct-min/max tie-breaks; np.sqrt == Math.sqrt
+# (correctly rounded); IEEE multiplication is commutative so
+# qn*cn == the Catalyst (a.nrm * b.nrm) grouping bit-for-bit.
+#
+# Query sets are BOUNDED (<= ANN_MAX_QUERIES — the long-standing
+# broadcast argument), so collecting them to the driver is the same
+# bounded load as the _ivf_centroids codebook collect; per-query probe
+# cells / LSH probe buckets / ADC tables are computed driver-side with
+# the exact engine fold order, and the corpus side streams MAP-SIDE
+# through one mapInPandas whose candidate masks keep per-query work
+# proportional to the probed fraction — the members' scale contracts
+# are unchanged (the Catalyst forms remain below as parity references,
+# pinned in tests/test_similarity.py).
+
+
+def _norm_py(v) -> float:
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _dot_py(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _vec_scan(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    return spread_for_cpu(Catalog(spark, sf_dir).embeddings, "vec_id").select(
+        "vec_id",
+        *extra_cols,
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+
+
+def _collect_queries(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> list[dict]:
+    """The bounded query-set load: <= ANN_MAX_QUERIES rows by _is_query's
+    id cap, collected once per member (the scan prunes on vec_id via
+    PushedFilters). Norms fold driver-side in the exact engine order."""
+    rows = (
+        _vec_scan(spark, sf_dir, extra_cols)
+        .filter(_is_query(F.col("vec_id")))
+        .collect()
+    )
+    return [
+        {
+            "qid": int(r.vec_id),
+            "v": list(r.v),
+            "nrm": _norm_py(r.v),
+            **{c: r[c] for c in extra_cols},
+        }
+        for r in rows
+    ]
+
+
+def _query_probe_cells(qv, qn, cents, nprobe: int = IVF_NPROBE) -> list[int]:
+    """Top-nprobe cells by (cosine DESC, idx ASC) — the driver-side
+    mirror of reverse(array_sort(_ivf_assign_structs(...)))[:nprobe]."""
+    scored = [
+        (_dot_py(qv, cvec) / (qn * cnorm), -idx) for idx, cvec, cnorm in cents
+    ]
+    scored.sort(reverse=True)
+    return [-nj for _c, nj in scored[:nprobe]]
+
+
+def _query_lsh_probes(qv) -> list[int]:
+    """Own bucket + hamming-1 buckets, driver-side (_bucket mirror)."""
+    b = 0
+    for p, plane in enumerate(hyperplanes()):
+        if _dot_py(qv, plane) > 0:
+            b += 1 << p
+    return [b ^ m for m in PROBE_MASKS]
+
+
+_SCORE_SCHEMA = "query_id long, neighbor_id long, cosine double"
+
+
+def _scored_pairs_kernel(
+    vecs: DataFrame,
+    queries: list[dict],
+    mode: str,
+    cents=None,
+    label_match: bool = False,
+) -> DataFrame:
+    """(vec_id[, label][, cell][, nrm], v) → (query_id, neighbor_id,
+    cosine) for the member's candidate pairs, map-side.
+
+    mode='all'    every pair but self (brute);
+    mode='bucket' corpus LSH bucket ∈ q.probes (computed in-kernel);
+    mode='cell'   corpus IVF cell ∈ q.probes (computed in-kernel from
+                  `cents`, or read from a stored `cell` column when the
+                  frame carries one — the persisted-index path);
+    label_match   additionally require label equality (filtered member).
+
+    Per-query work is masked to its candidates, so the kernel does the
+    same number of pair scores as the joins it replaces."""
+    import numpy as np
+    import pandas as pd
+
+    qm = [q["v"] for q in queries]
+    qn = [q["nrm"] for q in queries]
+    qids = [q["qid"] for q in queries]
+    qprobes = [sorted(q.get("probes", ())) for q in queries]
+    qlabels = [q.get("label") for q in queries]
+    planes = hyperplanes() if mode == "bucket" else None
+    clist = (
+        [(int(i), list(cv), float(cn)) for i, cv, cn in cents]
+        if cents is not None
+        else None
+    )
+    has_cell_col = "cell" in vecs.columns
+    has_nrm_col = "nrm" in vecs.columns
+
+    def fn(batches):
+        qma = np.asarray(qm, dtype=np.float64)
+        qna = np.asarray(qn, dtype=np.float64)
+        empty = pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or not qids:
+                yield empty
+                continue
+            vm = np.asarray(
+                [list(x) for x in pdf["v"]], dtype=np.float64
+            ).reshape(n, -1)
+            d = vm.shape[1]
+            cid = pdf["vec_id"].to_numpy()
+            if has_nrm_col:
+                cn_arr = pdf["nrm"].to_numpy(dtype=np.float64)
+            else:
+                acc = np.zeros(n)
+                for j in range(d):
+                    acc = acc + vm[:, j] * vm[:, j]
+                cn_arr = np.sqrt(acc)
+            key = None
+            if mode == "bucket":
+                key = np.zeros(n, dtype=np.int64)
+                for p, plane in enumerate(planes):
+                    dacc = np.zeros(n)
+                    for j in range(d):
+                        dacc = dacc + vm[:, j] * plane[j]
+                    key = key + np.where(dacc > 0, 1 << p, 0)
+            elif mode == "cell":
+                if has_cell_col:
+                    key = pdf["cell"].to_numpy()
+                else:
+                    k = len(clist)
+                    cos = np.empty((n, k))
+                    for ki, (_i, cvec, cnorm) in enumerate(clist):
+                        dacc = np.zeros(n)
+                        for j in range(d):
+                            dacc = dacc + vm[:, j] * cvec[j]
+                        cos[:, ki] = dacc / (cn_arr * cnorm)
+                    key = np.argmax(cos, axis=1)
+            labels = pdf["label"].to_numpy() if label_match else None
+            out = []
+            for qi in range(len(qids)):
+                if label_match and qlabels[qi] is None:
+                    # SQL NULL = NULL is never true — a NULL-label query
+                    # has no candidates in the join form; mirror it
+                    continue
+                mask = cid != qids[qi]
+                if mode != "all":
+                    mask &= np.isin(key, qprobes[qi])
+                if label_match:
+                    mask &= labels == qlabels[qi]
+                idxs = np.nonzero(mask)[0]
+                if idxs.size == 0:
+                    continue
+                sub = vm[idxs]
+                dacc = np.zeros(idxs.size)
+                for j in range(d):
+                    dacc = dacc + sub[:, j] * qma[qi, j]
+                cosv = dacc / (qna[qi] * cn_arr[idxs])
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": np.full(idxs.size, qids[qi], dtype=np.int64),
+                         "neighbor_id": cid[idxs].astype(np.int64),
+                         "cosine": cosv}
+                    )
+                )
+            yield pd.concat(out) if out else empty
+
+    return vecs.mapInPandas(fn, _SCORE_SCHEMA)
+
+
+def _pair_topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _assign_cells_frame(vectors: DataFrame, cents) -> DataFrame:
+    """(vec_id, v, nrm) → (vec_id, v, nrm, cell): the IVF cell assign as
+    a numpy kernel (replaces the K×D interpreted _ivf_assign_structs
+    fold on the persisted-index build/extend paths). np.argmax takes the
+    first maximum == the lower idx, matching array_max's (c DESC,
+    nj=-idx) struct tie-break; the stored nrm column is reused so the
+    cosines are the identical doubles."""
+    clist = [(int(i), list(cv), float(cn)) for i, cv, cn in cents]
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype="int64"), "v": [],
+                     "nrm": pd.Series([], dtype="float64"),
+                     "cell": pd.Series([], dtype="int32")}
+                )
+                continue
+            vm = np.asarray(
+                [list(x) for x in pdf["v"]], dtype=np.float64
+            ).reshape(n, -1)
+            d = vm.shape[1]
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            k = len(clist)
+            cos = np.empty((n, k))
+            for ki, (_i, cvec, cnorm) in enumerate(clist):
+                dacc = np.zeros(n)
+                for j in range(d):
+                    dacc = dacc + vm[:, j] * cvec[j]
+                cos[:, ki] = dacc / (nrm * cnorm)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "v": pdf["v"], "nrm": pdf["nrm"],
+                 "cell": np.argmax(cos, axis=1).astype("int32")}
+            )
+
+    return vectors.mapInPandas(
+        fn, "vec_id long, v array<double>, nrm double, cell int"
+    )
+
+
+def _pq_sub_norm2(cb) -> list[list[float]]:
+    """n2[m][k] — the reconstruction norm² table _pq_recon_expr embeds,
+    computed with the identical Python left folds."""
+    out = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUBDIM
+        row = []
+        for k in range(len(cb)):
+            acc = 0.0
+            for x in cb[k][lo:lo + PQ_SUBDIM]:
+                acc = acc + x * x
+            row.append(acc)
+        out.append(row)
+    return out
+
+
+def _pq_encode_frame(vectors: DataFrame, cb, cents=None) -> DataFrame:
+    """(vec_id, v[, nrm]) → (vec_id, v, nrm[, cell], c0.., recon2): the
+    PQ encode (argmin_k L2² per subspace, (d2 ASC, k ASC) tie-break via
+    np.argmin's first minimum) + reconstruction norm² as one map-side
+    numpy kernel — this was the heaviest interpreted fold in the engine
+    (M×K×SUBDIM = 1024 lambda evaluations per row). With `cents` the
+    IVF cell rides along (the persisted IVF-ADC build path)."""
+    cblist = [list(v) for v in cb]
+    n2 = _pq_sub_norm2(cb)
+    clist = (
+        [(int(i), list(cv), float(cn)) for i, cv, cn in cents]
+        if cents is not None
+        else None
+    )
+    with_cell = clist is not None
+    has_nrm = "nrm" in vectors.columns
+    code_cols = [f"c{m}" for m in range(PQ_M)]
+    schema = (
+        "vec_id long, v array<double>, nrm double, "
+        + ("cell int, " if with_cell else "")
+        + ", ".join(f"{c} int" for c in code_cols)
+        + ", recon2 double"
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        cba = np.asarray(cblist, dtype=np.float64)  # K x D
+        n2a = np.asarray(n2, dtype=np.float64)      # M x K
+        kk = cba.shape[0]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                cols = {"vec_id": pd.Series([], dtype="int64"), "v": [],
+                        "nrm": pd.Series([], dtype="float64")}
+                if with_cell:
+                    cols["cell"] = pd.Series([], dtype="int32")
+                for c in code_cols:
+                    cols[c] = pd.Series([], dtype="int32")
+                cols["recon2"] = pd.Series([], dtype="float64")
+                yield pd.DataFrame(cols)
+                continue
+            vm = np.asarray(
+                [list(x) for x in pdf["v"]], dtype=np.float64
+            ).reshape(n, -1)
+            if has_nrm:
+                nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            else:
+                acc = np.zeros(n)
+                for j in range(vm.shape[1]):
+                    acc = acc + vm[:, j] * vm[:, j]
+                nrm = np.sqrt(acc)
+            cols = {"vec_id": pdf["vec_id"], "v": pdf["v"], "nrm": nrm}
+            if with_cell:
+                cos = np.empty((n, len(clist)))
+                for ki, (_i, cvec, cnorm) in enumerate(clist):
+                    dacc = np.zeros(n)
+                    for j in range(vm.shape[1]):
+                        dacc = dacc + vm[:, j] * cvec[j]
+                    cos[:, ki] = dacc / (nrm * cnorm)
+                cols["cell"] = np.argmax(cos, axis=1).astype("int32")
+            recon = np.zeros(n)
+            for m in range(PQ_M):
+                lo = m * PQ_SUBDIM
+                d2 = np.empty((n, kk))
+                for k in range(kk):
+                    dacc = np.zeros(n)
+                    for j in range(PQ_SUBDIM):
+                        diff = vm[:, lo + j] - cba[k, lo + j]
+                        dacc = dacc + diff * diff
+                    d2[:, k] = dacc
+                codes = np.argmin(d2, axis=1)  # first min == lower k
+                cols[f"c{m}"] = codes.astype("int32")
+                recon = recon + n2a[m][codes]
+            cols["recon2"] = recon
+            yield pd.DataFrame(cols)
+
+    return vectors.mapInPandas(fn, schema)
+
+
+def _query_adc_tabs(qv, cb) -> list[list[float]]:
+    """tab[m][k] = dot(q_m, cb[m][k]) with the exact fold order of
+    _pq_tab_sql — computed driver-side per bounded query."""
+    tabs = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUBDIM
+        tabs.append(
+            [
+                _dot_py(qv[lo:lo + PQ_SUBDIM], cb[k][lo:lo + PQ_SUBDIM])
+                for k in range(len(cb))
+            ]
+        )
+    return tabs
+
+
+def _adc_scored_kernel(codes_df: DataFrame, queries: list[dict]) -> DataFrame:
+    """(vec_id, c0.., recon2[, cell]) → (query_id, neighbor_id, adc_cos):
+    compressed-domain ADC scoring, map-side. Each query's precomputed
+    lookup tables ride in the closure (bounded); adc = 0.0 + Σ_m
+    tab_m[c_m] in m order (the element_at sum's fold), adc_cos =
+    adc / (q.nrm * sqrt(recon2))."""
+    qids = [q["qid"] for q in queries]
+    qns = [q["nrm"] for q in queries]
+    qtabs = [q["tabs"] for q in queries]
+    qprobes = [sorted(q["probes"]) for q in queries] if queries and "probes" in queries[0] else None
+    code_cols = [f"c{m}" for m in range(PQ_M)]
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "adc_cos": pd.Series([], dtype="float64")}
+        )
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or not qids:
+                yield empty
+                continue
+            cid = pdf["vec_id"].to_numpy()
+            codes = np.stack(
+                [pdf[c].to_numpy() for c in code_cols], axis=1
+            )  # n x M
+            rsq = np.sqrt(pdf["recon2"].to_numpy(dtype=np.float64))
+            cell = pdf["cell"].to_numpy() if qprobes is not None else None
+            out = []
+            for qi in range(len(qids)):
+                mask = cid != qids[qi]
+                if qprobes is not None:
+                    mask &= np.isin(cell, qprobes[qi])
+                idxs = np.nonzero(mask)[0]
+                if idxs.size == 0:
+                    continue
+                tab = np.asarray(qtabs[qi], dtype=np.float64)  # M x K
+                acc = np.zeros(idxs.size)
+                for m in range(PQ_M):
+                    acc = acc + tab[m][codes[idxs, m]]
+                adc = acc / (qns[qi] * rsq[idxs])
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": np.full(idxs.size, qids[qi], dtype=np.int64),
+                         "neighbor_id": cid[idxs].astype(np.int64),
+                         "adc_cos": adc}
+                    )
+                )
+            yield pd.concat(out) if out else empty
+
+    return codes_df.mapInPandas(
+        fn, "query_id long, neighbor_id long, adc_cos double"
+    )
+
+
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for each query vector.
+
+    Round 13: the bounded query set (<= ANN_MAX_QUERIES — the same
+    boundedness that justified broadcasting it) is collected once and
+    rides in the scoring kernel's closure; the corpus is scanned ONCE
+    map-side and every pair scores in a numpy per-dimension fold
+    (bit-identical to the Catalyst zip_with fold — parity-pinned
+    against ann_brute_topk_catalyst below). The only shuffle remains
+    the per-query top-k window. Still the ground-truth baseline:
+    scoring is linear in the corpus per query; ann_lsh_topk is the
+    scale path.
+    """
+    qs = _collect_queries(spark, sf_dir)
+    scored = _scored_pairs_kernel(_vec_scan(spark, sf_dir), qs, mode="all")
+    return _pair_topk(scored)
+
+
+def ann_brute_topk_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for each query vector.
 
     The query set is broadcast and BOUNDED (<= ANN_MAX_QUERIES rows), so
@@ -215,6 +667,33 @@ def _ivf_probe_topk(
     spark: SparkSession, sf_dir: str, match_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """The IVF probe pipeline shared by ann_ivf_topk and the filtered
+    variant, round-13 kernel form (parity-pinned against
+    _ivf_probe_topk_catalyst): per-query probe cells come from the
+    driver-side mirror of the assign fold over the collected bounded
+    query set; the corpus assigns its cell in-kernel (same K×D folds)
+    and each query scores only rows in its probed cells (plus the
+    label equi-predicate when `match_cols` asks — the pre-filter
+    hook). One body so the variants can never drift."""
+    if match_cols not in ((), ("label",)):
+        raise ValueError(f"unsupported match_cols {match_cols!r}")
+    cents = _ivf_centroids(spark, sf_dir)
+    qs = _collect_queries(spark, sf_dir, match_cols)
+    for q in qs:
+        q["probes"] = set(_query_probe_cells(q["v"], q["nrm"], cents))
+    scored = _scored_pairs_kernel(
+        _vec_scan(spark, sf_dir, match_cols),
+        qs,
+        mode="cell",
+        cents=cents,
+        label_match=bool(match_cols),
+    )
+    return _pair_topk(scored)
+
+
+def _ivf_probe_topk_catalyst(
+    spark: SparkSession, sf_dir: str, match_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The IVF probe pipeline shared by ann_ivf_topk and the filtered
     variant: map-side cell assignment, per-query NPROBE probes, the
     broadcast candidate join (cell match + one equi-predicate per
     `match_cols` entry — the pre-filter hook), exact-cosine rerank,
@@ -292,6 +771,27 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10: sign-bucket + multiprobe.
+
+    Round 13 kernel form (parity-pinned against ann_lsh_topk_catalyst):
+    per-query probe buckets (own + hamming-1) are computed driver-side
+    from the collected bounded query set; the corpus gets its bucket
+    in-kernel (the same sign-bit plane dots, per-dimension folds) and
+    each query scores ONLY the rows whose bucket is in its probe set —
+    work ∝ probed fraction, exactly the join it replaces. At 100 TB,
+    raise NPLANES so bucket population stays bounded; the map-side
+    shape is unchanged.
+    """
+    qs = _collect_queries(spark, sf_dir)
+    for q in qs:
+        q["probes"] = set(_query_lsh_probes(q["v"]))
+    scored = _scored_pairs_kernel(
+        _vec_scan(spark, sf_dir), qs, mode="bucket"
+    )
+    return _pair_topk(scored)
+
+
+def ann_lsh_topk_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10: sign-bucket + multiprobe.
 
     Corpus vectors get a bucket map-side; each query probes its own
@@ -519,35 +1019,26 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is the persisted `ann_ivfpq_topk` below.
     """
     cb = _pq_codebook(spark, sf_dir)
-    emb = _normed(spark, sf_dir)
 
-    enc = emb.selectExpr("*", *_pq_enc_exprs(cb))
-    enc = enc.selectExpr("*", _pq_recon_expr(cb)).localCheckpoint(eager=True)
+    # round 13: the M×K×SUBDIM encode folds run in the numpy kernel
+    # (_pq_encode_frame — parity-pinned in tests/test_similarity.py);
+    # the checkpoint still shares the coded corpus across the q-side,
+    # the ADC join side and both rerank sides.
+    enc = shared_frame(_pq_encode_frame(_vec_scan(spark, sf_dir), cb))
 
     # THE ADC trick proper: each query precomputes its lookup tables
-    # tab_m[k] = dot(q_m, cb[m][k]) ONCE (|queries|×PQ_M×K dots — the
-    # broadcast side), so each of the |queries|×|corpus| pairs costs
-    # PQ_M array lookups + adds instead of PQ_M subvector dots.
-    q = (
-        enc.filter(_is_query(F.col("vec_id")))
-        .selectExpr(
-            "vec_id", "v", "nrm", *[_pq_tab_sql(cb, m) for m in range(PQ_M)]
-        )
-        .alias("q")
-    )
-    c = enc.alias("c")
-    adc = F.expr(
-        "0.0D + "
-        + " + ".join(f"element_at(q.tab{m}, c.c{m} + 1)" for m in range(PQ_M))
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            (adc / (F.col("q.nrm") * F.sqrt(F.col("c.recon2")))).alias("adc_cos"),
-        )
+    # tab_m[k] = dot(q_m, cb[m][k]) ONCE, so each of the
+    # |queries|×|corpus| pairs costs PQ_M array lookups + adds instead
+    # of PQ_M subvector dots. Round 13: the tables are computed
+    # driver-side per bounded query with the exact _pq_tab_sql fold
+    # order and the lookups run in the ADC kernel — the old q-side's
+    # PQ_M×K literal subvector-dot SQL (a ~1000-term tree parsed and
+    # analyzed per cold run) is gone from the plan.
+    qs = _collect_queries(spark, sf_dir)
+    for q in qs:
+        q["tabs"] = _query_adc_tabs(q["v"], cb)
+    scored = _adc_scored_kernel(
+        enc.select("vec_id", *[f"c{m}" for m in range(PQ_M)], "recon2"), qs
     )
     # ADC shortlist → exact rerank (the standard deployment: compressed
     # scoring prunes the corpus to PQ_SHORTLIST rows per query, exact
@@ -664,12 +1155,9 @@ def save_ann_index(
     cent_df.write.mode("overwrite").format("parquet").saveAsTable(
         f"{prefix}_centroids"
     )
-    assigned = vectors.withColumn(
-        "cell",
-        -F.array_max(
-            _ivf_assign_structs(F.col("v"), F.col("nrm"), cents)
-        )["nj"],
-    )
+    # round 13: numpy assign kernel (same folds, same tie-break — see
+    # _assign_cells_frame) instead of the K×D interpreted struct fold
+    assigned = _assign_cells_frame(vectors, cents)
     _write_cells(assigned, f"{prefix}_cells", "overwrite")
 
 
@@ -693,12 +1181,7 @@ def extend_ann_index(
     equivalence is tested: index(old) extended with new answers every
     query exactly like index(old ∪ new)."""
     cents = load_ann_centroids(spark, prefix)
-    assigned = vectors.withColumn(
-        "cell",
-        -F.array_max(
-            _ivf_assign_structs(F.col("v"), F.col("nrm"), cents)
-        )["nj"],
-    )
+    assigned = _assign_cells_frame(vectors, cents)
     _write_cells(assigned, f"{prefix}_cells", "append")
 
 
@@ -752,6 +1235,29 @@ def compact_ann_index(spark: SparkSession, prefix: str) -> None:
 
 
 def ann_index_topk(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> DataFrame:
+    """IVF top-10 answered FROM THE PERSISTED INDEX, round-13 kernel
+    form (parity-pinned against ann_index_topk_catalyst): probe cells
+    per query come from the driver-side mirror of the assign fold
+    against the FROZEN catalog codebook; the probed-cell set (bounded:
+    <= IVF_NLIST distinct values) is still pushed as a LITERAL
+    partition filter so the index scan prunes to the probed partitions
+    (PartitionFilters — certified in tests/test_similarity.py); the
+    stored (v, nrm, cell) rows then score map-side in the kernel. With
+    the live index covering the corpus this is bit-identical to
+    ann_ivf_topk — the maintenance contract is unchanged."""
+    cents = load_ann_centroids(spark, prefix)
+    qs = _collect_queries(spark, sf_dir)
+    for q in qs:
+        q["probes"] = set(_query_probe_cells(q["v"], q["nrm"], cents))
+    probes = sorted({p for q in qs for p in q["probes"]})
+    c = _live_cells(spark, prefix).filter(F.col("cell").isin(probes))
+    scored = _scored_pairs_kernel(c, qs, mode="cell")
+    return _pair_topk(scored)
+
+
+def ann_index_topk_catalyst(
     spark: SparkSession, sf_dir: str, prefix: str
 ) -> DataFrame:
     """IVF top-10 answered FROM THE PERSISTED INDEX: queries probe
@@ -860,14 +1366,9 @@ def save_pq_index(spark: SparkSession, sf_dir: str, prefix: str) -> None:
 def _pq_encode(vectors: DataFrame, cents, cb) -> DataFrame:
     """(vec_id, v, nrm) → (vec_id, c0.., recon2, cell): one map-side
     pass computes the IVF cell and the PQ codes together."""
-    enc = vectors.withColumn(
-        "cell",
-        -F.array_max(
-            _ivf_assign_structs(F.col("v"), F.col("nrm"), cents)
-        )["nj"],
-    )
-    enc = enc.selectExpr("*", *_pq_enc_exprs(cb))
-    return enc.selectExpr("*", _pq_recon_expr(cb))
+    # round 13: one numpy kernel computes the IVF cell and the PQ codes
+    # together (parity-pinned); same single map-side pass as before
+    return _pq_encode_frame(vectors, cb, cents=cents)
 
 
 def _write_pq_codes(enc: DataFrame, table: str, mode: str) -> None:
@@ -911,6 +1412,71 @@ def extend_pq_index(
 
 
 def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> DataFrame:
+    """IVF-ADC top-10 answered FROM THE PERSISTED CODES, round-13
+    kernel form (parity-pinned against ann_ivfpq_topk_catalyst):
+    queries probe their IVF_NPROBE frozen-codebook cells (probed set
+    still pushed as literal PartitionFilters), their ADC lookup tables
+    are computed driver-side with the exact _pq_tab_sql fold order,
+    and the probed partitions' codes score in the compressed domain
+    map-side (PQ_M lookups + adds per candidate — the original vectors
+    are never read for scoring). The per-query shortlist then reranks
+    with exact cosine against the SOURCE embeddings table, as before;
+    every emitted cosine is exact."""
+    cents = load_ann_centroids(spark, prefix)
+    cb = load_pq_codebook(spark, prefix)
+    qs = _collect_queries(spark, sf_dir)
+    for q in qs:
+        q["probes"] = set(_query_probe_cells(q["v"], q["nrm"], cents))
+        q["tabs"] = _query_adc_tabs(q["v"], cb)
+    probes = sorted({p for q in qs for p in q["probes"]})
+    c = spark.table(f"{prefix}_pqcodes").filter(F.col("cell").isin(probes))
+    scored = _adc_scored_kernel(c, qs)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    emb = _normed(spark, sf_dir)
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    exact = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivfpq_topk_catalyst(
     spark: SparkSession, sf_dir: str, prefix: str
 ) -> DataFrame:
     """IVF-ADC top-10 answered FROM THE PERSISTED CODES: queries probe

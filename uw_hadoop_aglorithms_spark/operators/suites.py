@@ -922,16 +922,22 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import threading
 
-        n = Catalog(spark, sf_dir).documents.count()
+        from uw_hadoop_aglorithms_spark.session import dedup_tuned_session
+
+        # round 13: the incremental member's frames come from the
+        # dedup-scoped child session (same floor as the other text-dedup
+        # members; the shared catalog tables are session-independent)
+        sdd = dedup_tuned_session(spark)
+        n = Catalog(sdd, sf_dir).documents.count()
         split = n // 2
-        docs = Catalog(spark, sf_dir).documents
+        docs = Catalog(sdd, sf_dir).documents
         prefix = f"ndp_incr_{os.getpid()}_{threading.get_ident()}"
         try:
             dedup.save_neardup_index(
                 docs.where(F.col("doc_id") < split), prefix
             )
             rows = dedup.incremental_neardup_pairs(
-                spark, prefix, docs.where(F.col("doc_id") >= split)
+                sdd, prefix, docs.where(F.col("doc_id") >= split)
             ).collect()
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
@@ -1475,6 +1481,10 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedicated 2-column lake's (the extra event_id/value columns are
     # pruned at the scan and never reach the aggregate); the suite saves
     # a full |days|-directory parquet write per call.
+    # round 13 (ADVICE r12): ONE try/finally spans the pruned, zorder
+    # AND merge legs — previously a zorder-leg failure (between the
+    # pruned leg's except and the merge leg's finally) leaked m_dir, a
+    # full date-partitioned copy of events, in the temp dir.
     m_dir = tempfile.mkdtemp(prefix="layout_m_")
     try:
         ev4 = cat.events.select("event_id", "ts", "event_type", "value")
@@ -1498,90 +1508,85 @@ def layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows += [
             ("pruned", r.event_type, r.n, None, p_cert) for r in p_agg.collect()
         ]
-    except BaseException:
-        shutil.rmtree(m_dir, ignore_errors=True)
-        raise
+        # --- zorder: Morton-clustered copy concentrates a 2-D box query ----
+        # (plans/zorder.py, round-4: promoted from pytest-only to driver-
+        # verified). A ~5%-wide user band over ALL time: on a time-sorted
+        # layout every file holds every user; on the z-ordered copy the
+        # band's rows land in FEW files. cert = the band's matching rows
+        # touch strictly fewer than all files (the comparative time-sorted
+        # assert stays in tests/test_zorder.py); result rows must equal the
+        # oracle's plain WHERE — layout is result-invisible.
+        from uw_hadoop_aglorithms_spark.plans.zorder import write_zordered
 
-    # --- zorder: Morton-clustered copy concentrates a 2-D box query ----
-    # (plans/zorder.py, round-4: promoted from pytest-only to driver-
-    # verified). A ~5%-wide user band over ALL time: on a time-sorted
-    # layout every file holds every user; on the z-ordered copy the
-    # band's rows land in FEW files. cert = the band's matching rows
-    # touch strictly fewer than all files (the comparative time-sorted
-    # assert stays in tests/test_zorder.py); result rows must equal the
-    # oracle's plain WHERE — layout is result-invisible.
-    from uw_hadoop_aglorithms_spark.plans.zorder import write_zordered
+        z_dir = tempfile.mkdtemp(prefix="layout_z_")
+        try:
+            n_zfiles = 16
+            ev = cat.events.select("ts", "event_type", "user_id")
+            # RANK-BASED band bounds: the element at 0-indexed rank
+            # floor(p*(n-1)) of the sorted user_id multiset. Interpolating
+            # percentiles (Spark F.percentile vs DuckDB quantile_cont) are
+            # both exact linear interpolation but not guaranteed
+            # bit-identical; a 1-ulp difference at an integer boundary flips
+            # floor() and fails the whole suite hash. Picking an actual
+            # element is engine-neutral by construction. Ranks come from ONE
+            # value-counts aggregate (|distinct user_id| rows — a bounded
+            # domain column, so the collect stays bounded at any corpus
+            # size) walked cumulatively on the driver; the earlier
+            # offset/limit form ran two full sorts, each funnelling ~0.4·|n|
+            # rows through a single-partition CollectLimit.
+            import math as _math
 
-    z_dir = tempfile.mkdtemp(prefix="layout_z_")
-    try:
-        n_zfiles = 16
-        ev = cat.events.select("ts", "event_type", "user_id")
-        # RANK-BASED band bounds: the element at 0-indexed rank
-        # floor(p*(n-1)) of the sorted user_id multiset. Interpolating
-        # percentiles (Spark F.percentile vs DuckDB quantile_cont) are
-        # both exact linear interpolation but not guaranteed
-        # bit-identical; a 1-ulp difference at an integer boundary flips
-        # floor() and fails the whole suite hash. Picking an actual
-        # element is engine-neutral by construction. Ranks come from ONE
-        # value-counts aggregate (|distinct user_id| rows — a bounded
-        # domain column, so the collect stays bounded at any corpus
-        # size) walked cumulatively on the driver; the earlier
-        # offset/limit form ran two full sorts, each funnelling ~0.4·|n|
-        # rows through a single-partition CollectLimit.
-        import math as _math
+            vc = sorted(
+                (r.user_id, r.c)
+                for r in cat.events.groupBy("user_id")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            n_ev = sum(c for _, c in vc)
 
-        vc = sorted(
-            (r.user_id, r.c)
-            for r in cat.events.groupBy("user_id")
-            .agg(F.count("*").alias("c"))
-            .collect()
-        )
-        n_ev = sum(c for _, c in vc)
+            def _rank_value(p: float) -> int:
+                r = int(_math.floor(p * (n_ev - 1)))
+                acc = 0
+                for uid, c in vc:
+                    acc += c
+                    if acc > r:
+                        return uid
+                return vc[-1][0]
 
-        def _rank_value(p: float) -> int:
-            r = int(_math.floor(p * (n_ev - 1)))
-            acc = 0
-            for uid, c in vc:
-                acc += c
-                if acc > r:
-                    return uid
-            return vc[-1][0]
+            band_lo, band_hi = _rank_value(0.40), _rank_value(0.45)
+            minute = (F.unix_timestamp("ts") / 60).cast("long")
+            write_zordered(
+                ev, f"{z_dir}/events", F.col("user_id"), minute, n_files=n_zfiles
+            )
+            zread = spark.read.parquet(f"{z_dir}/events").where(
+                (F.col("user_id") >= band_lo) & (F.col("user_id") <= band_hi)
+            )
+            z_files = (
+                zread.select(F.input_file_name().alias("f")).distinct().count()
+            )
+            z_cert = z_files < n_zfiles
+            z_agg = zread.groupBy("event_type").agg(F.count("*").alias("n"))
+            rows += [
+                ("zorder", r.event_type, r.n, None, z_cert) for r in z_agg.collect()
+            ]
+        finally:
+            shutil.rmtree(z_dir, ignore_errors=True)
 
-        band_lo, band_hi = _rank_value(0.40), _rank_value(0.45)
-        minute = (F.unix_timestamp("ts") / 60).cast("long")
-        write_zordered(
-            ev, f"{z_dir}/events", F.col("user_id"), minute, n_files=n_zfiles
-        )
-        zread = spark.read.parquet(f"{z_dir}/events").where(
-            (F.col("user_id") >= band_lo) & (F.col("user_id") <= band_hi)
-        )
-        z_files = (
-            zread.select(F.input_file_name().alias("f")).distinct().count()
-        )
-        z_cert = z_files < n_zfiles
-        z_agg = zread.groupBy("event_type").agg(F.count("*").alias("n"))
-        rows += [
-            ("zorder", r.event_type, r.n, None, z_cert) for r in z_agg.collect()
-        ]
-    finally:
-        shutil.rmtree(z_dir, ignore_errors=True)
-
-    # --- merge: copy-on-write upsert + delete, only affected partitions
-    # (sources/lake.merge_into_lake, round-6). Updates = same-day content
-    # patches (event_id % 97 in the first 10 days of the month →
-    # 'patched', value+1000; the day cap keeps most partitions out of
-    # the blast radius so the untouched-set certificate is non-vacuous
-    # at every SF) plus future-day inserts (% 131 → shifted key, ts+90d,
-    # 'backfill' — all-new partitions). cert = surgical
-    # rewrite: every untouched day-directory's files are byte-identical
-    # before/after (snapshot_files), and every changed directory is in
-    # the merge's affected-day set. v is the integer-exact
-    # sum(floor(value*100)) so the hash is float-order-neutral.
-    # Round 12: mutates the SAME lake the pruned leg read (m_dir, written
-    # once above) — the pruned read never touched the files, so `before`
-    # here equals the freshly-written snapshot the old dedicated write
-    # produced.
-    try:
+        # --- merge: copy-on-write upsert + delete, only affected partitions
+        # (sources/lake.merge_into_lake, round-6). Updates = same-day content
+        # patches (event_id % 97 in the first 10 days of the month →
+        # 'patched', value+1000; the day cap keeps most partitions out of
+        # the blast radius so the untouched-set certificate is non-vacuous
+        # at every SF) plus future-day inserts (% 131 → shifted key, ts+90d,
+        # 'backfill' — all-new partitions). cert = surgical
+        # rewrite: every untouched day-directory's files are byte-identical
+        # before/after (snapshot_files), and every changed directory is in
+        # the merge's affected-day set. v is the integer-exact
+        # sum(floor(value*100)) so the hash is float-order-neutral.
+        # Round 12: mutates the SAME lake the pruned leg read (m_dir, written
+        # once above) — the pruned read never touched the files, so `before`
+        # here equals the freshly-written snapshot the old dedicated write
+        # produced.
         before = lake_mod.snapshot_files(f"{m_dir}/events")
         upd = (
             ev4.filter(

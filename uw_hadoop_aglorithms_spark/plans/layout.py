@@ -20,15 +20,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _max_partition_bytes(spark) -> int:
-    """spark.sql.files.maxPartitionBytes as an int (handles the byte-
-    suffixed forms the conf accepts)."""
-    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+def _bytes_conf(spark, key: str, default: str) -> int:
+    """A byte-sized conf as an int (handles the suffixed forms)."""
+    raw = str(spark.conf.get(key, default))
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
     s = raw.strip().lower().removesuffix("b")
     if s and s[-1] in units:
         return int(float(s[:-1]) * units[s[-1]])
     return int(s)
+
+
+def _max_partition_bytes(spark) -> int:
+    return _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", "134217728")
 
 
 def spread_for_cpu(df: DataFrame, *keys: str) -> DataFrame:
@@ -44,12 +47,29 @@ def spread_for_cpu(df: DataFrame, *keys: str) -> DataFrame:
     tasks), not its exact count — the repartition is a perf-only hint,
     so only the branch matters; frames without a hint (non-local paths,
     derived frames) keep the exact `.rdd` probe.
+
+    Round 13 (ADVICE r12): the hint branch mirrors Spark's own split
+    sizing — FilePartition.maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, bytes/defaultParallelism)) — instead of the
+    r12 `hint < target * maxPartitionBytes` shortcut, which called any
+    input under ~4 GB "under-parallel" at 32 cores even though Spark
+    already splits mid-size inputs into >= target partitions (bytes per
+    core governs below maxPartitionBytes). The shortcut would have
+    inserted a redundant full repartition shuffle at sf1+; invisible at
+    sf0.1 where both branches agree.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     hint = getattr(df, "_spread_size_hint", None)
     if hint is not None:
-        under = hint < target * _max_partition_bytes(spark)
+        open_cost = _bytes_conf(
+            spark, "spark.sql.files.openCostInBytes", "4194304"
+        )
+        max_split = min(
+            _max_partition_bytes(spark),
+            max(open_cost, hint // max(1, target)),
+        )
+        under = -(-hint // max_split) < target
     else:
         under = df.rdd.getNumPartitions() < target
     if not under:
@@ -74,3 +94,27 @@ def attach_size_hint(df: DataFrame, path: str) -> DataFrame:
     except OSError:
         pass
     return df
+
+
+def shared_frame(df: DataFrame) -> DataFrame:
+    """Materialize a frame that multiple downstream plans consume
+    (shared shingle/hset/code frames, the BPE encoders' inputs).
+
+    Default: ``localCheckpoint(eager=True)`` — cuts lineage, blocks live
+    in executor memory UNREPLICATED, so on a real cluster an executor
+    loss fails the job instead of recomputing (guide §5). That is the
+    right local trade; deployments that need fault tolerance set
+    ``SPARK_GRAFT_SHARED_FRAME_STORAGE=disk2`` to get
+    ``persist(StorageLevel.DISK_ONLY_2)`` instead: blocks are replicated
+    to two executors' disks AND lineage is retained, so a lost replica
+    recomputes rather than killing the job (VERDICT r12 §8; values are
+    identical either way — the frames are deterministic). The eager
+    count keeps concurrent suite members from racing the build.
+    """
+    if os.environ.get("SPARK_GRAFT_SHARED_FRAME_STORAGE") == "disk2":
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY_2)
+        df.count()
+        return df
+    return df.localCheckpoint(eager=True)

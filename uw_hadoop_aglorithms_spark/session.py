@@ -18,16 +18,21 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
-#: AQE coalescing floor (round 12): the default 1m floor coalesces any
-#: sub-32MB shuffle to ONE post-shuffle partition (parallelismFirst's
-#: target is max(total/parallelism, minPartitionSize)), serializing the
-#: CPU-heavy post-shuffle stages of the text/dedup operators whenever
-#: the shuffled bytes are small — measured 4.5 s -> 2.8 s on
-#: minhash_lsh_dedup at sf0.1 (interleaved n=5 minima). Scale-neutral:
-#: at cluster scale the 64MB advisory target governs coalescing long
-#: before a 64k floor matters; the floor only stops a small shuffle
-#: from collapsing below the cluster's parallelism.
-DEFAULT_AQE_MIN_PARTITION = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k")
+#: AQE coalescing floor. Round 12 shipped a GLOBAL 64k floor (small
+#: shuffles otherwise coalesce to one post-shuffle partition,
+#: serializing CPU-heavy post-shuffle stages); round 13's cold-JVM
+#: suite A/B (plans/r13/ab_aqe_floor_32c.json, VERDICT r12 §Next 2)
+#: showed that floor only helps the dedup-kernel keys and TAXES every
+#: small-shuffle key (pack_sequences 6.6 vs 5.7 s, distinct_users 7.2
+#: vs 6.5, user_sessions 2.1 vs 1.8, window_counts 1.04 vs 0.95 cold
+#: medians). The global default is back to Spark's 1m; the dedup
+#: operators that measurably need the higher floor scope it to their
+#: own queries via `dedup_tuned_session` below.
+DEFAULT_AQE_MIN_PARTITION = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m")
+#: The dedup-scoped floor (see dedup_tuned_session).
+DEDUP_AQE_MIN_PARTITION = os.environ.get(
+    "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE_DEDUP", "64k"
+)
 #: local-mode JVM heap: in local[*] the "executors" live inside the driver
 #: JVM, so the default 1g heap GC-thrashes under cached state + 32 task
 #: threads. On a real cluster the launcher sizes executors instead.
@@ -76,3 +81,28 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def dedup_tuned_session(spark: SparkSession) -> SparkSession:
+    """A child session (shared SparkContext/caches/catalog, OWN SQLConf)
+    with the dedup-scoped AQE coalescing floor.
+
+    The dedup pipelines' post-shuffle stages are CPU-heavy (signature
+    aggregation, band self-join, exact-Jaccard verification over hash
+    arrays), so letting a small shuffle coalesce to 1-2 partitions
+    serializes them — the 64k floor measured dedup_clusters 5.9 vs
+    7.6 s and corpus_curation 11.5 vs 13.8 s cold (round 13 A/B).
+    Scoping via ``newSession`` (round 13) instead of the round-12
+    global conf keeps the floor OFF every other operator (the r12
+    regression tail) and is thread-safe for the concurrent suite
+    members; frames built from the child session keep its conf at
+    collect time, so the bench's external action sees the floor too.
+    At cluster scale the 64 MB advisory target governs coalescing long
+    before a 64k floor matters — the floor only stops a small shuffle
+    from collapsing below the cluster's parallelism."""
+    s = spark.newSession()
+    s.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        DEDUP_AQE_MIN_PARTITION,
+    )
+    return s

@@ -24,6 +24,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 TABLE_NAMES = tuple(TABLE_SCHEMAS)
 
+#: (sf_dir, table) pairs whose on-disk schema has been checked this
+#: process. With declared-schema reads (round 12) a missing/renamed
+#: column no longer fails at analysis time — Parquet fills it with
+#: NULLs silently — so drift is checked ONCE per (dir, table) per
+#: process at first access instead (ADVICE r12), from the footer the
+#: declared read skips. SPARK_GRAFT_SKIP_SCHEMA_VALIDATION=1 opts out
+#: (for deployments that control their data dir and want zero footer
+#: reads).
+_VALIDATED: set[tuple[str, str]] = set()
+
 
 class Catalog:
     """Named-schema table access over one scale-factor directory.
@@ -57,6 +67,7 @@ class Catalog:
                 # caught by validate_schemas(), which inference-reads on
                 # purpose. `events` keeps inference: its ts physical
                 # type varies (_load_events branches on it).
+                self._check_schema(name)
                 self._cache[name] = self.spark.read.schema(
                     TABLE_SCHEMAS[name]
                 ).parquet(f"{self.sf_dir}/{name}.parquet")
@@ -71,6 +82,32 @@ class Catalog:
                 self._cache[name], f"{self.sf_dir}/{name}.parquet"
             )
         return self._cache[name]
+
+    def _check_schema(self, name: str) -> None:
+        """Fail loudly on schema drift at first access (per process per
+        (dir, table)): one inference read of the footer, compared
+        field-for-field against the declared schema the actual read
+        applies. Same comparison as validate_schemas(), which remains
+        the all-tables sweeper for tests."""
+        key = (self.sf_dir, name)
+        if key in _VALIDATED or os.environ.get(
+            "SPARK_GRAFT_SKIP_SCHEMA_VALIDATION"
+        ):
+            return
+        _VALIDATED.add(key)
+        actual = self.spark.read.parquet(
+            f"{self.sf_dir}/{name}.parquet"
+        ).schema
+        got = [(f.name, f.dataType.simpleString()) for f in actual.fields]
+        want = [
+            (f.name, f.dataType.simpleString())
+            for f in TABLE_SCHEMAS[name].fields
+        ]
+        if got != want:
+            raise ValueError(
+                f"schema drift in {self.sf_dir}/{name}.parquet: "
+                f"disk={got} declared={want}"
+            )
 
     def _load_events(self) -> DataFrame:
         """Normalize `events.ts` to TIMESTAMP_NTZ — the stored NAIVE
