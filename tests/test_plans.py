@@ -44,8 +44,16 @@ def test_word_count_uses_partial_aggregation(spark):
 
 
 def test_ann_broadcasts_query_side(spark):
+    """Round 13: brute scores in a map-side kernel whose closure carries
+    the bounded query set — ONE corpus scan, no broadcast exchange, no
+    join below the top-k window. The broadcast contract moves to the
+    retained Catalyst reference (still the bounded-broadcast shape)."""
     plan = _plan(similarity.ann_brute_topk(spark, SF_TEST))
-    assert "Broadcast" in plan
+    assert "MapInPandas" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    ref = _plan(similarity.ann_brute_topk_catalyst(spark, SF_TEST))
+    assert "Broadcast" in ref
 
 
 def test_q6_single_scan_multi_aggregate(spark):
